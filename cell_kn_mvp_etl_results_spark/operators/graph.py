@@ -1,0 +1,242 @@
+"""Property-graph operators (SURVEY.md sections 2.4 J10-J12, 2.10 T5-T8).
+
+The reference materializes semantic tuples into an ArangoDB named graph
+(vertex collections per ontology prefix, edge collections per pair --
+``ArangoDbUtilities.py:107-186``) and queries it with AQL typed-path
+traversals (``AqlQuerySetBuilder.java:28-351``). Spark-first, the graph
+IS three DataFrames:
+
+  vertices(coll, key)                         -- node identity
+  vertex_attrs(coll, key, attr, values[])     -- A7 attribute pivot
+  edges(src_coll, src_key, dst_coll, dst_key, label)
+
+and a typed-path query compiles to a chain of equi-joins on the edges
+table with per-hop collection filters -- exactly what the AQL
+``IS_SAME_COLLECTION(@nodeK, p.vertices[k])`` filters express
+(``AqlQuerySetBuilder.java:36-37``). Catalyst then does what ArangoDB's
+optimizer did: pushdown, join ordering, broadcast of small hop frontiers.
+
+Scale posture: partition/bucket edges by (src_coll, dst_coll) so per-hop
+collection filters become partition pruning; the frontier-expansion loop
+for variable-depth traversal persists + checkpoints each frontier and
+terminates on empty frontier (depth cap 64 mirrors the reference's
+``1..64 OUTBOUND`` cap, ``AqlQuerySetBuilder.java:96``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def split_term(term_col) -> tuple:
+    """Split a term like ``CL_0000235`` into (coll, key) at the first
+    ``_`` (reference key scheme: ``OntologyParserLoader.py:41-43``,
+    vertex ``_key`` = term suffix)."""
+    c = F.col(term_col) if isinstance(term_col, str) else term_col
+    return (
+        F.substring_index(c, "_", 1).alias("coll"),
+        F.substring_index(c, "_", -1).alias("key"),
+    )
+
+
+def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
+    """Assemble the property graph from the tuples IR (T7 two-pass build,
+    ``ResultsGraphBuilder.java:103-303`` / ``OntologyParserLoader.py:1112-1168``).
+
+    tuples(s, p, o, lit): triples with URI object become edges; triples
+    with literal object become vertex attributes; quads (lit not null)
+    become edge attributes. A vertex exists iff it appears as a subject
+    or URI-object (reference constructs vertices from both ends,
+    ``ResultsGraphBuilder.java:103-142``).
+
+    The two passes of the reference (construct then update) are two
+    lineages over one cached input; dedup-by-key HashSets
+    (``ResultsGraphBuilder.java:124-137``) become dropDuplicates.
+    """
+    is_uri = F.col("o").contains("http") | F.col("o").rlike(r"^[A-Za-z]+_")
+    triples = tuples.filter(F.col("lit").isNull())
+    quads = tuples.filter(F.col("lit").isNotNull())
+
+    edge_triples = triples.filter(is_uri)
+    attr_triples = triples.filter(~is_uri)
+
+    vertices = (
+        edge_triples.select(F.col("s").alias("term"))
+        .union(edge_triples.select(F.col("o").alias("term")))
+        .union(attr_triples.select(F.col("s").alias("term")))
+        .distinct()
+    )
+
+    edges = edge_triples.select(
+        F.substring_index("s", "_", 1).alias("src_coll"),
+        F.substring_index("s", "_", -1).alias("src_key"),
+        F.substring_index("o", "_", 1).alias("dst_coll"),
+        F.substring_index("o", "_", -1).alias("dst_key"),
+        F.col("p").alias("label"),
+    ).dropDuplicates()
+
+    # A7 attribute pivot with list promotion (collect_set semantics --
+    # the Python reference appends to a list on duplicate predicates,
+    # OntologyParserLoader.py:913-921; Java last-wins diverges, we
+    # document and take the Python list semantics).
+    vertex_attrs = (
+        attr_triples.groupBy(
+            F.substring_index("s", "_", 1).alias("coll"),
+            F.substring_index("s", "_", -1).alias("key"),
+            F.col("p").alias("attr"),
+        )
+        .agg(F.sort_array(F.collect_set("o")).alias("values"))
+    )
+
+    edge_attrs = (
+        quads.groupBy(
+            F.substring_index("s", "_", 1).alias("src_coll"),
+            F.substring_index("s", "_", -1).alias("src_key"),
+            F.substring_index("o", "_", 1).alias("dst_coll"),
+            F.substring_index("o", "_", -1).alias("dst_key"),
+            F.col("p").alias("attr"),
+        )
+        .agg(F.sort_array(F.collect_set("lit")).alias("values"))
+    )
+
+    return {
+        "vertices": vertices.select(*split_term("term")),
+        "edges": edges,
+        "vertex_attrs": vertex_attrs,
+        "edge_attrs": edge_attrs,
+    }
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """ANY-direction edge view (AQL traversals run ANY direction,
+    ``AqlQuerySetBuilder.java:33``): union of edges with src/dst swapped."""
+    flipped = edges.select(
+        F.col("dst_coll").alias("src_coll"),
+        F.col("dst_key").alias("src_key"),
+        F.col("src_coll").alias("dst_coll"),
+        F.col("src_key").alias("dst_key"),
+        "label",
+    )
+    return edges.union(flipped)
+
+
+def k_hop(
+    edges: DataFrame,
+    start: DataFrame,
+    hop_colls: list[str],
+    any_direction: bool = False,
+) -> DataFrame:
+    """J10: exact-length typed-path traversal as a chain of equi-joins.
+
+    ``start`` has columns (coll, key); ``hop_colls[k]`` constrains the
+    collection of the vertex reached at hop k+1 (the AQL
+    ``IS_SAME_COLLECTION(@nodeK, p.vertices[k])`` filter,
+    ``AqlQuerySetBuilder.java:55-64``). Returns one row per path with a
+    ``path`` array of ``coll_key`` strings and per-hop labels.
+
+    Each hop's dst_coll filter is applied *before* the join (predicate
+    pushdown / partition pruning on a (src_coll,dst_coll)-partitioned
+    edges table), so fan-out never touches edges outside the hop's
+    collection.
+    """
+    e = undirected(edges) if any_direction else edges
+    cur = start.select(
+        F.col("coll").alias("v0_coll"),
+        F.col("key").alias("v0_key"),
+        F.array(F.concat_ws("_", "coll", "key")).alias("path"),
+        F.array().cast("array<string>").alias("labels"),
+    )
+    for k, coll in enumerate(hop_colls):
+        hop = (
+            e.filter(F.col("dst_coll") == coll)
+            .select(
+                F.col("src_coll").alias("h_src_coll"),
+                F.col("src_key").alias("h_src_key"),
+                F.col("dst_coll").alias("h_dst_coll"),
+                F.col("dst_key").alias("h_dst_key"),
+                F.col("label").alias("h_label"),
+            )
+        )
+        prev = F.element_at(F.col("path"), -1)
+        cur = (
+            cur.join(
+                hop,
+                prev == F.concat_ws("_", F.col("h_src_coll"), F.col("h_src_key")),
+            )
+            .withColumn(
+                "path",
+                F.concat(
+                    F.col("path"),
+                    F.array(F.concat_ws("_", "h_dst_coll", "h_dst_key")),
+                ),
+            )
+            .withColumn("labels", F.concat(F.col("labels"), F.array(F.col("h_label"))))
+            .drop("h_src_coll", "h_src_key", "h_dst_coll", "h_dst_key", "h_label")
+        )
+    return cur
+
+
+def hierarchy_longest_path(
+    edges: DataFrame,
+    start: DataFrame,
+    label: str | None = None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """J11 + W1: variable-depth OUTBOUND walk, longest path per start.
+
+    Mirrors the AQL hierarchy extension: ``FOR v, e, p1 IN 1..64 OUTBOUND
+    ... PRUNE e.Label NOT IN [@edgeLabel] ... SORT LENGTH(p1.edges) DESC
+    LIMIT 1`` (``AqlQuerySetBuilder.java:88-117``). The PRUNE becomes a
+    pre-loop filter of the edge set; the per-start top-1 becomes a window.
+
+    Implementation: driver-side frontier-expansion loop (the one operator
+    that genuinely needs iteration, SURVEY.md section 4). Each iteration
+    is a single equi-join; frontiers are localCheckpointed to cut lineage
+    growth; loop exits early on empty frontier. Ties on depth break by
+    lexicographically smallest path string, so results are deterministic.
+    Cycle safety: a path never revisits its own vertices (checked with
+    array_contains), matching AQL's default path uniqueness.
+    """
+    e = edges if label is None else edges.filter(F.col("label") == label)
+    e = e.select(
+        F.concat_ws("_", "src_coll", "src_key").alias("src"),
+        F.concat_ws("_", "dst_coll", "dst_key").alias("dst"),
+    ).persist()
+
+    frontier = start.select(
+        F.concat_ws("_", "coll", "key").alias("start"),
+        F.concat_ws("_", "coll", "key").alias("node"),
+        F.lit(0).alias("depth"),
+        F.concat_ws("_", "coll", "key").alias("path"),
+        F.array(F.concat_ws("_", "coll", "key")).alias("visited"),
+    )
+    all_paths = frontier
+    depth = 0
+    while depth < max_depth:
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .filter(~F.array_contains(F.col("visited"), F.col("dst")))
+            .select(
+                "start",
+                F.col("dst").alias("node"),
+                (F.col("depth") + 1).alias("depth"),
+                F.concat_ws("/", "path", "dst").alias("path"),
+                F.concat(F.col("visited"), F.array(F.col("dst"))).alias("visited"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        all_paths = all_paths.union(nxt)
+        frontier = nxt
+        depth += 1
+
+    e.unpersist()
+    w = Window.partitionBy("start").orderBy(F.desc("depth"), "path")
+    return (
+        all_paths.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("start", "depth", "path")
+    )

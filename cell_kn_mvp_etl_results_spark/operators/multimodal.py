@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (``decode_image`` raises NotImplementedError
+unless ``fake=True``) because codec libraries are not available in this
+environment -- but everything Spark-side is real and tested: the schema
+contract, the batch iteration shape, partition sizing, and the
+deterministic fake decoder used by tests.
+
+Scale notes: binary payloads ride in parquet; ``mapInPandas`` streams
+Arrow record batches so a 100 MB image row never materializes the whole
+partition; repartition by size-class before heavy decode to balance
+executor work (payload bytes, not row count, is the unit of work).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", LongType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
+    """Decode an image payload -> (width, height, mean_luma).
+
+    STUB: real decoding needs an image codec library not present in this
+    container. ``fake=True`` derives deterministic pseudo-dimensions from
+    the payload bytes so the distributed plumbing is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library; run with fake=True "
+            "for deterministic plumbing tests"
+        )
+    n = len(payload)
+    w = 16 + (payload[0] if n else 0)
+    h = 16 + (payload[-1] if n else 0)
+    luma = sum(payload[:64]) // max(1, min(n, 64))
+    return w, h, luma
+
+
+def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature-extract image rows via mapInPandas (Arrow batches).
+
+    The UDF contract: batches in, batches out, schema fixed up front --
+    the executor never sees Python row objects, only Arrow buffers.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            rows = []
+            for mid, payload in zip(img["media_id"], img["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, luma = decode_image(data, fake=fake)
+                rows.append((mid, len(data), w, h, luma))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "width", "height", "mean_luma"]
+            )
+
+    return media.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Cheap metadata without decoding: byte length + content hash.
+    Stays fully JVM-side (no Python), so it runs at scan speed."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan* scaffold: explodes a frame-index
+    array per video row (decode stubbed). Demonstrates the fan-out
+    shape: one row per sampled frame, payload carried by reference.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("n_frames_est", (F.length("payload") / 1000).cast("int"))
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames_est") - 1, F.lit(0)), F.lit(every_n))),
+        )
+        .select("media_id", "frame_idx")
+    )

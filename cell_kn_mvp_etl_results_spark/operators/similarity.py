@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k (queries x corpus). Scale path:
+LSH-bucketed search (random-hyperplane signs) that prunes the candidate
+set before scoring -- the bucketing is a cheap map-side signature and
+the join shuffles only on the bucket key.
+
+Determinism: scoring quantizes components to integers (round(x * 10^q))
+so dot products and norms are *exact* integer values carried in doubles
+(every partial sum < 2^53 -> order-independent), and the final
+score = dot / sqrt(na * nb) is a fixed shape of IEEE ops -- the same
+value bit-for-bit in any engine. Un-quantized scoring is available with
+``quantize=None`` for production use where cross-engine bit-equality
+does not matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _quantized(col: Column, quantize: int | None) -> Column:
+    if quantize is None:
+        return F.transform(col, lambda x: x.cast("double"))
+    scale = float(10**quantize)
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<double> columns -- pure
+    Catalyst (zip_with + aggregate), no UDF, codegen-friendly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (self-match excluded). Returns
+    (q_id, cand_id, rank, score).
+
+    Plan shape: the query side is broadcast (queries are few); the
+    corpus is scanned once; scoring is a map-side zip_with/aggregate;
+    the only shuffle is the per-query top-k window. At 100 TB corpus
+    scale, swap the window for a per-partition top-k + merge
+    (reduce-side k*|queries| rows), or use lsh_bucket_topk below.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), quantize).alias("q_vec")
+    )
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        _quantized(F.col(vec_col), quantize).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.sqrt(
+                    dot(F.col("q_vec"), F.col("q_vec"))
+                    * dot(F.col("c_vec"), F.col("c_vec"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "rank", "score")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH signature: sign bits of <v, h_j> packed into
+    a long. Hyperplanes are a deterministic +-1 pattern derived from
+    (seed, j, i) -- reproducible with no stored model.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_planes)]
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        h = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(vec, h, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 12,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """Scale-path ANN: candidates must share the query's hyperplane
+    bucket; only those are scored. Recall < 1.0 by construction (ANN);
+    raise recall with multiple plane sets (query both buckets) or fewer
+    planes. The candidate join shuffles on the bucket key only.
+    """
+    sig = lambda df, idc: df.select(  # noqa: E731
+        F.col(id_col).alias(idc),
+        F.col(vec_col).alias(f"{idc}_vec"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = sig(queries, "q_id")
+    c = sig(emb, "cand_id")
+    cand = c.join(F.broadcast(q), "bucket").filter(F.col("cand_id") != F.col("q_id"))
+    qv = _quantized(F.col("q_id_vec"), quantize)
+    cv = _quantized(F.col("cand_id_vec"), quantize)
+    scored = cand.select(
+        "q_id",
+        "cand_id",
+        (dot(qv, cv) / F.sqrt(dot(qv, qv) * dot(cv, cv))).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "rank", "score")
+    )

@@ -1,0 +1,8 @@
+from .registry import REGISTRY, QuerySpec, all_oracle_sql, all_queries
+
+# Importing the plan modules registers their queries.
+from . import relational  # noqa: F401,E402
+from . import graph_queries  # noqa: F401,E402
+from . import llmdata  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "all_queries", "all_oracle_sql"]

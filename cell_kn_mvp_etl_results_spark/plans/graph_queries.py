@@ -1,0 +1,265 @@
+"""Graph-pipeline plans: the reference's tuple-generation -> graph
+assembly -> typed-path query lifecycle (SURVEY.md section 3) projected
+onto the synthetic star schema. The star schema *is* a graph:
+
+  R_<regionkey> --contains--> N_<nationkey> --contains--> C_<custkey>
+  C_<custkey>   --PLACED-->   O_<orderkey>  --CONTAINS--> P_<partkey>
+  P_<partkey>   --SUPPLIED_BY--> S_<suppkey>
+
+Each query exercises one stage: T1 tuple emission, T7 assembly, A7
+attribute pivot, J10 k-hop traversal, J11+W1 variable-depth longest
+path (recursive-CTE oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import graph_from_tuples, hierarchy_longest_path, k_hop
+from ..sources.readers import read_table
+from .registry import query
+
+
+def order_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 analog: per order emit relation triples, literal-attribute
+    triples, and an edge-annotation quadruple (the reference emits ~25
+    tuples per NSForest cluster row the same way,
+    ``NSForestResultsTupleWriter.py:65-296``: one select builds an array
+    of tuple structs, explode flattens). Pure map-side -- no shuffle.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cs = F.concat(F.lit("C_"), F.col("o_custkey"))
+    ok = F.concat(F.lit("O_"), F.col("o_orderkey"))
+    null_s = F.lit(None).cast("string")
+    tup = lambda s, p, obj, lit: F.struct(  # noqa: E731
+        s.alias("s"), p.alias("p"), obj.alias("o"), lit.alias("lit")
+    )
+    return o.select(
+        F.explode(
+            F.array(
+                tup(cs, F.lit("PLACED"), ok, null_s),
+                tup(ok, F.lit("status"), F.col("o_orderstatus"), null_s),
+                tup(ok, F.lit("priority"), F.col("o_orderpriority"), null_s),
+                tup(cs, F.lit("priority_seen"), F.col("o_orderpriority"), null_s),
+                tup(
+                    cs,
+                    F.lit("orderdate"),
+                    ok,
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.s", "t.p", "t.o", "t.lit")
+
+
+_TUPLES_ORACLE_BODY = """
+  SELECT 'C_' || o_custkey AS s, 'PLACED' AS p, 'O_' || o_orderkey AS o,
+         CAST(NULL AS VARCHAR) AS lit FROM orders
+  UNION ALL
+  SELECT 'O_' || o_orderkey, 'status', o_orderstatus, NULL FROM orders
+  UNION ALL
+  SELECT 'O_' || o_orderkey, 'priority', o_orderpriority, NULL FROM orders
+  UNION ALL
+  SELECT 'C_' || o_custkey, 'priority_seen', o_orderpriority, NULL FROM orders
+  UNION ALL
+  SELECT 'C_' || o_custkey, 'orderdate', 'O_' || o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') FROM orders
+"""
+
+
+@query(
+    "q_tuple_generation",
+    tags=("graph", "T1"),
+    oracle=f"""
+WITH t AS ({_TUPLES_ORACLE_BODY})
+SELECT s, p, o, lit FROM t ORDER BY s, p, o, lit
+""",
+)
+def q_tuple_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: row -> many semantic tuples via array-of-structs + explode
+    (the Spark-native UDTF shape, SURVEY.md section 2.11)."""
+    return order_tuples(spark, sf_dir).orderBy("s", "p", "o", "lit")
+
+
+@query(
+    "q_graph_vertices",
+    tags=("graph", "T7"),
+    oracle="""
+SELECT coll, key, count(*) AS n
+FROM (
+  SELECT 'C' AS coll, CAST(o_custkey AS VARCHAR) AS key FROM orders
+  UNION
+  SELECT 'O', CAST(o_orderkey AS VARCHAR) FROM orders
+) v
+GROUP BY coll, key
+ORDER BY coll, key
+""",
+)
+def q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 graph assembly, vertex pass: vertices = distinct subjects +
+    URI-objects of the tuple stream (``ResultsGraphBuilder.java:103-142``).
+    union -> dropDuplicates; one shuffle on (coll, key).
+    """
+    g = graph_from_tuples(order_tuples(spark, sf_dir))
+    return (
+        g["vertices"].groupBy("coll", "key").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("coll", "key")
+    )
+
+
+@query(
+    "q_attr_pivot",
+    tags=("graph", "A7"),
+    oracle=f"""
+WITH t AS ({_TUPLES_ORACLE_BODY}),
+attrs AS (
+  SELECT s, p, o FROM t
+  WHERE lit IS NULL AND NOT (o LIKE 'C\\_%' ESCAPE '\\' OR o LIKE 'O\\_%' ESCAPE '\\')
+)
+SELECT
+  CASE WHEN s LIKE 'C%' THEN 'C' ELSE 'O' END AS coll,
+  substr(s, 3) AS key,
+  p AS attr,
+  list_sort(list(DISTINCT o)) AS values
+FROM attrs
+GROUP BY 1, 2, 3
+ORDER BY coll, key, attr
+""",
+)
+def q_attr_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 attribute aggregation: literal-object triples fold into one
+    attribute list per (vertex, predicate); duplicate predicates promote
+    scalar -> deduped sorted list (Python reference semantics,
+    ``OntologyParserLoader.py:913-921``; the Java last-wins divergence is
+    documented in operators/graph.py).
+    """
+    g = graph_from_tuples(order_tuples(spark, sf_dir))
+    return g["vertex_attrs"].orderBy("coll", "key", "attr")
+
+
+@query(
+    "q_khop_paths",
+    headline=True,
+    tags=("graph", "J10"),
+    oracle="""
+WITH e1 AS (SELECT DISTINCT 'C_' || o_custkey AS s, 'O_' || o_orderkey AS d FROM orders),
+e2 AS (SELECT DISTINCT 'O_' || l_orderkey AS s, 'P_' || l_partkey AS d FROM lineitem),
+e3 AS (SELECT DISTINCT 'P_' || l_partkey AS s, 'S_' || l_suppkey AS d FROM lineitem),
+start AS (
+  SELECT 'C_' || c_custkey AS v FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT start.v AS start, count(*) AS n_paths, count(DISTINCT e3.d) AS n_terminals
+FROM start
+JOIN e1 ON e1.s = start.v
+JOIN e2 ON e2.s = e1.d
+JOIN e3 ON e3.s = e2.d
+GROUP BY start.v
+ORDER BY start
+""",
+)
+def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: exact-length-3 typed-path traversal C -> O -> P -> S with
+    per-hop collection filters -- the Spark compilation of the AQL
+    ``FOR v,e,p IN 3..3 ANY ... FILTER IS_SAME_COLLECTION(...)`` battery
+    (``AqlQuerySetBuilder.java:136-147``). Each hop is an equi-join on
+    the edges relation; collection filters prune before each join.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+
+    def edge(src_coll, src_key, dst_coll, dst_key, label, df):
+        return df.select(
+            F.lit(src_coll).alias("src_coll"),
+            F.col(src_key).cast("string").alias("src_key"),
+            F.lit(dst_coll).alias("dst_coll"),
+            F.col(dst_key).cast("string").alias("dst_key"),
+            F.lit(label).alias("label"),
+        ).dropDuplicates()
+
+    edges = (
+        edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
+        .union(edge("O", "l_orderkey", "P", "l_partkey", "CONTAINS", li))
+        .union(edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li))
+    )
+    start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.lit("C").alias("coll"), F.col("c_custkey").cast("string").alias("key")
+    )
+    paths = k_hop(edges, start, ["O", "P", "S"])
+    return (
+        paths.select(
+            F.concat_ws("_", "v0_coll", "v0_key").alias("start"),
+            F.element_at("path", -1).alias("terminal"),
+        )
+        .groupBy("start")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.count_distinct("terminal").alias("n_terminals"),
+        )
+        .orderBy("start")
+    )
+
+
+@query(
+    "q_hierarchy_longest",
+    tags=("graph", "J11", "W1"),
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT 'R_' || n_regionkey AS src, 'N_' || n_nationkey AS dst FROM nation
+  UNION ALL
+  SELECT 'N_' || c_nationkey, 'C_' || c_custkey FROM customer
+  UNION ALL
+  SELECT 'C_' || o_custkey, 'O_' || o_orderkey FROM orders
+),
+paths AS (
+  SELECT 'R_' || r_regionkey AS start, 'R_' || r_regionkey AS node,
+         0 AS depth, 'R_' || r_regionkey AS path
+  FROM region
+  UNION ALL
+  SELECT p.start, e.dst, p.depth + 1, p.path || '/' || e.dst
+  FROM paths p JOIN edges e ON e.src = p.node
+  WHERE p.depth < 64
+)
+SELECT start, depth, path
+FROM (
+  SELECT start, depth, path,
+         row_number() OVER (PARTITION BY start ORDER BY depth DESC, path) AS rn
+  FROM paths
+) t
+WHERE rn = 1
+ORDER BY start
+""",
+)
+def q_hierarchy_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 + W1: variable-depth (<=64) OUTBOUND hierarchy walk, longest
+    path per start vertex, lexicographic tie-break -- the Spark frontier
+    loop mirroring the AQL ``FOR v,e,p1 IN 1..64 OUTBOUND ... SORT
+    LENGTH(p1.edges) DESC LIMIT 1`` subquery
+    (``AqlQuerySetBuilder.java:88-117``). Oracle: recursive CTE.
+    """
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    r = read_table(spark, sf_dir, "region")
+
+    def edge(src_coll, src_key, dst_coll, dst_key, df):
+        return df.select(
+            F.lit(src_coll).alias("src_coll"),
+            F.col(src_key).cast("string").alias("src_key"),
+            F.lit(dst_coll).alias("dst_coll"),
+            F.col(dst_key).cast("string").alias("dst_key"),
+            F.lit("contains").alias("label"),
+        )
+
+    edges = (
+        edge("R", "n_regionkey", "N", "n_nationkey", n)
+        .union(edge("N", "c_nationkey", "C", "c_custkey", c))
+        .union(edge("C", "o_custkey", "O", "o_orderkey", o))
+    )
+    start = r.select(
+        F.lit("R").alias("coll"), F.col("r_regionkey").cast("string").alias("key")
+    )
+    return hierarchy_longest_path(edges, start, label="contains", max_depth=64).orderBy(
+        "start"
+    )

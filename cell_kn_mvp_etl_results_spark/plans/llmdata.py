@@ -1,0 +1,363 @@
+"""Training-data-pipeline plans: dedup (exact / Jaccard / MinHash-LSH /
+SimHash), embedding similarity search, text analysis, multimodal
+metadata. These extend the reference's surface per the build brief; each
+has a DuckDB oracle generated from the SAME constants as the Spark
+builder, so the two cannot drift.
+
+Corpus: the ``documents`` (doc_id, text, lang, source, n_chars) and
+``embeddings`` (vec_id, embedding float[64], label) tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import textanalysis as ta
+from ..sources.readers import read_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup / fingerprinting.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    tags=("dedup",),
+    oracle=r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keeper,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content md5: one shuffle on the
+    fingerprint; min-id representative per group."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        dd.exact_dedup_groups(d, "doc_id", "text")
+        .select("fingerprint", "keeper", "n_docs")
+        .orderBy("fingerprint")
+    )
+
+
+# Shared SQL fragment: distinct word-3-shingles per document.
+# (generate_series needs constant bounds in DuckDB 1.0, so we over-
+# generate to 2000 and filter by the real token count.)
+_SHINGLES_SQL = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+)
+"""
+
+
+@query(
+    "q_dedup_jaccard",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       sa.sz + sb.sz - inter AS union_sz,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+ORDER BY id_a, id_b
+""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index
+    self-join (no cross join). Threshold 0.05 on this synthetic corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _minhash_oracle(num_perm: int = 32, bands: int = 8) -> str:
+    perms_values = ",\n    ".join(f"({i}, {a}, {b})" for i, a, b in dd.minhash_perms(num_perm))
+    rows = num_perm // bands
+    p = dd.MINHASH_P
+    return f"""
+WITH {_SHINGLES_SQL},
+perms(i, a, b) AS (VALUES
+    {perms_values}
+),
+hashed AS (
+  SELECT sh.doc_id, perms.i,
+         (perms.a * (('0x' || substr(md5(sh.shingle), 1, 12))::BIGINT % {p})
+          + perms.b) % {p} AS h
+  FROM sh, perms
+),
+sig AS (SELECT doc_id, i, min(h) AS h FROM hashed GROUP BY doc_id, i),
+bucketed AS (
+  SELECT doc_id, i // {rows} AS band,
+         md5(string_agg(CAST(h AS VARCHAR), '-' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bucketed a
+  JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / {float(num_perm)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b AND sb.i = sa.i
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_minhash_lsh", tags=("dedup",), headline=True, oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands x 4 rows) candidate pairs with
+    estimated Jaccard. Integer permutation hashing over portable
+    md5-derived shingle ids -- engine-independent results. Candidate
+    generation shuffles on (band, bucket) only.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=32, bands=8)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    tags=("dedup",),
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> j) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, generate_series(0, 31) g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes
+GROUP BY doc_id
+ORDER BY id
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5-derived token hashes.
+    Map-side linear work; one (id, bit) shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.simhash(d, "doc_id", "text", bits=32).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_topk",
+    headline=True,
+    tags=("similarity",),
+    oracle="""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0))
+           AS v
+  FROM embeddings WHERE vec_id < 10
+),
+cv AS (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0))
+           AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT qv.vec_id AS q_id, cv.vec_id AS cand_id,
+         list_dot_product(qv.v, cv.v)
+           / sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+           AS score
+  FROM qv, cv
+  WHERE qv.vec_id != cv.vec_id
+)
+SELECT q_id, cand_id, rank, score
+FROM (
+  SELECT q_id, cand_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries.
+    Components are quantized to 1e-4 so dot products are exact integers
+    (order-independent) and the score is a fixed IEEE shape -- bit-equal
+    across engines. Query side broadcast; corpus scanned once.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(e, q, "vec_id", "embedding", k=5, quantize=4).orderBy(
+        "q_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_quality",
+    tags=("text",),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+)
+SELECT doc_id AS id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_stop,
+       sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END)
+         / count(*) AS stop_ratio,
+       sum(len(tok)) / count(*) AS avg_token_len
+FROM toks
+GROUP BY doc_id
+ORDER BY id
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features per document (token count, stopword ratio, mean
+    token length). Array expressions only -- no explode, no shuffle
+    except the final sort."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.quality_features(d, "doc_id", "text").orderBy("id")
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(ta.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS[lang])
+        score_cols.append(
+            f"sum(CASE WHEN tok IN ({markers}) THEN 1 ELSE 0 END) AS s_{lang}"
+        )
+    langs = sorted(ta.LANG_MARKERS)
+    pred_cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        pred_cases.append(f"WHEN {conds} THEN '{lang}'")
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, {", ".join(score_cols)}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id AS id,
+       CASE {" ".join(pred_cases)} END AS pred_lang,
+       CAST(greatest({greatest}) AS INTEGER) AS score
+FROM scores
+ORDER BY id
+"""
+
+
+@query("q_lang_id", tags=("text",), oracle=_langid_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: argmax marker-hit count, alphabetical
+    tie-break (CASE order fixed in builder and oracle)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.lang_id(d, "doc_id", "text").orderBy("id")
+
+
+@query(
+    "q_token_stats_by_source",
+    tags=("text",),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct_tokens
+FROM toks
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per source (token counting surface)."""
+    from ..functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata (binary-column plumbing; decode is stubbed --
+# see operators/multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       substr(md5(text), 1, 16) AS content_hash
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction: byte length + content hash of
+    the payload column (here text cast to binary; for real image/audio
+    payloads the same plan applies unchanged -- see
+    operators/multimodal.py for the decode/feature plumbing).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.col("text").cast("binary")).alias("n_bytes"),
+        F.substring(F.md5("text"), 1, 16).alias("content_hash"),
+    ).orderBy("doc_id")

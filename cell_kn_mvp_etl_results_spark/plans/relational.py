@@ -1,0 +1,734 @@
+"""Relational plans covering SURVEY.md section 2's filter / join / agg /
+window / sort / set-op / scalar operator inventory (F1-F10, J1-J9, A1-A10,
+W1, O1-O4, U1-U3, C1-C14), re-expressed over the driver's synthetic star
+schema. Each query cites the reference operator(s) it exercises.
+
+Scale notes live on each query: what shuffles, what broadcasts, what
+pushes down. All builders are pure DataFrame API -- Catalyst handles
+join ordering, predicate pushdown, and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.money import avg_money, cents, money, qty_long
+from ..functions.text import char_ngrams, hyphenate, stable_uuid, tokens
+from ..sources.readers import read_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregations (A5/A7-style) -- TPC-H Q1-shaped pricing summary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pricing_summary",
+    headline=True,
+    tags=("agg", "A5"),
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+    AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+    / 10000.0 AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+    / 1000000.0 AS sum_charge,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    / count(*) / 100.0 AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (reference agg family A5/A7;
+    TPC-H Q1 shape). Single scan -> partial agg -> 6-group final agg:
+    the map-side combine makes the shuffle a few hundred bytes per
+    partition regardless of input scale. Money math in integer cents
+    (exact + associative) -- see functions.money.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    disc_bp = F.lit(100) - cents("l_discount")  # discount in basis points
+    tax_bp = F.lit(100) + cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_long("l_quantity")).alias("sum_qty"),
+            money(F.sum(price_c)).alias("sum_base_price"),
+            (F.sum(price_c * disc_bp) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(price_c * disc_bp * tax_bp) / F.lit(1000000.0)).alias("sum_charge"),
+            avg_money(F.sum(price_c), F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters + projection (F1, F3, F8).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_min_size_filter",
+    tags=("filter", "F1", "F8"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_quantity >= 10
+  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q_min_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-size threshold filter + column projection (F1 min-cluster-size
+    ``clusterSize >= 10``, ``LoaderUtilities.py:39``; F8 projection).
+    Both predicate and 3-column pruning push down into the parquet scan
+    (verified via .explain: PushedFilters + ReadSchema).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 10)
+            & (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", qty_long("l_quantity").alias("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_compound_predicate",
+    tags=("filter", "F3", "F4"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 200000
+  AND o_orderstatus = 'O'
+  AND o_orderpriority LIKE '1%'
+ORDER BY o_orderkey
+""",
+)
+def q_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean predicate (F3 score thresholds like
+    ``score >= 0.5 AND isApproved AND NOT hasBeenWithdrawn``,
+    ``ExternalApiResultsTupleWriter.py:344-349``; F4 prefix predicate).
+    Raw parquet doubles are emitted unchanged -- bit-identical across
+    engines, no conversion needed.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_totalprice") >= 200000)
+            & (F.col("o_orderstatus") == "O")
+            & F.col("o_orderpriority").startswith("1")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J2 equi, J3 broadcast lookup first-of-many, F5/J12 anti, semi).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_equi_join",
+    tags=("join", "J1", "J2"),
+    oracle="""
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY o.o_orderkey
+""",
+)
+def q_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact->dim (J1 silhouette merge
+    ``NSForestResultsTupleWriter.py:345-358``; J2 author-to-CL merge).
+    customer is a dimension: Catalyst broadcasts it (no shuffle of the
+    orders fact); the segment filter is pushed below the join into the
+    dim scan.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_anti_join",
+    tags=("join", "F5", "J12"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (F5 deprecated-term anti-filter
+    ``AuthorToClResultsTupleWriter.py:100-104``; J12 existence check
+    before insert). Broadcast-able when the exclusion list is small; at
+    scale the anti-join shuffles on the key like any equi-join.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_semi_join",
+    tags=("join", "J12"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 250000
+)
+ORDER BY c_custkey
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J12 ``collection.has(doc)`` existence semantics,
+    ``OntologyParserLoader.py:1069-1074``)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 250000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_lookup_first_of_many",
+    tags=("join", "J3", "W1"),
+    oracle="""
+SELECT o_orderkey, p_name AS first_part_name
+FROM (
+  SELECT l_orderkey AS o_orderkey, l_partkey,
+         row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+         ) AS rn
+  FROM lineitem
+) f
+JOIN part ON f.l_partkey = p_partkey
+WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def q_lookup_first_of_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup with first-of-many semantics (J3 gene-id lookups return a
+    list and the caller takes the first match,
+    ``LoaderUtilities.py:338-363``, ``:716-719``). Spark shape:
+    row_number window to pick the deterministic first, then a broadcast
+    join against the dimension. The window shuffles on l_orderkey once;
+    the part join is broadcast (no second shuffle).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # the pick needs a total order to be engine-deterministic.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    first = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
+    )
+    return (
+        first.join(F.broadcast(p), first.l_partkey == p.p_partkey)
+        .select("o_orderkey", F.col("p_name").alias("first_part_name"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_local_supplier_volume",
+    headline=True,
+    tags=("join", "agg", "J10"),
+    oracle="""
+SELECT
+  n.n_name AS nation,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+    / 10000.0 AS revenue,
+  count(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join chain + agg (TPC-H Q5 shape; exercises the J10
+    k-hop typed-path pattern relationally: customer->orders->lineitem->
+    supplier with a same-nation co-location predicate). nation/region/
+    supplier/customer are broadcast dims, so the only shuffles are the
+    orders<->lineitem join (on the key both sides can be bucketed by at
+    scale) and the tiny final agg.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    disc_bp = F.lit(100) - cents("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(cents("l_extendedprice") * disc_bp) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "q_shipping_priority",
+    headline=True,
+    tags=("join", "agg", "topk", "O1"),
+    oracle="""
+SELECT
+  l.l_orderkey,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+    / 10000.0 AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k (TPC-H Q3 shape; O1/O3 ordering+limit family).
+    Dates are emitted as formatted strings so both engines hash the same
+    value regardless of timestamp carrier type. The limit is pushed into
+    a TakeOrderedAndProject -- no global sort materialization.
+    """
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    disc_bp = F.lit(100) - cents("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(cents("l_extendedprice") * disc_bp) / F.lit(10000.0)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1 top-1-per-group; sessionization).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_top1_per_group",
+    tags=("window", "W1"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group (W1: the reference's only window --
+    ``SORT LENGTH(p1.edges) DESC LIMIT 1`` per start vertex,
+    ``AqlQuerySetBuilder.java:95-102``). row_number over a
+    deterministically tie-broken ordering.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_sessionize",
+    tags=("window", "events"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table (30-minute
+    inactivity gap). The batch analog of the streaming session-window
+    operator in streaming/. One shuffle on user_id serves both the lag
+    window and the final per-user agg (same partitioning reused).
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(micros).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (micros - prev_us > 1800 * 1000 * 1000), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_hourly_rollup",
+    tags=("window", "events", "agg"),
+    oracle="""
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming windowed agg
+    in streaming/windows.py). date_trunc keeps the bucket computation
+    JVM-side; exact cents for the value sum.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value"))).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "q_json_props",
+    tags=("scalar", "C9", "events"),
+    oracle="""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested key-path extraction (C9 ``get_value_or_none`` over nested
+    API JSON, ``LoaderUtilities.py:945-989``) via get_json_object --
+    JVM-side JSON path, no UDF.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value"))).alias("sum_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1 union, U2 except).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union_distinct",
+    tags=("setop", "U1"),
+    oracle="""
+SELECT c_name AS name FROM customer WHERE c_acctbal >= 9000
+UNION
+SELECT s_name FROM supplier
+ORDER BY name
+""",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union (U1 ``pd.concat`` + set unions,
+    ``CellKnSchemaUtilities.py:59``)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000)
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_name").alias("name"))
+        .union(s.select("s_name"))
+        .distinct()
+        .orderBy("name")
+    )
+
+
+@query(
+    "q_except",
+    tags=("setop", "U2"),
+    oracle="""
+SELECT DISTINCT n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+EXCEPT
+SELECT DISTINCT n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+ORDER BY n_name
+""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (U2 missing-subject/object consistency checks,
+    ``CellKnSchemaUtilities.py:69-77``)."""
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    cust_nations = n.join(c, c.c_nationkey == n.n_nationkey).select("n_name").distinct()
+    supp_nations = n.join(s, s.s_nationkey == n.n_nationkey).select("n_name").distinct()
+    return cust_nations.exceptAll(supp_nations).distinct().orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression queries (C1, C2, C3, A1, T6-gram index).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hyphenate",
+    tags=("scalar", "C1", "C13"),
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name, '[ _,/]+', '-', 'g') AS slug,
+       upper(substr(p_brand, 1, 1)) || lower(substr(p_brand, 2)) AS brand_cap
+FROM part
+ORDER BY p_partkey
+""",
+)
+def q_hyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String normalization (C1 hyphenate ``LoaderUtilities.py:263-284``;
+    C13 capitalize). Pure codegen expressions."""
+    p = read_table(spark, sf_dir, "part")
+    brand = F.col("p_brand")
+    return p.select(
+        "p_partkey",
+        hyphenate("p_name").alias("slug"),
+        F.concat(
+            F.upper(F.substring(brand, 1, 1)), F.lower(F.expr("substring(p_brand, 2)"))
+        ).alias("brand_cap"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q_stable_uuid",
+    tags=("scalar", "C2"),
+    oracle="""
+SELECT c_custkey, substr(sha256('cust' || c_name), 1, 12) AS uuid
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q_stable_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate id (C2): the reference's random 12-char
+    uuid (``LoaderUtilities.py:228-239``) replaced by a stable
+    content-hash (SURVEY.md section 7 determinism note).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", stable_uuid(F.lit("cust"), "c_name").alias("uuid")
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_distinct_tokens",
+    tags=("agg", "A1", "explode"),
+    oracle="""
+SELECT tok, count(*) AS n_parts
+FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part) t
+GROUP BY tok
+ORDER BY tok
+""",
+)
+def q_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode -> distinct/count (A1 distinct gene names from exploded
+    marker lists, ``LoaderUtilities.py:661-684``)."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("tok")
+    )
+
+
+@query(
+    "q_ngram_index",
+    tags=("text", "T6"),
+    oracle="""
+SELECT gram, count(DISTINCT p_partkey) AS n_parts
+FROM (
+  SELECT p_partkey, substr(lower(p_name), i, 3) AS gram
+  FROM part, generate_series(1, 500) g(i)
+  WHERE i <= len(p_name) - 2
+) t
+GROUP BY gram
+ORDER BY gram
+""",
+)
+def q_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram inverted index (T6: the ArangoSearch ngram(3,4)
+    view analog, ``ArangoDbUtilities.py:222-250``). Grams are generated
+    with sequence/transform Catalyst expressions (no UDF); the index
+    build is one explode + one agg -- linear in text size, shuffle on
+    gram (bounded key space).
+    """
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.explode(char_ngrams(F.lower(F.col("p_name")), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count_distinct("p_partkey").alias("n_parts"))
+        .orderBy("gram")
+    )
+
+
+@query(
+    "q_acctbal_stats",
+    tags=("agg", "A5"),
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_acctbal,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         / count(*) / 100.0 AS avg_acctbal,
+       min(c_acctbal) AS min_acctbal,
+       max(c_acctbal) AS max_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment stats (A5 histogram family). min/max of raw doubles
+    are exact picks (no arithmetic), so they hash identically."""
+    c = read_table(spark, sf_dir, "customer")
+    bal_c = cents("c_acctbal")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(F.sum(bal_c)).alias("sum_acctbal"),
+            avg_money(F.sum(bal_c), F.count(F.lit(1))).alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_collect_sorted_set",
+    tags=("agg", "A7"),
+    oracle="""
+SELECT o_custkey,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def q_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-set with deterministic ordering (A7 attribute aggregation:
+    duplicate predicates promote scalar -> deduped list,
+    ``OntologyParserLoader.py:913-921``). sort_array(collect_set(...))
+    makes the list value reproducible across partitionings.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .orderBy("o_custkey")
+    )

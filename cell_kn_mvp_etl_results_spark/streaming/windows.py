@@ -1,0 +1,51 @@
+"""Structured Streaming surfaces.
+
+The reference is batch-only (SURVEY.md section 2.11); its restartable
+fetch-checkpoint loops are the natural streaming seam. Here we provide
+the standard streaming shapes for the events table: watermarked tumbling
+windows and session windows -- the streaming twins of the batch
+``q_hourly_rollup`` / ``q_sessionize`` plans, sharing semantics so batch
+backfill and live streaming agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    Works on both a streaming DataFrame (readStream) and a static one --
+    same plan, which is the point: batch backfill and the live stream
+    produce identical windows. Late rows beyond the watermark are
+    dropped (documented divergence from batch, which sees everything).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(F.window("ts", window_len).alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per user via the built-in
+    ``session_window`` -- the streaming-native form of q_sessionize.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.session_window("ts", gap).alias("session"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))

@@ -1,0 +1,116 @@
+"""Unit tests for the property-graph operators (tuples -> graph -> k-hop
+-> hierarchy walk), mirroring the reference's OntologyParserLoader tests
+(vertex/edge doc construction, list promotion, traversal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators.graph import (
+    graph_from_tuples,
+    hierarchy_longest_path,
+    k_hop,
+    undirected,
+)
+
+
+def tuples_df(spark):
+    rows = [
+        # edge triples (URI-ish object)
+        ("CL_1", "subClassOf", "CL_2", None),
+        ("CL_2", "subClassOf", "CL_3", None),
+        ("CL_1", "part_of", "UBERON_9", None),
+        # literal attribute triples -- duplicate predicate promotes to list
+        ("CL_1", "label", "macrophage", None),
+        ("CL_1", "synonym", "histiocyte", None),
+        ("CL_1", "synonym", "resident macrophage", None),
+        # quad: edge annotation
+        ("CL_1", "source", "CL_2", "PMID:1234"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string, lit string")
+
+
+def test_graph_assembly_vertices_edges(spark):
+    g = graph_from_tuples(tuples_df(spark))
+    verts = {(r.coll, r.key) for r in g["vertices"].collect()}
+    assert ("CL", "1") in verts and ("UBERON", "9") in verts and ("CL", "3") in verts
+    edges = {
+        (r.src_coll, r.src_key, r.dst_coll, r.dst_key, r.label)
+        for r in g["edges"].collect()
+    }
+    assert ("CL", "1", "CL", "2", "subClassOf") in edges
+    assert ("CL", "1", "UBERON", "9", "part_of") in edges
+    assert len(edges) == 3
+
+
+def test_attr_list_promotion(spark):
+    # Python reference semantics: duplicate predicate -> deduped list
+    # (OntologyParserLoader.py:913-921).
+    g = graph_from_tuples(tuples_df(spark))
+    attrs = {
+        (r.coll, r.key, r.attr): r.values for r in g["vertex_attrs"].collect()
+    }
+    assert attrs[("CL", "1", "label")] == ["macrophage"]
+    assert attrs[("CL", "1", "synonym")] == ["histiocyte", "resident macrophage"]
+
+
+def test_edge_attrs_from_quads(spark):
+    g = graph_from_tuples(tuples_df(spark))
+    ea = g["edge_attrs"].collect()
+    assert len(ea) == 1
+    assert ea[0].attr == "source" and ea[0].values == ["PMID:1234"]
+
+
+def test_k_hop_typed_path(spark):
+    g = graph_from_tuples(tuples_df(spark))
+    start = spark.createDataFrame([("CL", "1")], "coll string, key string")
+    paths = k_hop(g["edges"], start, ["CL", "CL"]).collect()
+    assert len(paths) == 1
+    assert paths[0].path == ["CL_1", "CL_2", "CL_3"]
+    assert paths[0].labels == ["subClassOf", "subClassOf"]
+
+
+def test_k_hop_any_direction(spark):
+    g = graph_from_tuples(tuples_df(spark))
+    # Inbound hop: from CL_2 back to CL_1 only reachable ANY-direction.
+    start = spark.createDataFrame([("CL", "2")], "coll string, key string")
+    none_out = k_hop(g["edges"], start, ["UBERON"]).collect()
+    assert none_out == []
+    via_any = k_hop(g["edges"], start, ["CL", "UBERON"], any_direction=True).collect()
+    assert [p.path for p in via_any] == [["CL_2", "CL_1", "UBERON_9"]]
+
+
+def test_undirected_doubles_edges(spark):
+    g = graph_from_tuples(tuples_df(spark))
+    assert undirected(g["edges"]).count() == 2 * g["edges"].count()
+
+
+def test_hierarchy_longest_path_label_filter_and_tiebreak(spark):
+    rows = [
+        ("A", "1", "A", "2", "isa"),
+        ("A", "2", "A", "3", "isa"),
+        ("A", "2", "A", "4", "isa"),  # tie at depth 2: A_3 vs A_4 -> min path
+        ("A", "1", "A", "9", "other"),  # wrong label: pruned pre-loop
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_coll string, src_key string, dst_coll string, dst_key string, label string"
+    )
+    start = spark.createDataFrame([("A", "1")], "coll string, key string")
+    out = hierarchy_longest_path(edges, start, label="isa", max_depth=64).collect()
+    assert len(out) == 1
+    assert out[0].depth == 2
+    assert out[0].path == "A_1/A_2/A_3"
+
+
+def test_hierarchy_cycle_safety(spark):
+    rows = [
+        ("A", "1", "A", "2", "isa"),
+        ("A", "2", "A", "1", "isa"),  # cycle back
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_coll string, src_key string, dst_coll string, dst_key string, label string"
+    )
+    start = spark.createDataFrame([("A", "1")], "coll string, key string")
+    out = hierarchy_longest_path(edges, start, label="isa", max_depth=64).collect()
+    # Path must stop after visiting A_2 (cannot revisit A_1).
+    assert out[0].depth == 1 and out[0].path == "A_1/A_2"

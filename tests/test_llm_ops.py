@@ -1,0 +1,105 @@
+"""Unit tests for dedup / similarity / text-analysis operators on tiny
+hand-built corpora with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators import dedup as dd
+from cell_kn_mvp_etl_results_spark.operators import similarity as sim
+from cell_kn_mvp_etl_results_spark.operators import textanalysis as ta
+
+
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "THE  quick brown fox jumps over the lazy dog"),  # exact dup of 1 (norm)
+        (4, "completely different text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    groups = dd.exact_dedup_groups(docs(spark), "doc_id", "text").collect()
+    by_n = sorted((g.n_docs, g.keeper) for g in groups)
+    assert by_n == [(1, 2), (1, 4), (2, 1)]  # docs 1+3 collapse, keeper=1
+
+
+def test_jaccard_pairs(spark):
+    out = dd.jaccard_pairs(docs(spark), "doc_id", "text", n=3, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = dd.minhash_lsh_pairs(docs(spark), "doc_id", "text").collect()
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in out}
+    assert pairs[(1, 3)] == 1.0  # identical shingle sets -> identical sigs
+    assert (1, 4) not in pairs  # unrelated docs shouldn't collide
+
+
+def test_simhash_close_for_near_dups(spark):
+    hashes = {r.id: r.simhash for r in dd.simhash(docs(spark), "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(hashes[1], hashes[3]) == 0
+    assert ham(hashes[1], hashes[2]) < ham(hashes[1], hashes[4])
+
+
+def test_simhash_pairs(spark):
+    hashes = dd.simhash(docs(spark), "doc_id", "text")
+    out = dd.simhash_pairs(hashes, max_hamming=3).collect()
+    assert any((r.id_a, r.id_b) == (1, 3) for r in out)
+
+
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(spark):
+    v = vectors(spark)
+    out = sim.cosine_topk(v, v.filter(F.col("vec_id") == 0), k=3, quantize=4).collect()
+    ranked = [(r.rank, r.cand_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 1), (2, 2), (3, 3)]
+    best = [r for r in out if r.rank == 1][0]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(best.score - expected) < 1e-3
+
+
+def test_lsh_bucket_topk_self_consistent(spark):
+    v = vectors(spark)
+    out = sim.lsh_bucket_topk(
+        v, v.filter(F.col("vec_id") == 0), dim=3, k=3, n_planes=2
+    ).collect()
+    # ANN: recall may drop but anything returned must be correctly ranked.
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_quality_features(spark):
+    d = spark.createDataFrame([(1, "the cat and the hat")], "doc_id long, text string")
+    r = ta.quality_features(d, "doc_id", "text").collect()[0]
+    assert r.n_tokens == 5
+    assert r.n_stop == 3  # the, and, the
+    assert abs(r.stop_ratio - 0.6) < 1e-12
+    assert abs(r.avg_token_len - 15 / 5) < 1e-12
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    d = spark.createDataFrame(
+        [(1, "the a of"), (2, "spark query scan"), (3, "xyzzy")],
+        "doc_id long, text string",
+    )
+    out = {r.id: (r.pred_lang, r.score) for r in ta.lang_id(d, "doc_id", "text").collect()}
+    assert out[1] == ("en", 3)
+    assert out[2] == ("zh", 3)
+    assert out[3] == ("de", 0)  # all-zero tie -> alphabetically first

@@ -1,0 +1,103 @@
+"""Tests for multimodal plumbing (mapInPandas contract, stubbed decode)
+and Structured Streaming surfaces."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+from cell_kn_mvp_etl_results_spark.streaming import (
+    incremental_new_keys,
+    sessionized_stream,
+    windowed_counts,
+)
+
+
+def media(spark):
+    rows = [
+        (1, "image", bytes([10, 20, 30, 40]), "image/png"),
+        (2, "image", bytes([1] * 100), "image/png"),
+        (3, "audio", b"\x00\x01", "audio/wav"),
+        (4, "video", bytes(range(256)) * 20, "video/mp4"),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"abc")
+
+
+def test_image_features_plumbing(spark):
+    out = mm.image_features(media(spark), fake=True).collect()
+    by_id = {r.media_id: r for r in out}
+    assert set(by_id) == {1, 2}  # only image rows
+    assert by_id[1].n_bytes == 4
+    assert by_id[1].width == 16 + 10 and by_id[1].height == 16 + 40
+    # Deterministic across runs.
+    again = {r.media_id: r for r in mm.image_features(media(spark), fake=True).collect()}
+    assert {k: tuple(v) for k, v in by_id.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_media_metadata_jvm_only(spark):
+    out = {r.media_id: r for r in mm.media_metadata(media(spark)).collect()}
+    assert out[4].n_bytes == 256 * 20
+    assert len(out[1].content_hash) == 32
+
+
+def test_frame_sample_plan(spark):
+    out = mm.frame_sample_plan(media(spark), every_n=2).collect()
+    assert all(r.media_id == 4 for r in out)
+    idxs = sorted(r.frame_idx for r in out)
+    assert idxs[0] == 0 and idxs == sorted(set(idxs))
+
+
+def test_incremental_anti_join(spark):
+    req = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    cached = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "id long")
+    todo = sorted(r.id for r in incremental_new_keys(req, cached, "id").collect())
+    assert todo == [1, 3, 5, 7, 9]
+    first_run = incremental_new_keys(req, None, "id").count()
+    assert first_run == 10
+
+
+def test_streaming_windowed_counts(spark, sf_dir):
+    """End-to-end micro-batch: file-source stream over the events parquet,
+    watermarked tumbling windows, memory sink."""
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_counts(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM win_counts").collect()[0].n
+    batch = windowed_counts(static).count()
+    assert got == batch > 0
+
+
+def test_streaming_session_window_plan(spark, sf_dir):
+    """session_window agg builds and runs in batch mode (same plan works
+    as a stream; watermark branch exercised via isStreaming flag)."""
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    static = read_table(spark, sf_dir, "events")
+    out = sessionized_stream(static)
+    assert out.count() > 0

@@ -1,0 +1,82 @@
+"""Self-check replicating the driver's correctness gate: run every
+registered query on Spark AND its DuckDB oracle, compare row count,
+sorted-column schema, and cell values exactly.
+
+This is intentionally stricter than 'close enough': the engine's
+determinism contract (plans/registry.py) promises bit-identical values,
+so any drift is a bug in a plan, not tolerance noise.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+
+from conftest import SF_DIR  # noqa: F401  (exercised via fixtures)
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    """Sort columns by name, rows by full tuple; make values hashable."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def fix(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(fix(x) for x in v)
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, __import__("decimal").Decimal):
+            return int(v) if v == int(v) else float(v)
+        return v
+
+    out = [tuple(fix(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if spec.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+
+    con = _duck(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    s_cols, s_rows = _normalize(spark_rows, spark_cols)
+    d_cols, d_rows = _normalize(duck_rows, duck_cols)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"

@@ -73,8 +73,12 @@ def parse_list_literal(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization -> array<string> (drops empty tokens)."""
-    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != "")
+    """Whitespace tokenization -> array<string> (drops empty tokens).
+
+    array_remove instead of a higher-order filter(lambda): the lambda
+    path falls out of whole-stage codegen and profiled ~6x slower.
+    """
+    return F.array_remove(F.split(F.trim(_c(col)), r"\s+"), "")
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

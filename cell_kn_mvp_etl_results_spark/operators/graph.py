@@ -127,53 +127,57 @@ def k_hop(
     start: DataFrame,
     hop_colls: list[str],
     any_direction: bool = False,
+    carry_path: bool = True,
 ) -> DataFrame:
     """J10: exact-length typed-path traversal as a chain of equi-joins.
 
     ``start`` has columns (coll, key); ``hop_colls[k]`` constrains the
     collection of the vertex reached at hop k+1 (the AQL
     ``IS_SAME_COLLECTION(@nodeK, p.vertices[k])`` filter,
-    ``AqlQuerySetBuilder.java:55-64``). Returns one row per path with a
-    ``path`` array of ``coll_key`` strings and per-hop labels.
+    ``AqlQuerySetBuilder.java:55-64``). Returns one row per path with
+    (v0_coll, v0_key, node_coll, node_key) for the endpoints and -- when
+    ``carry_path`` -- a ``path`` array of ``coll_key`` strings plus
+    per-hop ``labels``.
 
-    Each hop's dst_coll filter is applied *before* the join (predicate
-    pushdown / partition pruning on a (src_coll,dst_coll)-partitioned
-    edges table), so fan-out never touches edges outside the hop's
-    collection.
+    Scale notes: each hop's dst_coll filter is applied *before* the join
+    (predicate pushdown / partition pruning on a (src_coll,dst_coll)-
+    partitioned edges table); joins are on narrow (coll, key) column
+    pairs, not synthesized strings; ``carry_path=False`` drops the
+    per-row path arrays so wide traversals shuffle only endpoint keys
+    (counting / reachability queries don't pay for path assembly).
     """
     e = undirected(edges) if any_direction else edges
     cur = start.select(
         F.col("coll").alias("v0_coll"),
         F.col("key").alias("v0_key"),
-        F.array(F.concat_ws("_", "coll", "key")).alias("path"),
-        F.array().cast("array<string>").alias("labels"),
+        F.col("coll").alias("node_coll"),
+        F.col("key").alias("node_key"),
     )
-    for k, coll in enumerate(hop_colls):
-        hop = (
-            e.filter(F.col("dst_coll") == coll)
-            .select(
-                F.col("src_coll").alias("h_src_coll"),
-                F.col("src_key").alias("h_src_key"),
-                F.col("dst_coll").alias("h_dst_coll"),
-                F.col("dst_key").alias("h_dst_key"),
-                F.col("label").alias("h_label"),
-            )
+    if carry_path:
+        cur = cur.withColumn(
+            "path", F.array(F.concat_ws("_", "node_coll", "node_key"))
+        ).withColumn("labels", F.array().cast("array<string>"))
+    for coll in hop_colls:
+        hop = e.filter(F.col("dst_coll") == coll).select(
+            F.col("src_coll").alias("node_coll"),
+            F.col("src_key").alias("node_key"),
+            F.col("dst_coll").alias("h_dst_coll"),
+            F.col("dst_key").alias("h_dst_key"),
+            F.col("label").alias("h_label"),
         )
-        prev = F.element_at(F.col("path"), -1)
-        cur = (
-            cur.join(
-                hop,
-                prev == F.concat_ws("_", F.col("h_src_coll"), F.col("h_src_key")),
-            )
-            .withColumn(
+        cur = cur.join(hop, ["node_coll", "node_key"])
+        if carry_path:
+            cur = cur.withColumn(
                 "path",
                 F.concat(
                     F.col("path"),
                     F.array(F.concat_ws("_", "h_dst_coll", "h_dst_key")),
                 ),
-            )
-            .withColumn("labels", F.concat(F.col("labels"), F.array(F.col("h_label"))))
-            .drop("h_src_coll", "h_src_key", "h_dst_coll", "h_dst_key", "h_label")
+            ).withColumn("labels", F.concat(F.col("labels"), F.array("h_label")))
+        cur = (
+            cur.drop("node_coll", "node_key", "h_label")
+            .withColumnRenamed("h_dst_coll", "node_coll")
+            .withColumnRenamed("h_dst_key", "node_key")
         )
     return cur
 

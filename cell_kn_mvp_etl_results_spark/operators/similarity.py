@@ -54,13 +54,15 @@ def cosine_topk(
     scale, swap the window for a per-partition top-k + merge
     (reduce-side k*|queries| rows), or use lsh_bucket_topk below.
     """
+    # Norms are precomputed per side (projection barrier via select), so
+    # the per-pair work is ONE dot product -- not three.
     q = queries.select(
         F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), quantize).alias("q_vec")
-    )
+    ).select("q_id", "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("q_norm"))
     c = emb.select(
         F.col(id_col).alias("cand_id"),
         _quantized(F.col(vec_col), quantize).alias("c_vec"),
-    )
+    ).select("cand_id", "c_vec", dot(F.col("c_vec"), F.col("c_vec")).alias("c_norm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("q_id"))
@@ -69,10 +71,7 @@ def cosine_topk(
             "cand_id",
             (
                 dot(F.col("q_vec"), F.col("c_vec"))
-                / F.sqrt(
-                    dot(F.col("q_vec"), F.col("q_vec"))
-                    * dot(F.col("c_vec"), F.col("c_vec"))
-                )
+                / F.sqrt(F.col("q_norm") * F.col("c_norm"))
             ).alias("score"),
         )
     )

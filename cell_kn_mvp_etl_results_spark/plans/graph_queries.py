@@ -169,14 +169,24 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     c = read_table(spark, sf_dir, "customer")
 
+    # Keys stay as longs through dedup + joins (narrow shuffles); they
+    # are stringified only in the final, small projection. Dedup runs on
+    # the two key columns BEFORE the constant coll/label columns are
+    # attached, so the shuffle carries exactly 16 bytes per edge.
     def edge(src_coll, src_key, dst_coll, dst_key, label, df):
-        return df.select(
-            F.lit(src_coll).alias("src_coll"),
-            F.col(src_key).cast("string").alias("src_key"),
-            F.lit(dst_coll).alias("dst_coll"),
-            F.col(dst_key).cast("string").alias("dst_key"),
-            F.lit(label).alias("label"),
-        ).dropDuplicates()
+        return (
+            df.select(
+                F.col(src_key).alias("src_key"), F.col(dst_key).alias("dst_key")
+            )
+            .dropDuplicates()
+            .select(
+                F.lit(src_coll).alias("src_coll"),
+                "src_key",
+                F.lit(dst_coll).alias("dst_coll"),
+                "dst_key",
+                F.lit(label).alias("label"),
+            )
+        )
 
     edges = (
         edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
@@ -184,18 +194,27 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li))
     )
     start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
-        F.lit("C").alias("coll"), F.col("c_custkey").cast("string").alias("key")
+        F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
     )
-    paths = k_hop(edges, start, ["O", "P", "S"])
+    paths = k_hop(edges, start, ["O", "P", "S"], carry_path=False)
+    # Two-level re-aggregation instead of count + count_distinct in one
+    # agg: the single-agg form makes Spark Expand every path row twice;
+    # pre-grouping on (start, terminal) lets the map-side partial agg
+    # compress millions of path rows down to the distinct pair count
+    # before anything shuffles.
+    per_terminal = paths.groupBy("v0_key", "node_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     return (
-        paths.select(
-            F.concat_ws("_", "v0_coll", "v0_key").alias("start"),
-            F.element_at("path", -1).alias("terminal"),
-        )
-        .groupBy("start")
+        per_terminal.groupBy("v0_key")
         .agg(
-            F.count(F.lit(1)).alias("n_paths"),
-            F.count_distinct("terminal").alias("n_terminals"),
+            F.sum("n").alias("n_paths"),
+            F.count(F.lit(1)).alias("n_terminals"),
+        )
+        .select(
+            F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
+            "n_paths",
+            "n_terminals",
         )
         .orderBy("start")
     )

@@ -49,7 +49,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep auto-broadcast for true dimension tables but below the
+        # point where Spark broadcasts 100k+-row intermediate relations
+        # (driver build + GC pressure beat the shuffle it avoids).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

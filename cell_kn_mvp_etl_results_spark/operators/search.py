@@ -1,0 +1,56 @@
+"""Text-search view analog (SURVEY.md T6, K7).
+
+The reference serves UI search from an ArangoSearch view with ngram(3,4)
+and edge-ngram analyzers over selected display fields
+(``ArangoDbUtilities.py:209-358``). Spark-first, the view is a derived
+inverted-index table  grams(gram, coll, key, field)  and a search is a
+gram-match join scored by the number of shared grams -- the same
+first-pass ranking an ngram analyzer gives.
+
+Index build: one explode + one dedup, linear in text bytes, shuffle on
+the gram key (bounded key space). Query: broadcast the (tiny) query-gram
+set, aggregate matches per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams
+
+
+def build_gram_index(
+    df: DataFrame, key_cols: list[str], text_col: str, n: int = 3
+) -> DataFrame:
+    """Inverted index rows (gram, <key_cols...>) -- deduped per doc."""
+    return df.select(
+        *key_cols,
+        F.explode(
+            F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+
+
+def query_grams(query: str | Column, n: int = 3) -> list[str] | Column:
+    if isinstance(query, str):
+        q = query.lower()
+        return [q[i : i + n] for i in range(max(0, len(q) - n + 1))]
+    return F.array_distinct(char_ngrams(F.lower(query), n))
+
+
+def search(
+    index: DataFrame, key_cols: list[str], query: str, n: int = 3, k: int = 10
+) -> DataFrame:
+    """Top-k documents by shared-gram count (ties break on the key
+    columns for determinism). The query-gram set is a literal in the
+    plan -- the filter pushes into the index scan."""
+    grams = query_grams(query, n)
+    if not grams:
+        return index.select(*key_cols).limit(0).withColumn("score", F.lit(0))
+    hits = (
+        index.filter(F.col("gram").isin(*set(grams)))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return hits.orderBy(F.desc("score"), *key_cols).limit(k)

@@ -1,0 +1,116 @@
+"""Sinks (SURVEY.md section 2.2).
+
+The reference writes tuples JSON at the pipeline boundary (K1), bulk-
+inserts vertices/edges into ArangoDB collections (K3/K4), and copies
+path-harvested subgraphs into a second database preferring the full
+ontology doc over the path-projected doc (K5,
+``PhenotypeGraphBuilder.java:166-223``). Spark-first, the "graph
+database" is a set of parquet tables; inserts become partitioned table
+writes and the existence-check-before-insert (J12) becomes MERGE-style
+anti-join union.
+
+Scale notes: the edges table is written partitioned by
+(src_coll, dst_coll) -- the Spark analog of the reference's per-pair
+edge collections (``ArangoDbUtilities.py:174``) -- so typed-path hops
+prune to exactly the partitions their collection filters name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_tuples_json(tuples: DataFrame, path: str, single_file: bool = False) -> None:
+    """K1: tuples interchange JSON. The reference emits one document
+    ``{"tuples": [[s,p,o], [s,o,p,lit], ...]}``
+    (``NSForestResultsTupleWriter.py:364-375``); we write line-delimited
+    JSON rows (the distributed-friendly framing) with the same tuple
+    arity semantics -- quads carry lit, triples omit it.
+    """
+    out = tuples.select(
+        F.when(
+            F.col("lit").isNull(), F.array("s", "p", "o")
+        )
+        .otherwise(F.array("s", "o", "p", "lit"))
+        .alias("tuple")
+    )
+    writer = out.coalesce(1) if single_file else out
+    writer.write.mode("overwrite").json(path)
+
+
+def write_graph(graph: dict[str, DataFrame], base_path: str) -> None:
+    """K3/K4: persist the property graph as parquet tables; edges (and
+    edge attrs) partitioned by (src_coll, dst_coll) for partition-pruned
+    typed-path queries."""
+    graph["vertices"].write.mode("overwrite").partitionBy("coll").parquet(
+        os.path.join(base_path, "vertices")
+    )
+    graph["vertex_attrs"].write.mode("overwrite").partitionBy("coll").parquet(
+        os.path.join(base_path, "vertex_attrs")
+    )
+    graph["edges"].write.mode("overwrite").partitionBy(
+        "src_coll", "dst_coll"
+    ).parquet(os.path.join(base_path, "edges"))
+    graph["edge_attrs"].write.mode("overwrite").partitionBy(
+        "src_coll", "dst_coll"
+    ).parquet(os.path.join(base_path, "edge_attrs"))
+
+
+def read_graph(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(os.path.join(base_path, name))
+        for name in ("vertices", "vertex_attrs", "edges", "edge_attrs")
+    }
+
+
+def upsert_vertices(existing: DataFrame | None, incoming: DataFrame) -> DataFrame:
+    """J12/K3: insert-if-absent semantics (the reference's
+    ``vertex_collection.has(doc)`` guard, ``OntologyParserLoader.py:1069-1074``)
+    as existing UNION (incoming ANTI-JOIN existing) -- idempotent."""
+    if existing is None:
+        return incoming.dropDuplicates(["coll", "key"])
+    fresh = incoming.join(existing.select("coll", "key"), ["coll", "key"], "left_anti")
+    return existing.unionByName(fresh.dropDuplicates(["coll", "key"]))
+
+
+def extract_subgraph(
+    edges: DataFrame,
+    path_endpoints: DataFrame,
+    vertex_attrs: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """T8/K5: phenotype-subgraph extraction -- harvest the vertices and
+    edges touched by a query battery's paths, dedupe, and (when the full
+    graph's attribute table is supplied) prefer the full vertex doc over
+    the path-projected stub (``PhenotypeGraphBuilder.java:166-223``,
+    left join + coalesce per SURVEY.md K5).
+
+    ``path_endpoints`` carries (src_coll, src_key, dst_coll, dst_key)
+    rows for every traversed edge (the union of the battery's hops).
+    The reference dedupes client-side with an O(n^2) List.contains scan
+    (``PhenotypeGraphBuilder.java:125-127``) -- here it is dropDuplicates.
+    """
+    touched_edges = edges.join(
+        path_endpoints.dropDuplicates(),
+        ["src_coll", "src_key", "dst_coll", "dst_key"],
+        "left_semi",
+    )
+    touched_vertices = (
+        touched_edges.select(
+            F.col("src_coll").alias("coll"), F.col("src_key").alias("key")
+        )
+        .union(
+            touched_edges.select(
+                F.col("dst_coll").alias("coll"), F.col("dst_key").alias("key")
+            )
+        )
+        .dropDuplicates()
+    )
+    out = {"vertices": touched_vertices, "edges": touched_edges.dropDuplicates()}
+    if vertex_attrs is not None:
+        out["vertex_attrs"] = vertex_attrs.join(
+            touched_vertices, ["coll", "key"], "left_semi"
+        )
+    return out

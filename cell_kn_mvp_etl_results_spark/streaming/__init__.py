@@ -1,4 +1,10 @@
 from .incremental import incremental_new_keys
+from .stateful import running_user_totals
 from .windows import sessionized_stream, windowed_counts
 
-__all__ = ["incremental_new_keys", "sessionized_stream", "windowed_counts"]
+__all__ = [
+    "incremental_new_keys",
+    "running_user_totals",
+    "sessionized_stream",
+    "windowed_counts",
+]

@@ -1,0 +1,126 @@
+"""Tests for RDF/OWL ingestion + BNode reification (mirrors the
+reference's OntologyParserLoader test intent -- parse_term branches,
+fnode/bnode partitioning, reification reconstruction -- on our own
+hand-written fixtures)."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators import rdf
+
+# A tiny OWL/RDF-XML document in the OBO style: one class with a label,
+# a plain subClassOf, a restriction-reified relation, and an axiom
+# annotation. Written from scratch for this test.
+OWL_FIXTURE = textwrap.dedent(
+    """\
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+             xmlns:owl="http://www.w3.org/2002/07/owl#"
+             xmlns:oio="http://www.geneontology.org/formats/oboInOwl#">
+      <owl:Class rdf:about="http://purl.obolibrary.org/obo/XX_0000001">
+        <rdfs:label>alpha cell</rdfs:label>
+        <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/XX_0000002"/>
+        <rdfs:subClassOf>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="http://purl.obolibrary.org/obo/RO_0000052"/>
+            <owl:someValuesFrom rdf:resource="http://purl.obolibrary.org/obo/YY_0000009"/>
+          </owl:Restriction>
+        </rdfs:subClassOf>
+      </owl:Class>
+      <owl:Axiom>
+        <owl:annotatedSource rdf:resource="http://purl.obolibrary.org/obo/XX_0000001"/>
+        <owl:annotatedProperty rdf:resource="http://www.w3.org/2000/01/rdf-schema#subClassOf"/>
+        <owl:annotatedTarget rdf:resource="http://purl.obolibrary.org/obo/XX_0000002"/>
+        <oio:hasDbXref>PMID:99</oio:hasDbXref>
+      </owl:Axiom>
+    </rdf:RDF>
+    """
+)
+
+
+def test_owl_xml_to_triples(spark):
+    t = rdf.owl_xml_to_triples(spark, OWL_FIXTURE)
+    rows = {(r.s, r.p.split("#")[-1].split("/")[-1], r.o) for r in t.collect()}
+    xx1 = "http://purl.obolibrary.org/obo/XX_0000001"
+    assert (xx1, "label", "alpha cell") in rows
+    assert (xx1, "subClassOf", "http://purl.obolibrary.org/obo/XX_0000002") in rows
+    # restriction became a bnode subject
+    bnodes = [r for r in rows if r[0].startswith("_:")]
+    assert any(p == "onProperty" for _, p, _ in bnodes)
+
+
+def test_parse_term_branches(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://purl.obolibrary.org/obo/CL_0000235",),
+            ("_:b12",),
+            ("http://www.w3.org/2000/01/rdf-schema#label",),
+            ("macrophage",),
+        ],
+        "t string",
+    )
+    out = [r.k for r in df.select(rdf.parse_term("t").alias("k")).collect()]
+    assert out[0].kind == "obo_class" and out[0].ontology == "CL"
+    assert out[0].number == "0000235"
+    assert out[1].kind == "bnode"
+    assert out[2].kind == "uri" and out[2].fragment == "label"
+    assert out[3].kind == "literal"
+
+
+def test_resolve_bnodes_relation_and_annotation(spark):
+    t = rdf.owl_xml_to_triples(spark, OWL_FIXTURE)
+    out = rdf.resolve_bnodes(t)
+    xx1 = "http://purl.obolibrary.org/obo/XX_0000001"
+
+    rels = {(r.s, r.p, r.o) for r in out["relations"].collect()}
+    assert (
+        xx1,
+        "http://purl.obolibrary.org/obo/RO_0000052",
+        "http://purl.obolibrary.org/obo/YY_0000009",
+    ) in rels
+
+    ann_t = {(r.s, r.o) for r in out["annotation_triples"].collect()}
+    assert (xx1, "http://purl.obolibrary.org/obo/XX_0000002") in ann_t
+
+    quads = {(r.s, r.p, r.o, r.lit) for r in out["annotation_quads"].collect()}
+    assert (
+        xx1,
+        "hasDbXref",
+        "http://purl.obolibrary.org/obo/XX_0000002",
+        "PMID:99",
+    ) in quads
+
+    fn = out["fnode_triples"]
+    assert fn.filter(F.col("s").startswith("_:") | F.col("o").startswith("_:")).count() == 0
+
+
+def test_read_ntriples(spark, tmp_path):
+    nt = textwrap.dedent(
+        """\
+        <http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
+        <http://ex.org/a> <http://www.w3.org/2000/01/rdf-schema#label> "Alpha \\"quoted\\"" .
+        _:b1 <http://ex.org/p> <http://ex.org/c> .
+        """
+    )
+    f = tmp_path / "t.nt"
+    f.write_text(nt)
+    rows = rdf.read_ntriples(spark, str(f)).collect()
+    assert len(rows) == 3
+    by_s = {(r.s, r.p): (r.o, r.is_literal) for r in rows}
+    assert by_s[("http://ex.org/a", "http://ex.org/p")] == ("http://ex.org/b", False)
+    lit = by_s[("http://ex.org/a", "http://www.w3.org/2000/01/rdf-schema#label")]
+    assert lit[1] is True and lit[0].startswith("Alpha")
+    assert ("_:b1", "http://ex.org/p") in by_s
+
+
+def test_triple_type_histogram(spark):
+    t = rdf.owl_xml_to_triples(spark, OWL_FIXTURE)
+    hist = {
+        (r.s_kind, r.p_kind, r.o_kind): r["count"]
+        for r in rdf.triple_type_histogram(t).collect()
+    }
+    assert sum(hist.values()) == t.count()
+    assert any(k[0] == "bnode" for k in hist)

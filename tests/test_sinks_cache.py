@@ -1,0 +1,114 @@
+"""Tests for sinks (tuples JSON round-trip, partitioned graph tables,
+upsert, subgraph extraction) and the restartable fetch cache."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators.graph import graph_from_tuples
+from cell_kn_mvp_etl_results_spark.sources import fetch_cache, sinks
+from cell_kn_mvp_etl_results_spark.sources.readers import read_tuples_json
+
+
+def tuples_df(spark):
+    rows = [
+        ("CL_1", "subClassOf", "CL_2", None),
+        ("CL_1", "label", "macrophage", None),
+        ("CL_1", "source", "CL_2", "PMID:1"),
+        ("GO_3", "part_of", "CL_2", None),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string, lit string")
+
+
+def test_tuples_json_roundtrip(spark, tmp_path):
+    """K1 write -> S6-style read preserves triple/quad semantics.
+
+    The written framing is line-delimited arrays; read back via a thin
+    shim that mirrors read_tuples_json's classification.
+    """
+    path = str(tmp_path / "tuples")
+    sinks.write_tuples_json(tuples_df(spark), path, single_file=True)
+    raw = spark.read.json(path)
+    n = F.size("tuple")
+    back = raw.select(
+        F.element_at("tuple", 1).alias("e1"),
+        F.element_at("tuple", 2).alias("e2"),
+        F.element_at("tuple", 3).alias("e3"),
+        F.when(n == 4, F.element_at("tuple", 4)).alias("e4"),
+    ).select(
+        F.col("e1").alias("s"),
+        F.when(F.col("e4").isNull(), F.col("e2")).otherwise(F.col("e3")).alias("p"),
+        F.when(F.col("e4").isNull(), F.col("e3")).otherwise(F.col("e2")).alias("o"),
+        F.col("e4").alias("lit"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, tuples_df(spark).collect())
+    )
+
+
+def test_write_read_graph_partitioned(spark, tmp_path):
+    base = str(tmp_path / "graph")
+    g = graph_from_tuples(tuples_df(spark))
+    sinks.write_graph(g, base)
+    # partition layout: edges/src_coll=CL/dst_coll=CL/...
+    assert os.path.isdir(os.path.join(base, "edges", "src_coll=CL", "dst_coll=CL"))
+    back = sinks.read_graph(spark, base)
+    assert back["edges"].count() == g["edges"].count()
+    assert back["vertices"].count() == g["vertices"].count()
+
+
+def test_upsert_vertices_idempotent(spark):
+    a = spark.createDataFrame([("CL", "1"), ("CL", "2")], "coll string, key string")
+    b = spark.createDataFrame([("CL", "2"), ("GO", "3")], "coll string, key string")
+    once = sinks.upsert_vertices(a, b)
+    assert sorted(map(tuple, once.collect())) == [("CL", "1"), ("CL", "2"), ("GO", "3")]
+    twice = sinks.upsert_vertices(once, b)
+    assert twice.count() == 3
+
+
+def test_extract_subgraph_prefers_full_doc(spark):
+    g = graph_from_tuples(tuples_df(spark))
+    # battery touched only the CL_1 -> CL_2 edge
+    touched = spark.createDataFrame(
+        [("CL", "1", "CL", "2")],
+        "src_coll string, src_key string, dst_coll string, dst_key string",
+    )
+    sub = sinks.extract_subgraph(g["edges"], touched, g["vertex_attrs"])
+    assert sub["edges"].count() == 1
+    verts = sorted(map(tuple, sub["vertices"].collect()))
+    assert verts == [("CL", "1"), ("CL", "2")]
+    # full vertex doc (label attr) came along for CL_1
+    attrs = {(r.coll, r.key, r.attr) for r in sub["vertex_attrs"].collect()}
+    assert ("CL", "1", "label") in attrs
+
+
+def test_fetch_cache_restartable(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    req = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    calls = []
+
+    def fake_fetch(ids):
+        calls.append(list(ids))
+        return [{"id": i, "value": f"v{i}"} for i in ids]
+
+    out = fetch_cache.fetch_with_checkpoints(
+        spark, req, cache, "id", fake_fetch, "id long, value string", batch_size=3
+    )
+    assert out.count() == 7
+    assert [len(c) for c in calls] == [3, 3, 1]  # checkpoint cadence
+
+    # restart: nothing left to fetch
+    calls.clear()
+    out2 = fetch_cache.fetch_with_checkpoints(
+        spark, req, cache, "id", fake_fetch, "id long, value string", batch_size=3
+    )
+    assert out2.count() == 7 and calls == []
+
+    # new ids arrive: only the delta is fetched
+    req2 = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    fetch_cache.fetch_with_checkpoints(
+        spark, req2, cache, "id", fake_fetch, "id long, value string", batch_size=3
+    )
+    assert calls == [[7, 8]]

@@ -37,7 +37,7 @@ def split_term(term_col) -> tuple:
     c = F.col(term_col) if isinstance(term_col, str) else term_col
     return (
         F.substring_index(c, "_", 1).alias("coll"),
-        F.substring_index(c, "_", -1).alias("key"),
+        F.regexp_replace(c, r"^[^_]*_", "").alias("key"),
     )
 
 
@@ -71,9 +71,9 @@ def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
 
     edges = edge_triples.select(
         F.substring_index("s", "_", 1).alias("src_coll"),
-        F.substring_index("s", "_", -1).alias("src_key"),
+        F.regexp_replace("s", r"^[^_]*_", "").alias("src_key"),
         F.substring_index("o", "_", 1).alias("dst_coll"),
-        F.substring_index("o", "_", -1).alias("dst_key"),
+        F.regexp_replace("o", r"^[^_]*_", "").alias("dst_key"),
         F.col("p").alias("label"),
     ).dropDuplicates()
 
@@ -84,7 +84,7 @@ def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
     vertex_attrs = (
         attr_triples.groupBy(
             F.substring_index("s", "_", 1).alias("coll"),
-            F.substring_index("s", "_", -1).alias("key"),
+            F.regexp_replace("s", r"^[^_]*_", "").alias("key"),
             F.col("p").alias("attr"),
         )
         .agg(F.sort_array(F.collect_set("o")).alias("values"))
@@ -93,9 +93,9 @@ def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
     edge_attrs = (
         quads.groupBy(
             F.substring_index("s", "_", 1).alias("src_coll"),
-            F.substring_index("s", "_", -1).alias("src_key"),
+            F.regexp_replace("s", r"^[^_]*_", "").alias("src_key"),
             F.substring_index("o", "_", 1).alias("dst_coll"),
-            F.substring_index("o", "_", -1).alias("dst_key"),
+            F.regexp_replace("o", r"^[^_]*_", "").alias("dst_key"),
             F.col("p").alias("attr"),
         )
         .agg(F.sort_array(F.collect_set("lit")).alias("values"))
@@ -128,6 +128,7 @@ def k_hop(
     hop_colls: list[str],
     any_direction: bool = False,
     carry_path: bool = True,
+    unique_edges: bool = True,
 ) -> DataFrame:
     """J10: exact-length typed-path traversal as a chain of equi-joins.
 
@@ -145,6 +146,13 @@ def k_hop(
     pairs, not synthesized strings; ``carry_path=False`` drops the
     per-row path arrays so wide traversals shuffle only endpoint keys
     (counting / reachability queries don't pay for path assembly).
+
+    ``unique_edges`` mirrors AQL's default path uniqueness
+    (uniqueEdges=path): a path never traverses the same undirected edge
+    twice, so ANY-direction traversals cannot bounce straight back over
+    the edge they arrived on. Implemented by carrying an array of
+    direction-normalized edge ids (length <= k, cheap) and filtering on
+    membership.
     """
     e = undirected(edges) if any_direction else edges
     cur = start.select(
@@ -157,6 +165,8 @@ def k_hop(
         cur = cur.withColumn(
             "path", F.array(F.concat_ws("_", "node_coll", "node_key"))
         ).withColumn("labels", F.array().cast("array<string>"))
+    if unique_edges:
+        cur = cur.withColumn("used_edges", F.array().cast("array<string>"))
     for coll in hop_colls:
         hop = e.filter(F.col("dst_coll") == coll).select(
             F.col("src_coll").alias("node_coll"),
@@ -166,6 +176,17 @@ def k_hop(
             F.col("label").alias("h_label"),
         )
         cur = cur.join(hop, ["node_coll", "node_key"])
+        if unique_edges:
+            # direction-normalized identity: sorted endpoint pair + label
+            src_id = F.concat_ws("_", "node_coll", "node_key")
+            dst_id = F.concat_ws("_", "h_dst_coll", "h_dst_key")
+            edge_id = F.concat_ws(
+                "|", F.least(src_id, dst_id), F.greatest(src_id, dst_id), "h_label"
+            )
+            cur = cur.filter(~F.array_contains(F.col("used_edges"), edge_id))
+            cur = cur.withColumn(
+                "used_edges", F.concat(F.col("used_edges"), F.array(edge_id))
+            )
         if carry_path:
             cur = cur.withColumn(
                 "path",
@@ -179,7 +200,7 @@ def k_hop(
             .withColumnRenamed("h_dst_coll", "node_coll")
             .withColumnRenamed("h_dst_key", "node_key")
         )
-    return cur
+    return cur.drop("used_edges") if unique_edges else cur
 
 
 def hierarchy_longest_path(

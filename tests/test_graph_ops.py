@@ -80,6 +80,21 @@ def test_k_hop_any_direction(spark):
     assert [p.path for p in via_any] == [["CL_2", "CL_1", "UBERON_9"]]
 
 
+def test_k_hop_unique_edges_no_bounce_back(spark):
+    # AQL default uniqueEdges=path: an ANY-direction traversal cannot
+    # return over the edge it arrived on.
+    g = graph_from_tuples(tuples_df(spark))
+    start = spark.createDataFrame([("CL", "1")], "coll string, key string")
+    bounced = k_hop(g["edges"], start, ["CL", "CL"], any_direction=True)
+    paths = {tuple(p.path) for p in bounced.collect()}
+    assert ("CL_1", "CL_2", "CL_1") not in paths  # same edge twice: pruned
+    assert ("CL_1", "CL_2", "CL_3") in paths
+    relaxed = k_hop(
+        g["edges"], start, ["CL", "CL"], any_direction=True, unique_edges=False
+    )
+    assert ("CL_1", "CL_2", "CL_1") in {tuple(p.path) for p in relaxed.collect()}
+
+
 def test_undirected_doubles_edges(spark):
     g = graph_from_tuples(tuples_df(spark))
     assert undirected(g["edges"]).count() == 2 * g["edges"].count()

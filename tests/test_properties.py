@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for operator invariants -- a layer
+the reference's suite lacks entirely (SURVEY.md section 5: no randomized
+testing). Each property batches all generated inputs into one DataFrame
+so a property costs one Spark job, not one per example.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.functions.money import cents, money
+from cell_kn_mvp_etl_results_spark.functions.text import hyphenate, tokens
+from cell_kn_mvp_etl_results_spark.operators import dedup as dd
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+texts = st.lists(words, min_size=1, max_size=30).map(" ".join)
+
+
+@SET
+@given(st.lists(texts, min_size=2, max_size=8))
+def test_jaccard_bounds_and_self_similarity(spark, docs):
+    rows = list(enumerate(docs)) + [(len(docs), docs[0])]  # force a dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.0).collect()
+    for r in out:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.inter <= r.union_sz
+    dup = [r for r in out if (r.id_a, r.id_b) == (0, len(docs))]
+    assert dup and dup[0].jaccard == 1.0  # identical docs
+
+
+@SET
+@given(st.lists(texts, min_size=2, max_size=6))
+def test_minhash_estimate_bounds_and_exact_dup(spark, docs):
+    # ensure at least one doc has a 3-shingle
+    docs = [d + " x y z" for d in docs]
+    rows = list(enumerate(docs)) + [(len(docs), docs[0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+    dup = [r for r in out if (r.id_a, r.id_b) == (0, len(docs))]
+    assert dup and dup[0].est_jaccard == 1.0
+
+
+@SET
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_exact_dedup_partitions_input(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    groups = dd.exact_dedup_groups(df, "doc_id", "text").collect()
+    assert sum(g.n_docs for g in groups) == len(docs)
+    keepers = [g.keeper for g in groups]
+    assert len(keepers) == len(set(keepers))
+
+
+@SET
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=20))
+def test_hyphenate_idempotent(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        hyphenate("v").alias("once"), hyphenate(hyphenate("v")).alias("twice")
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
+        assert "  " not in r.once and "_" not in r.once
+
+
+@SET
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+def test_tokens_never_empty_strings(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    for r in df.select(tokens("v").alias("t")).collect():
+        assert "" not in r.t
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=20
+    )
+)
+def test_cents_money_roundtrip(spark, cents_vals):
+    # any 2-decimal dollar amount survives the cents round-trip exactly
+    rows = [(c / 100.0,) for c in cents_vals]
+    df = spark.createDataFrame(rows, "v double")
+    out = df.select(F.col("v"), money(cents("v")).alias("back")).collect()
+    for r in out:
+        assert math.isclose(r.back, r.v, rel_tol=0, abs_tol=0), (r.v, r.back)

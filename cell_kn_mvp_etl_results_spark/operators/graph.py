@@ -128,7 +128,7 @@ def k_hop(
     hop_colls: list[str],
     any_direction: bool = False,
     carry_path: bool = True,
-    unique_edges: bool = True,
+    unique_edges: bool | None = None,
 ) -> DataFrame:
     """J10: exact-length typed-path traversal as a chain of equi-joins.
 
@@ -151,9 +151,14 @@ def k_hop(
     (uniqueEdges=path): a path never traverses the same undirected edge
     twice, so ANY-direction traversals cannot bounce straight back over
     the edge they arrived on. Implemented by carrying an array of
-    direction-normalized edge ids (length <= k, cheap) and filtering on
-    membership.
+    direction-normalized edge ids (length <= k) and filtering on
+    membership. Default: ON for ANY-direction traversals (where
+    bounce-back is the hazard), OFF for directed chains -- tracking
+    costs real shuffle bytes per path row, and a directed chain over
+    per-hop-distinct collections cannot reuse an edge.
     """
+    if unique_edges is None:
+        unique_edges = any_direction
     e = undirected(edges) if any_direction else edges
     cur = start.select(
         F.col("coll").alias("v0_coll"),

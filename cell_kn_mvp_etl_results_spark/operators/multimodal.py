@@ -101,6 +101,32 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def read_media_dir(spark, path: str, kind: str = "image") -> DataFrame:
+    """Ingest raw media files as opaque binary rows via Spark's
+    binaryFile source -- (media_id, kind, payload, mime). The media_id
+    is a stable hash of the file path; mime is inferred from the
+    extension. At 100 TB the same call reads an object-store prefix;
+    payload bytes stream through Arrow without driver materialization.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext.isin("png"), "image/png")
+        .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext.isin("wav"), "audio/wav")
+        .when(ext.isin("mp4"), "video/mp4")
+        .otherwise(F.concat(F.lit("application/"), ext))
+    )
+    return raw.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 14), 16, 10)
+        .cast("long")
+        .alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        mime.alias("mime"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* scaffold: explodes a frame-index
     array per video row (decode stubbed). Demonstrates the fan-out

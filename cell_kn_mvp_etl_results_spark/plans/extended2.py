@@ -1,0 +1,103 @@
+"""More extended plans: SimHash hamming pairs and subword token
+estimation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.readers import read_table
+from .registry import query
+
+_SIMHASH_BODY = """
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> j) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, generate_series(0, 31) g(j)
+  GROUP BY doc_id, j
+),
+sim AS (
+  SELECT doc_id AS id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "q_simhash_pairs",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SIMHASH_BODY}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY id_a, id_b
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by hamming distance <= 2
+    (the shared-vocabulary corpus makes larger radii unselective:
+    ~77k pairs at radius 8 vs ~7.5k at radius 2). All-pairs here;
+    at scale, block on simhash bit-bands first (operators/dedup.py
+    simhash_pairs docstring)."""
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    return (
+        dd.simhash_pairs(hashes, max_hamming=2)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_token_classes",
+    tags=("text",),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN regexp_full_match(tok, '[a-z]+') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alpha,
+       CAST(sum(CAST(ceil(len(tok) / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords_est,
+       CAST(sum(len(tok)) AS BIGINT) AS n_chars
+FROM toks
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting surface: whitespace tokens, alpha-class tokens,
+    and a BPE-ish subword estimate (ceil(len/4) pieces per token -- the
+    standard chars-per-token heuristic) per source. All integer math.
+    """
+    from ..functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok").rlike(r"^[a-z]+$"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_alpha"),
+            F.sum(F.ceil(F.length("tok") / 4.0).cast("long")).alias("n_subwords_est"),
+            F.sum(F.length("tok")).cast("long").alias("n_chars"),
+        )
+        .orderBy("source")
+    )

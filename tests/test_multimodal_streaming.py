@@ -58,6 +58,21 @@ def test_frame_sample_plan(spark):
     assert idxs[0] == 0 and idxs == sorted(set(idxs))
 
 
+def test_read_media_dir_binary_source(spark, tmp_path):
+    (tmp_path / "a.png").write_bytes(bytes([1, 2, 3, 4]))
+    (tmp_path / "b.jpg").write_bytes(bytes([9] * 10))
+    out = mm.read_media_dir(spark, str(tmp_path), kind="image").collect()
+    by_mime = {r.mime: r for r in out}
+    assert set(by_mime) == {"image/png", "image/jpeg"}
+    assert bytes(by_mime["image/png"].payload) == bytes([1, 2, 3, 4])
+    assert len({r.media_id for r in out}) == 2  # stable distinct ids
+    # feeds straight into the feature extractor
+    feats = mm.image_features(
+        mm.read_media_dir(spark, str(tmp_path)), fake=True
+    ).collect()
+    assert {f.n_bytes for f in feats} == {4, 10}
+
+
 def test_incremental_anti_join(spark):
     req = spark.createDataFrame([(i,) for i in range(10)], "id long")
     cached = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "id long")

@@ -1,0 +1,101 @@
+"""Plan-quality audit: assert the physical plans have the shape a
+100 TB deployment needs -- filters pushed to the parquet scan, columns
+pruned, dimension joins broadcast, aggregates partial+final, codegen
+active. This is the '.explain and iterate' discipline encoded as tests
+so a plan regression fails CI, not a cluster run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+
+
+import contextlib
+import io
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return _explain(REGISTRY[name].builder(spark, sf_dir))
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_min_size_filter")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan or "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
+    # projection pruned to the 4 needed columns -- prices never read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast_no_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_local_supplier_volume")
+    # all five dim joins broadcast (formatted mode names each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    # the only exchanges: dim broadcasts + final agg/sort
+    fact_shuffles = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "l_" in l
+    ]
+    assert fact_shuffles == []  # lineitem is never hash-repartitioned
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan
+
+
+def test_semi_anti_joins_planned(spark, sf_dir):
+    anti = plan_of(spark, sf_dir, "q_anti_join")
+    assert "LeftAnti" in anti
+    semi = plan_of(spark, sf_dir, "q_semi_join")
+    assert "LeftSemi" in semi
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Cross joins must be broadcast nested loops against a tiny side,
+    never CartesianProduct (both sides shuffled everywhere)."""
+    for name in sorted(REGISTRY):
+        if name == "q_hierarchy_longest":
+            continue  # iterative: plan built at runtime
+        plan = _explain(REGISTRY[name].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["q_pricing_summary", "q_equi_join", "q_dedup_exact", "q_text_quality"]
+)
+def test_codegen_active(spark, sf_dir, name):
+    """'codegen' explain mode reports generated subtrees. AQE defers
+    codegen until execution, so it is disabled for the audit -- the
+    non-adaptive plan shows what each stage compiles to."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            REGISTRY[name].builder(spark, sf_dir).explain("codegen")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen" in plan, name
+    assert "Found 0 WholeStageCodegen" not in plan, name

@@ -1,3 +1,25 @@
-from . import dedup, graph, similarity, textanalysis
+from . import (
+    dedup,
+    graph,
+    lookup,
+    multimodal,
+    rdf,
+    scale,
+    search,
+    similarity,
+    textanalysis,
+    tuplewriters,
+)
 
-__all__ = ["dedup", "graph", "similarity", "textanalysis"]
+__all__ = [
+    "dedup",
+    "graph",
+    "lookup",
+    "multimodal",
+    "rdf",
+    "scale",
+    "search",
+    "similarity",
+    "textanalysis",
+    "tuplewriters",
+]

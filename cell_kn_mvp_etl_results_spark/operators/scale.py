@@ -1,0 +1,60 @@
+"""Scale operators: bucketed co-located joins and skew salting.
+
+These are the 100 TB levers the synthetic harness can only demonstrate,
+not stress: bucketing pre-shuffles both sides of a recurring join ONCE
+at write time (every subsequent join is exchange-free), and salting
+splits a hot key across ``salt`` subkeys so one executor doesn't absorb
+an entire skewed partition. AQE's skew-join splitting handles moderate
+skew automatically; salting is for the pathological key that dwarfs a
+single task even after splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+    Joins between tables bucketed the same way need no Exchange -- the
+    classic co-located join for fact-fact joins run repeatedly.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two co-bucketed saved tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_join(
+    facts: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the fact side gets a random-ish (but
+    deterministic: key-hash derived) salt in [0, salt); the other side
+    is exploded ``salt`` times so every (key, salt) partition exists.
+    Shuffle load for a hot key spreads over ``salt`` tasks.
+
+    Use when one side has heavy hitters and the other is too big to
+    broadcast. Output equals the plain join exactly.
+    """
+    salted_f = facts.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), salt))
+    salted_o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_f.join(salted_o, [on, "_salt"]).drop("_salt")

@@ -1,0 +1,85 @@
+"""Tests for the scale operators: bucketed joins must be exchange-free,
+salted joins must equal plain joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8
+    )
+    write_bucketed(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _explain(joined)
+        # co-located: neither side is re-shuffled for the join
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        # sanity: result matches the plain join
+        plain = o.select("o_orderkey", "o_totalprice").join(
+            li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            "o_orderkey",
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    salted = salted_join(
+        o.withColumnRenamed("o_custkey", "k"),
+        c.withColumnRenamed("c_custkey", "k"),
+        "k",
+        salt=4,
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one hot key with 1000 fact rows; salt must split it across subkeys
+    facts = spark.range(1000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "hot")], "k long, v string")
+    out = salted_join(facts, dim, "k", salt=4)
+    assert out.count() == 1000
+    # distribution check: every salt bucket used (probabilistically safe
+    # with 1000 rows over 4 buckets)
+    salted_f = facts.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), 4)
+    )
+    assert salted_f.select("_salt").distinct().count() == 4

@@ -119,7 +119,10 @@ def undirected(edges: DataFrame) -> DataFrame:
         F.col("src_key").alias("dst_key"),
         "label",
     )
-    return edges.union(flipped)
+    # unionByName: a partitioned-parquet read reorders columns
+    # (partition cols last), and a positional union would silently put
+    # keys in coll slots.
+    return edges.select(flipped.columns).unionByName(flipped)
 
 
 def k_hop(

@@ -1,0 +1,108 @@
+"""End-to-end pipeline entry points (SURVEY.md section 3 lifecycles).
+
+The reference is driven by running writer scripts
+(``python NSForestResultsTupleWriter.py``; Java mains for load + query).
+The equivalents here are composable functions plus a tiny CLI:
+
+  python -m cell_kn_mvp_etl_results_spark.pipelines nsforest \
+      --results <csv glob> --out <dir>
+  python -m cell_kn_mvp_etl_results_spark.pipelines load \
+      --tuples <json dir> --graph <dir>
+  python -m cell_kn_mvp_etl_results_spark.pipelines query \
+      --graph <dir> --anchor CS --hops BMC,BGS
+
+Each stage reads/writes open formats (CSV/JSON/parquet), so a user of
+the reference can swap one stage at a time.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.graph import graph_from_tuples
+from .operators.tuplewriters import nsforest_tuples
+from .plans.battery import PathSpec, run_path_spec
+from .sources.readers import read_results_csv, read_tuples_json
+from .sources.sinks import read_graph, write_graph, write_tuples_json
+
+
+def run_nsforest_pipeline(
+    spark: SparkSession, results_csv: str, out_tuples: str
+) -> DataFrame:
+    """Stage 1 (SURVEY section 3.1): results CSV -> semantic tuples JSON.
+    The uuid surrogate is derived, deterministic, and never written back
+    into the input (unlike the reference)."""
+    results = read_results_csv(
+        spark, results_csv, uuid_cols=("clusterName",)
+    )
+    tuples = nsforest_tuples(results)
+    write_tuples_json(tuples, out_tuples)
+    return tuples
+
+
+def run_graph_load(spark: SparkSession, tuples_path: str, graph_path: str) -> dict:
+    """Stage 2 (section 3.2): tuples JSON -> property-graph tables."""
+    tuples = read_tuples_json(spark, tuples_path)
+    g = graph_from_tuples(tuples)
+    write_graph(g, graph_path)
+    return g
+
+
+def run_query(
+    spark: SparkSession,
+    graph_path: str,
+    anchor: str,
+    hops: list[str],
+    any_direction: bool = True,
+) -> DataFrame:
+    """Stage 3 (section 3.3): typed-path query over the stored graph."""
+    g = read_graph(spark, graph_path)
+    spec = PathSpec("cli", anchor=anchor, hops=hops, any_direction=any_direction)
+    return run_path_spec(g["vertices"], g["edges"], spec)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(prog="cell-kn-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p1 = sub.add_parser("nsforest")
+    p1.add_argument("--results", required=True)
+    p1.add_argument("--out", required=True)
+    p2 = sub.add_parser("load")
+    p2.add_argument("--tuples", required=True)
+    p2.add_argument("--graph", required=True)
+    p3 = sub.add_parser("query")
+    p3.add_argument("--graph", required=True)
+    p3.add_argument("--anchor", required=True)
+    p3.add_argument("--hops", required=True, help="comma-separated collections")
+    p3.add_argument("--limit", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("cell-kn-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "nsforest":
+            t = run_nsforest_pipeline(spark, args.results, args.out)
+            print(f"wrote {t.count()} tuples to {args.out}")
+        elif args.cmd == "load":
+            g = run_graph_load(spark, args.tuples, args.graph)
+            print(
+                f"graph: {g['vertices'].count()} vertices, "
+                f"{g['edges'].count()} edges -> {args.graph}"
+            )
+        elif args.cmd == "query":
+            df = run_query(spark, args.graph, args.anchor, args.hops.split(","))
+            rows = df.limit(args.limit).collect()
+            for r in rows:
+                print("/".join(r.path))
+            print(f"({df.count()} paths total)")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

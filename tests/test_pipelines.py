@@ -1,0 +1,74 @@
+"""End-to-end pipeline test: CSV -> tuples JSON -> graph tables ->
+typed-path query (the full reference lifecycle through open formats)."""
+
+from __future__ import annotations
+
+
+NSFOREST_CSV = (
+    "clusterName,clusterSize,f_score,precision,TP,FP,FN,TN,marker_count,"
+    "NSForest_markers,binary_genes,dataset_version_id\n"
+    'Rod,25000,0.9,0.95,100,5,3,900,2,"[\'RHO\', \'NRL\']","[\'GNAT1\']",dv-9\n'
+    'Tiny,4,0.1,0.1,1,1,1,1,1,"[\'X\']","[\'Y\']",dv-9\n'
+)
+
+
+def test_full_lifecycle_csv_to_query(spark, tmp_path):
+    from cell_kn_mvp_etl_results_spark.pipelines import (
+        run_graph_load,
+        run_nsforest_pipeline,
+        run_query,
+    )
+
+    csv = tmp_path / "nsforest.csv"
+    csv.write_text(NSFOREST_CSV)
+    tuples_dir = str(tmp_path / "tuples")
+    graph_dir = str(tmp_path / "graph")
+
+    t = run_nsforest_pipeline(spark, str(csv), tuples_dir)
+    n_tuples = t.count()
+    assert n_tuples > 0
+
+    g = run_graph_load(spark, tuples_dir, graph_dir)
+    assert g["edges"].count() > 0
+
+    paths = run_query(spark, graph_dir, "CS", ["BMC", "GS"]).collect()
+    # Rod's cell set reaches its marker genes through the BMC node
+    endpoints = {p.path[-1] for p in paths}
+    assert {"GS_RHO", "GS_NRL"} <= endpoints
+    # Tiny cluster was filtered (clusterSize < 10): nothing from it
+    assert all("Tiny" not in "/".join(p.path) for p in paths)
+
+
+def test_cli_main(spark, tmp_path, capsys):
+    """Drive the CLI surface itself (argument parsing + stage wiring).
+    Reuses the session-scoped SparkSession via monkeypatched factory."""
+    import cell_kn_mvp_etl_results_spark.pipelines as pl
+
+    csv = tmp_path / "nsforest.csv"
+    csv.write_text(NSFOREST_CSV)
+    tuples_dir = str(tmp_path / "tuples")
+    graph_dir = str(tmp_path / "graph")
+
+    real_get_spark = None
+    import cell_kn_mvp_etl_results_spark.session as sess
+
+    real_get_spark = sess.get_spark
+    real_stop = spark.stop
+    try:
+        sess.get_spark = lambda *a, **k: spark  # reuse fixture session
+        spark.stop = lambda: None
+        assert pl.main(["nsforest", "--results", str(csv), "--out", tuples_dir]) == 0
+        assert "tuples" in capsys.readouterr().out
+        assert pl.main(["load", "--tuples", tuples_dir, "--graph", graph_dir]) == 0
+        assert "vertices" in capsys.readouterr().out
+        assert (
+            pl.main(
+                ["query", "--graph", graph_dir, "--anchor", "CS", "--hops", "BMC,GS"]
+            )
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert "paths total" in out and "GS_" in out
+    finally:
+        sess.get_spark = real_get_spark
+        spark.stop = real_stop

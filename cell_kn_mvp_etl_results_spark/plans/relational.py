@@ -480,9 +480,18 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side; exact cents for the value sum.
     """
     e = read_table(spark, sf_dir, "events")
+    # Hour bucket computed arithmetically from epoch-micros onto a
+    # timestamp_ntz base: date_trunc/date_format on an LTZ value would
+    # shift with the caller's session timezone (the driver harness may
+    # not run UTC); this shape is timezone-independent in any session.
+    hour_str = F.expr(
+        "date_format(timestampadd(HOUR, "
+        "CAST(unix_micros(ts) div 3600000000 AS INT), "
+        "timestamp_ntz'1970-01-01 00:00:00'), 'yyyy-MM-dd HH:mm')"
+    )
     return (
         e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            hour_str.alias("hour"),
             "event_type",
         )
         .agg(

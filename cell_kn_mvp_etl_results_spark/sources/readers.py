@@ -36,6 +36,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events stores TIMESTAMP(NANOS), unreadable without this legacy
+        # conf. Set at runtime so the queries work under ANY caller's
+        # SparkSession (e.g. the driver harness), not just session.get_spark.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong (session.py). The generator
@@ -56,6 +61,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch). Applies the same nanos->timestamp conversion as the
     batch reader so streaming and batch plans share semantics."""
     path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     # The streaming file source requires a *directory*; stage a symlink
     # dir when pointed at a single parquet file (test data layout).

@@ -35,6 +35,22 @@ def windowed_counts(
     )
 
 
+def deduplicated_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins across
+    micro-batches; state for keys older than the watermark is dropped
+    (bounded state -- the scale requirement for infinite streams).
+    Batch twin: dropDuplicates on the same keys.
+    """
+    keys = key_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def sessionized_stream(
     events: DataFrame,
     gap: str = "30 minutes",

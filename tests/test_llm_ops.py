@@ -75,6 +75,14 @@ def test_cosine_topk_ordering(spark):
     assert abs(best.score - expected) < 1e-3
 
 
+def test_cosine_arrow_matches_expr(spark):
+    v = vectors(spark)
+    q = v.filter(F.col("vec_id") <= 1)
+    a = sorted(map(tuple, sim.cosine_topk(v, q, k=3, quantize=4).collect()))
+    b = sorted(map(tuple, sim.cosine_topk_arrow(v, q, k=3, quantize=4).collect()))
+    assert a == b  # bit-identical scores, same ranking
+
+
 def test_lsh_bucket_topk_self_consistent(spark):
     v = vectors(spark)
     out = sim.lsh_bucket_topk(

@@ -1,0 +1,68 @@
+"""Near-dup clustering in the gate: pairs -> connected components ->
+dedup groups, checked against a recursive-CTE transitive-closure oracle.
+An oracle-verified *iterative* distributed graph algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.readers import read_table
+from .llmdata import _SHINGLES_SQL
+from .registry import query
+
+
+@query(
+    "q_dedup_clusters",
+    tags=("dedup", "graph"),
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+SELECT component,
+       count(*) AS n_members,
+       min(doc_id) AS keeper
+FROM comp
+GROUP BY component
+ORDER BY component
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups: Jaccard near-dup pairs (threshold 0.05) clustered
+    by iterative min-label propagation (operators/dedup.
+    connected_components); each component keeps its min-id document.
+    The oracle computes the same components via recursive transitive
+    closure -- validating the distributed fixpoint loop against
+    relational semantics.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = dd.connected_components(nodes, pairs.select("id_a", "id_b"))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("id").alias("keeper"))
+        .orderBy("component")
+    )

@@ -49,6 +49,27 @@ def test_simhash_close_for_near_dups(spark):
     assert ham(hashes[1], hashes[2]) < ham(hashes[1], hashes[4])
 
 
+def test_connected_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # components: {0,1,2} via chain, {3,4}, singletons {5}, {6}
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in dd.connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter > 1 requires multiple propagation rounds
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = dd.connected_components(nodes, edges).collect()
+    assert {r.component for r in comp} == {0}
+
+
 def test_simhash_pairs(spark):
     hashes = dd.simhash(docs(spark), "doc_id", "text")
     out = dd.simhash_pairs(hashes, max_hamming=3).collect()

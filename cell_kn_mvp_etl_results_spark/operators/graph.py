@@ -41,7 +41,9 @@ def split_term(term_col) -> tuple:
     )
 
 
-def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
+def graph_from_tuples(
+    tuples: DataFrame, attr_promotion: str = "list"
+) -> dict[str, DataFrame]:
     """Assemble the property graph from the tuples IR (T7 two-pass build,
     ``ResultsGraphBuilder.java:103-303`` / ``OntologyParserLoader.py:1112-1168``).
 
@@ -54,7 +56,18 @@ def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
     The two passes of the reference (construct then update) are two
     lineages over one cached input; dedup-by-key HashSets
     (``ResultsGraphBuilder.java:124-137``) become dropDuplicates.
+
+    ``attr_promotion`` resolves the reference's own divergence on
+    duplicate predicates: the Python loader promotes scalar -> list
+    (``OntologyParserLoader.py:913-921``, 'list', default) while the
+    Java loader overwrites last-wins (``ResultsGraphBuilder.java:185-189``,
+    'last'). Emission order is not reproducible distributed, so 'last'
+    is defined as the max value under string ordering -- deterministic,
+    and identical to Java's behavior whenever the duplicates carry one
+    distinct value (the common case the Java code relies on).
     """
+    if attr_promotion not in ("list", "last"):
+        raise ValueError(f"attr_promotion must be 'list' or 'last', got {attr_promotion!r}")
     is_uri = F.col("o").contains("http") | F.col("o").rlike(r"^[A-Za-z]+_")
     triples = tuples.filter(F.col("lit").isNull())
     quads = tuples.filter(F.col("lit").isNotNull())
@@ -81,13 +94,18 @@ def graph_from_tuples(tuples: DataFrame) -> dict[str, DataFrame]:
     # the Python reference appends to a list on duplicate predicates,
     # OntologyParserLoader.py:913-921; Java last-wins diverges, we
     # document and take the Python list semantics).
+    value_agg = (
+        F.sort_array(F.collect_set("o"))
+        if attr_promotion == "list"
+        else F.array(F.max("o"))
+    )
     vertex_attrs = (
         attr_triples.groupBy(
             F.substring_index("s", "_", 1).alias("coll"),
             F.regexp_replace("s", r"^[^_]*_", "").alias("key"),
             F.col("p").alias("attr"),
         )
-        .agg(F.sort_array(F.collect_set("o")).alias("values"))
+        .agg(value_agg.alias("values"))
     )
 
     edge_attrs = (

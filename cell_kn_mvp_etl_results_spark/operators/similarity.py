@@ -146,6 +146,82 @@ def cosine_topk_arrow(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: k-means cell centroids + cell
+    assignment per vector. Returns (model, assigned DataFrame with a
+    ``cell`` column). The true large-corpus ANN layout: queries probe
+    only the nearest cell(s), so scoring touches corpus/n_cells vectors
+    per probe instead of everything.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell").fit(
+        feats
+    )
+    assigned = model.transform(feats).select(id_col, vec_col, "cell")
+    return model, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    model,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """IVF search: score each query only against its ``n_probe``
+    nearest cells' members. Recall < 1 (tunable via n_probe); the
+    candidate join shuffles on the cell id only.
+    """
+    import numpy as np
+
+    centers = np.array(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r[1], dtype=np.float64)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(r[0]), int(cell)))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), quantize).alias("qv")
+    ).select("q_id", "qv", dot(F.col("qv"), F.col("qv")).alias("qn"))
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qv), "q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+    )
+    cv = _quantized(F.col(vec_col), quantize)
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("cand_id"),
+        (dot(F.col("qv"), cv) / F.sqrt(F.col("qn") * dot(cv, cv))).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "rank", "score")
+    )
+
+
 def hyperplane_signature(
     vec: Column, dim: int, n_planes: int = 16, seed: int = 7
 ) -> Column:

@@ -1,0 +1,93 @@
+"""Tests for IVF ANN (MLlib KMeans cells), approximate-aggregate
+sketches, and the A7 last-wins attribute-promotion variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators import sketches
+from cell_kn_mvp_etl_results_spark.operators.graph import graph_from_tuples
+from cell_kn_mvp_etl_results_spark.operators.similarity import (
+    cosine_topk,
+    ivf_index,
+    ivf_topk,
+)
+from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    model, assigned = ivf_index(emb, n_cells=8)
+    assert assigned.select("cell").distinct().count() <= 8
+
+    exact = cosine_topk(emb, queries, k=5, quantize=4).collect()
+    approx = ivf_topk(assigned, model, queries, k=5, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.cand_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.cand_id)
+    # recall over the 5 queries with half the cells probed
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.5  # n_probe=4 of 8 cells: decent recall
+    # everything IVF returns must be correctly ranked (no score errors)
+    for r in approx:
+        assert -1.0 <= r.score <= 1.0
+
+
+def test_approx_distinct_bounds(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = sketches.approx_distinct(li, "l_orderkey", rsd=0.05)
+    assert abs(approx - exact) / exact < 0.15
+
+
+def test_approx_quantiles_ordered(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    q = sketches.approx_quantiles(c, "c_acctbal", [0.1, 0.5, 0.9])
+    assert q == sorted(q)
+    lo, hi = c.select(F.min("c_acctbal"), F.max("c_acctbal")).collect()[0]
+    assert lo <= q[0] and q[-1] <= hi
+
+
+def test_frequent_items_finds_heavy_hitter(spark):
+    rows = [(7,)] * 500 + [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long")
+    freq = sketches.frequent_items(df, "k", support=0.3)
+    assert 7 in freq
+
+
+def test_column_profile(spark, sf_dir):
+    prof = sketches.column_profile(
+        read_table(spark, sf_dir, "orders"), "o_custkey"
+    )
+    assert prof["n_rows"] > 0 and prof["null_fraction"] == 0.0
+    assert prof["min"] >= 0 and prof["approx_distinct"] > 0
+
+
+def test_attr_promotion_last_wins(spark):
+    rows = [
+        ("CL_1", "synonym", "b-name", None),
+        ("CL_1", "synonym", "a-name", None),
+        ("CL_1", "label", "only", None),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string, lit string")
+    g_list = graph_from_tuples(t, attr_promotion="list")
+    g_last = graph_from_tuples(t, attr_promotion="last")
+    attrs_list = {
+        (r.coll, r.key, r.attr): r.values for r in g_list["vertex_attrs"].collect()
+    }
+    attrs_last = {
+        (r.coll, r.key, r.attr): r.values for r in g_last["vertex_attrs"].collect()
+    }
+    assert attrs_list[("CL", "1", "synonym")] == ["a-name", "b-name"]
+    assert attrs_last[("CL", "1", "synonym")] == ["b-name"]  # deterministic last
+    assert attrs_last[("CL", "1", "label")] == ["only"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph_from_tuples(t, attr_promotion="bogus")

@@ -90,6 +90,50 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("est_duration_ms", LongType(), True),
+        StructField("rms_level", LongType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Decode an audio payload -> (duration_ms, rms_level). STUB: real
+    decoding needs an audio codec library; ``fake=True`` derives
+    deterministic pseudo-features so the plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires a codec library; run with fake=True "
+            "for deterministic plumbing tests"
+        )
+    n = len(payload)
+    duration_ms = n // 16  # pretend 16 bytes/ms
+    rms = (sum(b * b for b in payload[:256]) // max(1, min(n, 256))) % 1000
+    return duration_ms, rms
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature extraction via mapInPandas (same Arrow-batch
+    contract as image_features)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aud = pdf[pdf["kind"] == "audio"]
+            rows = []
+            for mid, payload in zip(aud["media_id"], aud["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                dur, rms = decode_audio(data, fake=fake)
+                rows.append((mid, len(data), dur, rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "est_duration_ms", "rms_level"]
+            )
+
+    return media.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Cheap metadata without decoding: byte length + content hash.
     Stays fully JVM-side (no Python), so it runs at scan speed."""

@@ -100,11 +100,48 @@ def owl_xml_to_triples(spark: SparkSession, xml_text: str) -> DataFrame:
     distributed pipeline. Corpus-scale RDF should arrive as N-Triples
     (read_ntriples) instead.
     """
+    return spark.createDataFrame(
+        _parse_owl_rows(xml_text), "s string, p string, o string, is_literal boolean"
+    )
+
+
+def read_owl_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S4 at scale: distributed OWL/XML parse. Files are read via the
+    binaryFile source and parsed per-file inside mapInPandas (stdlib
+    etree), so N ontology files parse on N cores and the driver never
+    holds documents. BNode ids are prefixed with a per-file hash so
+    blank nodes cannot collide across documents.
+    """
+    import pandas as pd
+
+    def parse(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                prefix = hashlib.md5(str(fpath).encode()).hexdigest()[:8]
+                rows = _parse_owl_rows(bytes(content).decode("utf-8"), bnode_prefix=prefix)
+                out.extend(rows)
+            yield pd.DataFrame(
+                out, columns=["s", "p", "o", "is_literal"]
+            )
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.owl").load(path)
+    return files.select("path", "content").mapInPandas(
+        parse, "s string, p string, o string, is_literal boolean"
+    )
+
+
+def _parse_owl_rows(
+    xml_text: str, bnode_prefix: str = "b"
+) -> list[tuple[str, str, str, bool]]:
+    """Shared RDF/XML striped-syntax walker (used by the driver-side
+    and distributed entry points)."""
     rows: list[tuple[str, str, str, bool]] = []
     counter = [0]
 
     def qname(tag: str) -> str:
-        # '{ns}local' -> full URI
         if tag.startswith("{"):
             ns, local = tag[1:].split("}", 1)
             return ns + local
@@ -115,11 +152,9 @@ def owl_xml_to_triples(spark: SparkSession, xml_text: str) -> DataFrame:
 
     def new_bnode() -> str:
         counter[0] += 1
-        return f"_:b{counter[0]}"
+        return f"_:{bnode_prefix}{counter[0]}"
 
     def walk_node(el: ET.Element) -> str:
-        """A node element: subject is rdf:about or a fresh bnode; child
-        elements are predicates."""
         subject = attr(el, "about") or attr(el, "ID") or new_bnode()
         type_uri = qname(el.tag)
         if type_uri not in (RDF_NS + "Description",):
@@ -142,9 +177,7 @@ def owl_xml_to_triples(spark: SparkSession, xml_text: str) -> DataFrame:
     root = ET.fromstring(xml_text)
     for el in root:
         walk_node(el)
-    return spark.createDataFrame(
-        rows, "s string, p string, o string, is_literal boolean"
-    )
+    return rows
 
 
 def triple_type_histogram(triples: DataFrame) -> DataFrame:

@@ -129,7 +129,8 @@ def read_tuples_json(spark: SparkSession, path: str) -> DataFrame:
     # Term test: the reference checks contains("http") because its terms
     # are full PURLs; this engine's writers emit CURIE-style terms
     # (CS_x, CL_0000235), accepted by the same pattern the graph
-    # assembler uses.
+    # assembler uses. Predicates are relation labels (subClassOf,
+    # PART_OF, ...) -- validated only as non-empty single tokens.
     is_uri = lambda c: c.contains("http") | c.rlike(r"^[A-Za-z]+[_:]")  # noqa: E731
     return (
         t.filter((n == 3) | (n == 4))
@@ -146,5 +147,5 @@ def read_tuples_json(spark: SparkSession, path: str) -> DataFrame:
             F.when(F.col("e4").isNull(), F.col("e3")).otherwise(F.col("e2")).alias("o"),
             F.col("e4").alias("lit"),
         )
-        .filter(is_uri(F.col("s")) & is_uri(F.col("p")))
+        .filter(is_uri(F.col("s")) & F.col("p").rlike(r"^\S+$"))
     )

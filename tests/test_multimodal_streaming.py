@@ -45,6 +45,17 @@ def test_image_features_plumbing(spark):
     }
 
 
+def test_audio_features_plumbing(spark):
+    out = {r.media_id: r for r in mm.audio_features(media(spark), fake=True).collect()}
+    assert set(out) == {3}  # only the audio row
+    assert out[3].n_bytes == 2 and out[3].est_duration_ms == 0
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"xx")
+
+
 def test_media_metadata_jvm_only(spark):
     out = {r.media_id: r for r in mm.media_metadata(media(spark)).collect()}
     assert out[4].n_bytes == 256 * 20

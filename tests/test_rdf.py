@@ -97,6 +97,52 @@ def test_resolve_bnodes_relation_and_annotation(spark):
     assert fn.filter(F.col("s").startswith("_:") | F.col("o").startswith("_:")).count() == 0
 
 
+def test_read_owl_dir_distributed(spark, tmp_path):
+    """Distributed OWL parse: two files -> one triples DataFrame with
+    per-file bnode namespaces."""
+    (tmp_path / "a.owl").write_text(OWL_FIXTURE)
+    (tmp_path / "b.owl").write_text(
+        OWL_FIXTURE.replace("XX_0000001", "ZZ_0000008")
+    )
+    (tmp_path / "ignored.txt").write_text("not owl")
+    t = rdf.read_owl_dir(spark, str(tmp_path))
+    rows = t.collect()
+    subjects = {r.s for r in rows}
+    assert "http://purl.obolibrary.org/obo/XX_0000001" in subjects
+    assert "http://purl.obolibrary.org/obo/ZZ_0000008" in subjects
+    # bnodes from different files never collide
+    bnodes = {r.s for r in rows if r.s.startswith("_:")}
+    prefixes = {b[2:10] for b in bnodes}
+    assert len(prefixes) == 2
+    # downstream reification still works on the merged stream
+    out = rdf.resolve_bnodes(t)
+    assert out["relations"].count() == 2  # one restriction per file
+
+
+def test_malformed_tuples_rows_dropped(spark, tmp_path):
+    """S6 validation: wrong-arity and non-term rows are filtered, valid
+    rows survive."""
+    import json
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_tuples_json
+
+    lines = [
+        {"tuple": ["CL_1", "subClassOf", "CL_2"]},          # valid triple
+        {"tuple": ["CL_1", "CL_2", "source", "PMID:1"]},     # valid quad
+        {"tuple": ["CL_1", "only-two"]},                     # bad arity
+        {"tuple": ["CL_1", "a", "b", "c", "d"]},             # bad arity
+        {"tuple": ["no term shape", "nope", "x"]},           # fails term test
+    ]
+    p = tmp_path / "tuples"
+    p.mkdir()
+    (p / "part-0.json").write_text("\n".join(json.dumps(l) for l in lines))
+    out = read_tuples_json(spark, str(p)).collect()
+    assert len(out) == 2
+    got = {(r.s, r.p, r.o, r.lit) for r in out}
+    assert ("CL_1", "subClassOf", "CL_2", None) in got
+    assert ("CL_1", "source", "CL_2", "PMID:1") in got
+
+
 def test_read_ntriples(spark, tmp_path):
     nt = textwrap.dedent(
         """\

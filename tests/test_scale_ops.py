@@ -56,6 +56,23 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_graph_partition_pruning(spark, sf_dir, tmp_path):
+    """The collection-pair partitioned edges layout turns typed-path
+    collection filters into partition pruning: a dst_coll filter must
+    appear as a PartitionFilter on the scan, not a post-scan filter."""
+    from cell_kn_mvp_etl_results_spark.operators.graph import graph_from_tuples
+    from cell_kn_mvp_etl_results_spark.plans.graph_queries import order_tuples
+    from cell_kn_mvp_etl_results_spark.sources.sinks import read_graph, write_graph
+
+    g = graph_from_tuples(order_tuples(spark, sf_dir))
+    base = str(tmp_path / "graph")
+    write_graph(g, base)
+    edges = read_graph(spark, base)["edges"]
+    plan = _explain(edges.filter(F.col("dst_coll") == "O"))
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "dst_coll" in part_lines[0]
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")

@@ -23,20 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_tuples_json(tuples: DataFrame, path: str, single_file: bool = False) -> None:
-    """K1: tuples interchange JSON. The reference emits one document
-    ``{"tuples": [[s,p,o], [s,o,p,lit], ...]}``
-    (``NSForestResultsTupleWriter.py:364-375``); we write line-delimited
-    JSON rows (the distributed-friendly framing) with the same tuple
-    arity semantics -- quads carry lit, triples omit it.
+def write_tuples_json(
+    tuples: DataFrame,
+    path: str,
+    single_file: bool = False,
+    reference_framing: bool = False,
+) -> None:
+    """K1: tuples interchange JSON.
+
+    Default framing is line-delimited rows ``{"tuple": [...]}`` (the
+    distributed-friendly form). ``reference_framing=True`` writes the
+    reference's single document ``{"tuples": [[s,p,o], [s,o,p,lit],...]}``
+    (``NSForestResultsTupleWriter.py:364-375``) for interop with its
+    Java loader -- driver-side materialization, appropriate only for
+    dimension-scale tuple files (exactly the reference's use).
+    Quads carry lit, triples omit it, in both framings.
     """
-    out = tuples.select(
-        F.when(
-            F.col("lit").isNull(), F.array("s", "p", "o")
-        )
+    arr = (
+        F.when(F.col("lit").isNull(), F.array("s", "p", "o"))
         .otherwise(F.array("s", "o", "p", "lit"))
         .alias("tuple")
     )
+    out = tuples.select(arr)
+    if reference_framing:
+        import json
+        import os
+
+        rows = [list(r.tuple) for r in out.collect()]
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "tuples.json"), "w") as f:
+            json.dump({"tuples": rows}, f)
+        return
     writer = out.coalesce(1) if single_file else out
     writer.write.mode("overwrite").json(path)
 
@@ -44,19 +61,23 @@ def write_tuples_json(tuples: DataFrame, path: str, single_file: bool = False) -
 def write_graph(graph: dict[str, DataFrame], base_path: str) -> None:
     """K3/K4: persist the property graph as parquet tables; edges (and
     edge attrs) partitioned by (src_coll, dst_coll) for partition-pruned
-    typed-path queries."""
-    graph["vertices"].write.mode("overwrite").partitionBy("coll").parquet(
-        os.path.join(base_path, "vertices")
-    )
-    graph["vertex_attrs"].write.mode("overwrite").partitionBy("coll").parquet(
-        os.path.join(base_path, "vertex_attrs")
-    )
-    graph["edges"].write.mode("overwrite").partitionBy(
-        "src_coll", "dst_coll"
-    ).parquet(os.path.join(base_path, "edges"))
-    graph["edge_attrs"].write.mode("overwrite").partitionBy(
-        "src_coll", "dst_coll"
-    ).parquet(os.path.join(base_path, "edge_attrs"))
+    typed-path queries.
+
+    An EMPTY component is written unpartitioned: partitioned writes of
+    empty DataFrames produce no files at all, and the read side then
+    cannot infer a schema (found by driving a minimal graph through the
+    CLI)."""
+
+    def write(df: DataFrame, name: str, *part_cols: str) -> None:
+        writer = df.write.mode("overwrite")
+        if part_cols and not df.isEmpty():
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(os.path.join(base_path, name))
+
+    write(graph["vertices"], "vertices", "coll")
+    write(graph["vertex_attrs"], "vertex_attrs", "coll")
+    write(graph["edges"], "edges", "src_coll", "dst_coll")
+    write(graph["edge_attrs"], "edge_attrs", "src_coll", "dst_coll")
 
 
 def read_graph(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:

@@ -48,6 +48,21 @@ def test_tuples_json_roundtrip(spark, tmp_path):
     )
 
 
+def test_reference_framing_roundtrip(spark, tmp_path):
+    """The reference's single-document {"tuples": [...]} framing reads
+    back through read_tuples_json's multiLine branch."""
+    path = str(tmp_path / "ref_tuples")
+    sinks.write_tuples_json(tuples_df(spark), path, reference_framing=True)
+    import json
+
+    doc = json.load(open(path + "/tuples.json"))
+    assert set(doc) == {"tuples"} and len(doc["tuples"]) == 4
+    back = read_tuples_json(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, tuples_df(spark).collect())
+    )
+
+
 def test_write_read_graph_partitioned(spark, tmp_path):
     base = str(tmp_path / "graph")
     g = graph_from_tuples(tuples_df(spark))

@@ -117,6 +117,20 @@ def test_hierarchy_longest_path_label_filter_and_tiebreak(spark):
     assert out[0].path == "A_1/A_2/A_3"
 
 
+def test_hierarchy_depth_cap(spark):
+    """The 1..64 depth cap (AqlQuerySetBuilder.java:96): a 70-deep chain
+    stops at depth 64."""
+    rows = [("A", str(i), "A", str(i + 1), "isa") for i in range(70)]
+    edges = spark.createDataFrame(
+        rows,
+        "src_coll string, src_key string, dst_coll string, dst_key string, label string",
+    )
+    start = spark.createDataFrame([("A", "0")], "coll string, key string")
+    out = hierarchy_longest_path(edges, start, label="isa", max_depth=64).collect()
+    assert out[0].depth == 64
+    assert out[0].path.endswith("/A_64")
+
+
 def test_hierarchy_cycle_safety(spark):
     rows = [
         ("A", "1", "A", "2", "isa"),

@@ -119,6 +119,27 @@ def nsforest_tuples(results: DataFrame) -> DataFrame:
     return base.unionAll(marker_t).unionAll(binary_t).select("t.s", "t.p", "t.o", "t.lit")
 
 
+def merge_author_mapping(mapping: DataFrame, nsforest: DataFrame) -> DataFrame:
+    """J2: author-to-CL mapping x NSForest results, inner equi-join on
+    ``author_cell_set == clusterName`` importing clusterSize, markers
+    and the surrogate uuid (``AuthorToClResultsTupleWriter.py:420-434``;
+    inner semantics drop author cell sets with no NSForest row -- the
+    reference notes they 'may not align exactly'). NSForest side is the
+    smaller (per-dataset) table -> broadcast."""
+    imported = nsforest.select(
+        F.col("clusterName"),
+        "clusterSize",
+        "NSForest_markers",
+        "binary_genes",
+        "uuid",
+    )
+    return mapping.join(
+        F.broadcast(imported),
+        mapping.author_cell_set == imported.clusterName,
+        "inner",
+    ).drop("clusterName")
+
+
 def author_to_cl_tuples(mapping: DataFrame) -> DataFrame:
     """T2: author-cell-set -> Cell Ontology mapping tuples.
 

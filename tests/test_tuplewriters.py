@@ -110,6 +110,42 @@ def test_author_to_cl_tuples(spark):
     assert not any("dddddddddddd" in s for s, *_ in out)
 
 
+def test_merge_author_mapping_then_tuples(spark):
+    """J2 merge -> T2 writer: the full author-pipeline lifecycle."""
+    from cell_kn_mvp_etl_results_spark.operators.tuplewriters import (
+        merge_author_mapping,
+    )
+
+    mapping = spark.createDataFrame(
+        [
+            (
+                "AII_1", "https://purl.obolibrary.org/obo/CL_4030027",
+                "GABAergic amacrine cell",
+                "http://purl.obolibrary.org/obo/UBERON_0000966", "retina",
+                "skos:broad", "manual", 38014002, "2e910e62",
+            ),
+            (
+                "NoMatch", "https://purl.obolibrary.org/obo/CL_1", "x",
+                "http://purl.obolibrary.org/obo/UBERON_1", "y",
+                "skos:exact", "manual", 1, "dv",
+            ),
+        ],
+        "author_cell_set string, cell_ontology_id string,"
+        "cell_ontology_term string, uberon_entity_id string,"
+        "uberon_entity_term string, match string, mapping_method string,"
+        "PMID long, dataset_version_id string",
+    )
+    merged = merge_author_mapping(mapping, nsforest_fixture(spark))
+    rows = merged.collect()
+    # inner join: only AII_1 has an NSForest row
+    assert [r.author_cell_set for r in rows] == ["AII_1"]
+    assert rows[0].clusterSize == 34655 and rows[0].uuid == "aaaaaaaaaaaa"
+
+    out = {tuple(r) for r in author_to_cl_tuples(merged).collect()}
+    assert ("CS_AII-1-aaaaaaaaaaaa", "COMPOSED_PRIMARILY_OF", "CL_4030027", None) in out
+    assert ("GS_SLC12A7", "PART_OF", "CL_4030027", None) in out
+
+
 def test_tuples_feed_graph_assembly(spark):
     """End-to-end: writer output -> graph assembly -> queryable edges
     (the reference lifecycle, SURVEY.md section 3)."""

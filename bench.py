@@ -30,8 +30,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    # Local-measurement sizing: with AQE off and sub-GB shuffles, 8
+    # static partitions measured ~15% faster than 32 (scheduling
+    # overhead dominates). SPARK_GRAFT_SHUFFLE overrides; production
+    # sizing guidance is in SCALE.md.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     spark = get_spark(
         "cell-kn-spark-bench",
+        shuffle_partitions=shuffle,
         extra_conf={"spark.sql.adaptive.enabled": aqe},
     )
     spark.sparkContext.setLogLevel("ERROR")

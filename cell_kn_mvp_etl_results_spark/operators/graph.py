@@ -127,6 +127,25 @@ def graph_from_tuples(
     }
 
 
+def filter_valid_vertices(
+    tuples: DataFrame, valid_colls: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """F9: keep only tuples whose subject collection is whitelisted
+    (the reference's VALID_VERTICES gate, ``OntologyParserLoader.py:41-44``,
+    ``:660-663``), and report what was skipped -- the reference tracks
+    skip counts; here they come back as a (coll, n_skipped) DataFrame
+    so the metric is inspectable without driver-side counters.
+    """
+    coll = F.substring_index("s", "_", 1)
+    kept = tuples.filter(coll.isin(*valid_colls))
+    skipped = (
+        tuples.filter(~coll.isin(*valid_colls))
+        .groupBy(coll.alias("coll"))
+        .agg(F.count(F.lit(1)).alias("n_skipped"))
+    )
+    return kept, skipped
+
+
 def undirected(edges: DataFrame) -> DataFrame:
     """ANY-direction edge view (AQL traversals run ANY direction,
     ``AqlQuerySetBuilder.java:33``): union of edges with src/dst swapped."""

@@ -561,6 +561,26 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_except_all",
+    tags=("setop", "U2"),
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1998
+ORDER BY o_orderpriority
+""",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set difference (exceptAll): multiset of 1997 order
+    priorities minus 1998's -- each surviving row represents one excess
+    occurrence. Complements q_except's distinct semantics."""
+    o = read_table(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    return y97.exceptAll(y98).orderBy("o_orderpriority")
+
+
+@query(
     "q_except",
     tags=("setop", "U2"),
     oracle="""

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cell_kn_mvp_etl_results_spark.operators.graph import (
+    filter_valid_vertices,
     graph_from_tuples,
     hierarchy_longest_path,
     k_hop,
@@ -41,6 +42,16 @@ def test_graph_assembly_vertices_edges(spark):
     assert ("CL", "1", "CL", "2", "subClassOf") in edges
     assert ("CL", "1", "UBERON", "9", "part_of") in edges
     assert len(edges) == 3
+
+
+def test_filter_valid_vertices(spark):
+    # F9: whitelist gate with observable skip metric. All 7 fixture
+    # subjects are CL_*.
+    kept, skipped = filter_valid_vertices(tuples_df(spark), ["CL"])
+    assert kept.count() == 7 and skipped.count() == 0
+    kept2, skipped2 = filter_valid_vertices(tuples_df(spark), ["GO"])
+    assert kept2.count() == 0
+    assert {(r.coll, r.n_skipped) for r in skipped2.collect()} == {("CL", 7)}
 
 
 def test_attr_list_promotion(spark):

@@ -121,7 +121,7 @@ SELECT
   CASE WHEN s LIKE 'C%' THEN 'C' ELSE 'O' END AS coll,
   substr(s, 3) AS key,
   p AS attr,
-  list_sort(list(DISTINCT o)) AS values
+  array_to_string(list_sort(list(DISTINCT o)), '|') AS values
 FROM attrs
 GROUP BY 1, 2, 3
 ORDER BY coll, key, attr
@@ -133,9 +133,17 @@ def q_attr_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar -> deduped sorted list (Python reference semantics,
     ``OntologyParserLoader.py:913-921``; the Java last-wins divergence is
     documented in operators/graph.py).
+
+    The gate serializes the list column as a ``|``-joined string (the
+    driver's row hasher cannot hash Python lists -- round-1 err); the
+    array-valued ``vertex_attrs`` operator API is unchanged.
     """
     g = graph_from_tuples(order_tuples(spark, sf_dir))
-    return g["vertex_attrs"].orderBy("coll", "key", "attr")
+    return (
+        g["vertex_attrs"]
+        .withColumn("values", F.array_join("values", "|"))
+        .orderBy("coll", "key", "attr")
+    )
 
 
 @query(

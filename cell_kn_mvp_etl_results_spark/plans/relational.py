@@ -32,18 +32,18 @@ from .registry import query
 SELECT
   l_returnflag,
   l_linestatus,
-  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
-    AS sum_base_price,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_price_cents,
   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-    / 10000.0 AS sum_disc_price,
+    AS sum_disc_price_x10000,
   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(round(l_discount * 100) AS BIGINT))
            * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
-    / 1000000.0 AS sum_charge,
-  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-    / count(*) / 100.0 AS avg_price,
+    AS sum_charge_x1000000,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*) AS BIGINT)
+    AS avg_price_cents,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -55,8 +55,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary over lineitem (reference agg family A5/A7;
     TPC-H Q1 shape). Single scan -> partial agg -> 6-group final agg:
     the map-side combine makes the shuffle a few hundred bytes per
-    partition regardless of input scale. Money math in integer cents
-    (exact + associative) -- see functions.money.
+    partition regardless of input scale.
+
+    All money columns are emitted as exact integer scaled values
+    (cents / cents*bp / cents*bp*bp) -- never IEEE doubles -- so the
+    gate's value hash is bit-identical regardless of how either
+    engine's division types a ``BIGINT / literal`` expression
+    (round-1 post-mortem: DuckDB typed ``/ 100.0`` as DECIMAL in the
+    driver's build, hashing differently from Spark's DOUBLE despite
+    numeric equality). Dollars are a *presentation* concern:
+    ``functions.money.money()`` converts at the edge when a human
+    needs them.
     """
     li = read_table(spark, sf_dir, "lineitem")
     price_c = cents("l_extendedprice")
@@ -67,11 +76,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_long("l_quantity")).alias("sum_qty"),
-            money(F.sum(price_c)).alias("sum_base_price"),
-            (F.sum(price_c * disc_bp) / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(price_c * disc_bp * tax_bp) / F.lit(1000000.0)).alias("sum_charge"),
-            avg_money(F.sum(price_c), F.count(F.lit(1))).alias("avg_price"),
+            F.sum(price_c).alias("sum_base_price_cents"),
+            F.sum(price_c * disc_bp).alias("sum_disc_price_x10000"),
+            F.sum(price_c * disc_bp * tax_bp).alias("sum_charge_x1000000"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_price_cents",
+            F.expr("sum_base_price_cents div count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_cents",
+            "sum_disc_price_x10000",
+            "sum_charge_x1000000",
+            "avg_price_cents",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -743,7 +765,8 @@ def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "A7"),
     oracle="""
 SELECT o_custkey,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+         AS priorities
 FROM orders
 GROUP BY o_custkey
 ORDER BY o_custkey
@@ -754,10 +777,19 @@ def q_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate predicates promote scalar -> deduped list,
     ``OntologyParserLoader.py:913-921``). sort_array(collect_set(...))
     makes the list value reproducible across partitionings.
+
+    The gate serializes the list as a ``|``-joined string: the driver's
+    row hasher cannot hash Python lists (round-1 err), and a canonical
+    string is hash-stable across both engines. The array-valued operator
+    API is unchanged -- this is gate-surface serialization only.
     """
     o = read_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities")
+        )
         .orderBy("o_custkey")
     )

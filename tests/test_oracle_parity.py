@@ -80,3 +80,32 @@ def test_query_matches_oracle(spark, sf_dir, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# Driver gate-surface contract: the driver's hasher pandas-sorts every
+# column, which raises TypeError on list/dict cells (round-1: q_attr_pivot
+# and q_collect_sorted_set both ERR'd on array<string> columns) and its
+# DuckDB results arrive via pandas where HUGEINT (any uncast sum(BIGINT))
+# silently becomes float64 (round-1: q_pricing_summary hash mismatch).
+# Gate queries must therefore emit only flat, hash-stable column types;
+# array-valued operator APIs serialize (array_join) at the gate surface.
+# ---------------------------------------------------------------------------
+
+_FLAT_SPARK_TYPES = {
+    "string", "boolean", "date",
+    "byte", "short", "integer", "long",
+    "float", "double", "timestamp", "timestamp_ntz", "decimal",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_gate_surface_is_flat(spark, sf_dir, name):
+    sdf = REGISTRY[name].builder(spark, sf_dir)
+    for f in sdf.schema.fields:
+        tn = f.dataType.typeName()
+        assert tn in _FLAT_SPARK_TYPES, (
+            f"{name}.{f.name} is {tn}: the driver's row hasher cannot "
+            f"hash nested values -- serialize (e.g. F.array_join) at the "
+            f"gate surface"
+        )

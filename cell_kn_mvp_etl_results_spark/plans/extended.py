@@ -16,7 +16,7 @@ from ..operators.search import build_gram_index
 from ..operators.similarity import _quantized, dot
 from ..sources.readers import read_table
 from .graph_queries import _TUPLES_ORACLE_BODY, order_tuples
-from .registry import query
+from .registry import TAIL, query
 
 # ---------------------------------------------------------------------------
 # T6 query side: gram-match search scoring.
@@ -264,6 +264,7 @@ def q_bnode_reification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_graph_edges",
+    priority=TAIL,
     tags=("graph", "T7"),
     oracle=f"""
 WITH t AS ({_TUPLES_ORACLE_BODY})

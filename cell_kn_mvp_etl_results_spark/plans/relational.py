@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from ..functions.money import avg_money, cents, money, qty_long
 from ..functions.text import char_ngrams, hyphenate, stable_uuid, tokens
 from ..sources.readers import read_table
-from .registry import query
+from .registry import TAIL, query
 
 # ---------------------------------------------------------------------------
 # Aggregations (A5/A7-style) -- TPC-H Q1-shaped pricing summary.
@@ -604,6 +604,7 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_except",
+    priority=TAIL,
     tags=("setop", "U2"),
     oracle="""
 SELECT DISTINCT n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import k_hop
 from ..sources.readers import read_table
-from .registry import query
+from .registry import TAIL, query
 
 
 def _edges_1hop(o):
@@ -26,6 +26,7 @@ def _edges_1hop(o):
 
 @query(
     "q_khop1",
+    priority=TAIL,
     tags=("graph", "J10"),
     oracle="""
 SELECT 'C_' || o_custkey AS start, count(*) AS n_paths
@@ -52,6 +53,7 @@ def q_khop1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_khop5",
+    priority=TAIL,
     tags=("graph", "J10"),
     oracle="""
 WITH e1 AS (SELECT DISTINCT n_regionkey AS src, n_nationkey AS dst FROM nation),

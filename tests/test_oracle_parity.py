@@ -109,3 +109,24 @@ def test_gate_surface_is_flat(spark, sf_dir, name):
             f"hash nested values -- serialize (e.g. F.array_join) at the "
             f"gate surface"
         )
+
+
+def test_gate_budget_ordering():
+    """Every non-TAIL query must land inside the driver's 50-entry gate
+    budget (the driver evaluates queries() in dict order and round 1
+    showed it caps the correctness artifact at the first 50)."""
+    from cell_kn_mvp_etl_results_spark.plans import all_queries
+    from cell_kn_mvp_etl_results_spark.plans.registry import (
+        GATE_BUDGET, REGISTRY, TAIL,
+    )
+
+    ordered = list(all_queries())
+    in_budget = set(ordered[:GATE_BUDGET])
+    stranded = [
+        n for n, s in REGISTRY.items()
+        if s.priority < TAIL and n not in in_budget
+    ]
+    assert not stranded, (
+        f"non-TAIL queries pushed past the gate budget: {stranded}; "
+        f"mark redundant variants priority=TAIL or merge gates"
+    )

@@ -47,9 +47,10 @@ ORDER BY id_a, id_b
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs by hamming distance <= 2
     (the shared-vocabulary corpus makes larger radii unselective:
-    ~77k pairs at radius 8 vs ~7.5k at radius 2). All-pairs here;
-    at scale, block on simhash bit-bands first (operators/dedup.py
-    simhash_pairs docstring)."""
+    ~77k pairs at radius 8 vs ~7.5k at radius 2). Bit-band blocked
+    (3 disjoint ~11-bit bands; pigeonhole gives full recall at
+    radius 2), so the candidate shuffle is on (band, val) keys --
+    never the all-pairs theta join the oracle spells out."""
     d = read_table(spark, sf_dir, "documents")
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
     return (

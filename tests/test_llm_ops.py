@@ -132,3 +132,30 @@ def test_lang_id_markers_and_tiebreak(spark):
     assert out[1] == ("en", 3)
     assert out[2] == ("zh", 3)
     assert out[3] == ("de", 0)  # all-zero tie -> alphabetically first
+
+
+def test_simhash_pairs_banded_equals_allpairs(spark):
+    """Pigeonhole recall guarantee: bit-band blocking finds EXACTLY the
+    all-pairs result for every radius (bands = max_hamming + 1)."""
+    hashes = dd.simhash(docs(spark), "doc_id", "text").cache()
+    for h in (0, 2, 5):
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dd.simhash_pairs(hashes, max_hamming=h).collect()
+        }
+        allpairs = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dd.simhash_pairs(hashes, max_hamming=h, block=False).collect()
+        }
+        assert banded == allpairs, f"radius {h}: banded != all-pairs"
+    hashes.unpersist()
+
+
+def test_simhash_pairs_max_bucket_prunes(spark):
+    """A degenerate band value shared by every row is dropped when its
+    bucket exceeds max_bucket (skew guard trades recall only there)."""
+    rows = [(i, 0) for i in range(10)]  # identical hash: every band collides
+    hashes = spark.createDataFrame(rows, "id long, simhash long")
+    full = dd.simhash_pairs(hashes, max_hamming=0).count()
+    capped = dd.simhash_pairs(hashes, max_hamming=0, max_bucket=5).count()
+    assert full == 45 and capped == 0

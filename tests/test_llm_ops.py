@@ -159,3 +159,42 @@ def test_simhash_pairs_max_bucket_prunes(spark):
     full = dd.simhash_pairs(hashes, max_hamming=0).count()
     capped = dd.simhash_pairs(hashes, max_hamming=0, max_bucket=5).count()
     assert full == 45 and capped == 0
+
+
+def test_jaccard_capped_equals_uncapped_under_cap(spark):
+    """With every posting list under the cap, the capped (candidate +
+    array_intersect verify) path returns exactly the uncapped result."""
+    d = docs(spark)
+    capped = {
+        (r.id_a, r.id_b, r.inter, r.union_sz, r.jaccard)
+        for r in dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                                  max_posting=1000).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.inter, r.union_sz, r.jaccard)
+        for r in dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                                  max_posting=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_jaccard_max_posting_prunes_boilerplate(spark):
+    """Docs sharing ONLY a boilerplate shingle lose their pair when the
+    cap drops it; docs sharing cold shingles keep exact jaccard values."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} token{i} extra{i}") for i in range(8)]
+    rows += [(100, f"{boiler} shared cold content here"),
+             (101, f"{boiler} shared cold content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # n=2 shingles: the boilerplate bigrams appear in all 10 docs
+    capped = dd.jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01,
+                              max_posting=5).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in pairs  # found via cold shingles
+    assert all(a == 100 for a, b in pairs), f"boilerplate-only pairs kept: {pairs}"
+    # and the surviving pair's jaccard is computed over the FULL sets
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in dd.jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01,
+                                      max_posting=None).collect()}
+    got = next(r.jaccard for r in capped if (r.id_a, r.id_b) == (100, 101))
+    assert got == full[(100, 101)]

@@ -45,15 +45,26 @@ def salted_join(
     on: str,
     salt: int = 8,
 ) -> DataFrame:
-    """Skew-safe equi-join: the fact side gets a random-ish (but
-    deterministic: key-hash derived) salt in [0, salt); the other side
-    is exploded ``salt`` times so every (key, salt) partition exists.
-    Shuffle load for a hot key spreads over ``salt`` tasks.
+    """Skew-safe equi-join: the fact side gets a deterministic salt in
+    [0, salt) derived from the HASH OF THE ROW'S OWN COLUMNS; the other
+    side is exploded ``salt`` times so every (key, salt) partition
+    exists. Shuffle load for a hot key spreads over ``salt`` tasks.
+
+    The salt must be a pure function of row content -- never
+    ``monotonically_increasing_id()`` or ``rand()``: a shuffle-map
+    retry recomputes rows, and a positional/random salt can land a
+    recomputed row in a different reducer partition while other
+    reducers already fetched the old output, silently duplicating or
+    dropping rows. Content-derived salt is retry-stable (identical
+    rows always co-salt, which is also what spreads a hot KEY: its
+    rows differ in the non-key columns).
 
     Use when one side has heavy hitters and the other is too big to
     broadcast. Output equals the plain join exactly.
     """
-    salted_f = facts.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), salt))
+    salted_f = facts.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in facts.columns]), F.lit(salt))
+    )
     salted_o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

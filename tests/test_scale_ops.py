@@ -100,3 +100,35 @@ def test_salted_join_spreads_hot_key(spark):
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), 4)
     )
     assert salted_f.select("_salt").distinct().count() == 4
+
+
+def test_salted_join_salt_is_retry_stable_and_spread(spark, sf_dir):
+    """The salt must be a pure function of row content: the same rows
+    under different partition layouts get identical salts (a retried
+    shuffle-map task recomputes rows -- positional salts duplicate or
+    drop them). And a hot key's rows must actually spread over salts."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    salt_expr = F.pmod(F.hash(*[F.col(c) for c in o.columns]), F.lit(8))
+    a = o.repartition(3).withColumn("_salt", salt_expr).collect()
+    b = o.repartition(17, "o_custkey").withColumn("_salt", salt_expr).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    # every order row shares o_custkey-skew potential; check spread
+    n_salts = len({r._salt for r in a})
+    assert n_salts == 8
+
+
+def test_connected_components_string_ids_deep_chain(spark):
+    """String node ids on a diameter-5 chain: a label-sum fixpoint test
+    would be NULL==None after round one and silently return a
+    half-propagated labeling; the changed-count detector must converge
+    to a single component labeled by the lexicographic minimum."""
+    import cell_kn_mvp_etl_results_spark.operators.dedup as dd
+
+    ids = [f"doc{i:02d}" for i in range(6)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(5)], "id_a string, id_b string"
+    )
+    out = dd.connected_components(nodes, edges).collect()
+    assert {r.component for r in out} == {"doc00"}
+    assert len(out) == 6

@@ -109,3 +109,30 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+
+
+def edge_ngrams(
+    col: Column | str, min_gram: int = 3, max_gram: int = 12
+) -> Column:
+    """Edge (prefix) n-grams per whitespace token -> array<string>.
+
+    The reference's UI type-ahead runs on an ArangoSearch edge-ngram
+    analyzer over display fields -- min 3, max 12, lowercase
+    (``ArangoDbUtilities.py:235-250``): every token contributes its
+    prefixes of length ``min_gram..min(max_gram, len(token))``, so a
+    partial query like "macroph" hits "macrophage" by exact gram
+    equality. Pure Catalyst (sequence + transform + substr), distinct
+    to bound index fan-out at ``max_gram - min_gram + 1`` grams/token.
+    """
+    toks = tokens(F.lower(_c(col)))
+    per_tok = F.transform(
+        toks,
+        lambda t: F.transform(
+            F.when(
+                F.length(t) >= min_gram,
+                F.sequence(F.lit(min_gram), F.least(F.length(t), F.lit(max_gram))),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda l: t.substr(F.lit(1), l),
+        ),
+    )
+    return F.array_distinct(F.flatten(per_tok))

@@ -17,19 +17,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams
+from ..functions.text import char_ngrams, edge_ngrams
 
 
 def build_gram_index(
-    df: DataFrame, key_cols: list[str], text_col: str, n: int = 3
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str,
+    n: int = 3,
+    analyzer: str = "ngram",
+    max_gram: int = 12,
 ) -> DataFrame:
-    """Inverted index rows (gram, <key_cols...>) -- deduped per doc."""
-    return df.select(
-        *key_cols,
-        F.explode(
-            F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n))
-        ).alias("gram"),
-    )
+    """Inverted index rows (gram, <key_cols...>) -- deduped per doc.
+
+    ``analyzer='ngram'`` emits fixed-length character grams (substring
+    search); ``analyzer='edge'`` emits per-token prefixes of length
+    ``n..max_gram`` -- the type-ahead analyzer
+    (``ArangoDbUtilities.py:235-250`` edge-ngram(3,12), lowercase).
+    Both are one explode + dedup, shuffle on the bounded gram key.
+    """
+    if analyzer == "ngram":
+        grams = F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n))
+    elif analyzer == "edge":
+        grams = edge_ngrams(F.col(text_col), n, max_gram)
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    return df.select(*key_cols, F.explode(grams).alias("gram"))
 
 
 def query_grams(query: str | Column, n: int = 3) -> list[str] | Column:
@@ -50,6 +63,36 @@ def search(
         return index.select(*key_cols).limit(0).withColumn("score", F.lit(0))
     hits = (
         index.filter(F.col("gram").isin(*set(grams)))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return hits.orderBy(F.desc("score"), *key_cols).limit(k)
+
+
+def search_prefix(
+    index: DataFrame,
+    key_cols: list[str],
+    query: str,
+    min_gram: int = 3,
+    max_gram: int = 12,
+    k: int = 10,
+) -> DataFrame:
+    """Type-ahead over an ``analyzer='edge'`` index: each query token is
+    matched as an exact gram (a token prefix of that length exists iff
+    some indexed token starts with it -- ArangoDB ``STARTS_WITH``
+    semantics); score = number of matched query tokens. Tokens shorter
+    than ``min_gram`` can't be in the index and are ignored; longer
+    than ``max_gram`` are truncated to the indexed prefix length.
+    """
+    toks = {
+        t[:max_gram]
+        for t in query.lower().split()
+        if len(t) >= min_gram
+    }
+    if not toks:
+        return index.select(*key_cols).limit(0).withColumn("score", F.lit(0))
+    hits = (
+        index.filter(F.col("gram").isin(*toks))
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("score"))
     )

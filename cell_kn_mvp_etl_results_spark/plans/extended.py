@@ -68,6 +68,47 @@ def q_search_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_QUERY = "smal giz"  # type-ahead: "small gizmo" partially typed
+
+
+@query(
+    "q_search_prefix",
+    tags=("text", "T6"),
+    oracle=f"""
+WITH toks AS (
+  SELECT p_partkey, unnest(string_split(lower(p_name), ' ')) AS tok FROM part
+),
+grams AS (
+  SELECT DISTINCT p_partkey, substr(tok, 1, l) AS gram
+  FROM toks, generate_series(3, 12) gs(l)
+  WHERE len(tok) >= 3 AND l <= len(tok)
+),
+hits AS (
+  SELECT p_partkey, count(*) AS score
+  FROM grams
+  WHERE gram IN ({", ".join(f"'{t}'" for t in sorted(_PREFIX_QUERY.split()))})
+  GROUP BY p_partkey
+)
+SELECT p_partkey, score
+FROM hits
+ORDER BY score DESC, p_partkey
+LIMIT 10
+""",
+)
+def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 type-ahead: edge-ngram(3,12) prefix index + STARTS_WITH-style
+    query, the ArangoSearch ``text_en_no_stem`` edge-ngram analyzer the
+    reference UI search relies on (``ArangoDbUtilities.py:235-250``).
+    Each query token matches as an exact gram; score = matched tokens.
+    Index is one explode + dedup; the gram IN-list pushes into the
+    scan."""
+    from ..operators.search import build_gram_index, search_prefix
+
+    p = read_table(spark, sf_dir, "part")
+    index = build_gram_index(p, ["p_partkey"], "p_name", 3, analyzer="edge")
+    return search_prefix(index, ["p_partkey"], _PREFIX_QUERY, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + deterministic bucketed ANN.
 # ---------------------------------------------------------------------------

@@ -44,3 +44,38 @@ def test_search_ranks_by_shared_grams(spark):
 def test_search_empty_query(spark):
     idx = build_gram_index(corpus(spark), ["id"], "name", 3)
     assert search(idx, ["id"], "ab", k=3).count() == 0
+
+
+def test_edge_ngram_typeahead(spark):
+    """Progressively longer prefixes of "macrophage" keep hitting the
+    doc (type-ahead), while unrelated prefixes don't."""
+    from cell_kn_mvp_etl_results_spark.operators.search import (
+        build_gram_index,
+        search_prefix,
+    )
+
+    rows = [(1, "Macrophage cell line"), (2, "T helper cell"), (3, "gizmo")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    idx = build_gram_index(df, ["id"], "name", 3, analyzer="edge")
+    for q in ("mac", "macro", "macroph", "macrophage"):
+        hits = search_prefix(idx, ["id"], q).collect()
+        assert [r.id for r in hits] == [1], q
+    # two-token query scores both matched tokens
+    top = search_prefix(idx, ["id"], "mac cel").collect()
+    assert top[0].id == 1 and top[0].score == 2
+    # below min_gram tokens are ignored; >max_gram truncates to 12
+    assert search_prefix(idx, ["id"], "ma").collect() == []
+    long_q = "macrophageXX"  # 12 chars = indexed prefix cap
+    assert [r.id for r in search_prefix(idx, ["id"], "macrophagece").collect()] == []
+
+
+def test_edge_ngrams_function_bounds(spark):
+    from cell_kn_mvp_etl_results_spark.functions.text import edge_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("Hi Chocolate",)], "s string")
+    grams = df.select(edge_ngrams("s").alias("g")).collect()[0].g
+    # 'hi' < min_gram contributes nothing; 'chocolate' yields len 3..9
+    assert sorted(grams) == [
+        "cho", "choc", "choco", "chocol", "chocola", "chocolat", "chocolate",
+    ]

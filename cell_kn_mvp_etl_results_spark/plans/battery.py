@@ -73,18 +73,31 @@ def run_path_spec(
 def touched_edges(paths: DataFrame) -> DataFrame:
     """Edge endpoints traversed by a spec's paths (for T8 extraction):
     consecutive path entries -> (src_coll, src_key, dst_coll, dst_key).
+
+    Hierarchy-extension walks count as touched too: the reference
+    FLATTENs the hierarchy sub-path's vertices/edges into each returned
+    path (``AqlQuerySetBuilder.java:104-116``), so the phenotype copy
+    includes them.
     """
-    pairs = paths.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("path") - 1),
-                lambda i: F.struct(
-                    F.element_at("path", i).alias("src"),
-                    F.element_at("path", i + 1).alias("dst"),
-                ),
+
+    def _pairs(arr):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("src"),
+                F.element_at(arr, i + 1).alias("dst"),
+            ),
+        )
+
+    pairs = paths.select(F.explode(_pairs(F.col("path"))).alias("e"))
+    if "hierarchy_path" in paths.columns:
+        # hierarchy_longest_path emits a "/"-joined node-id string;
+        # explode drops the NULL arrays of terminals with no hierarchy
+        pairs = pairs.unionByName(
+            paths.select(
+                F.explode(_pairs(F.split("hierarchy_path", "/"))).alias("e")
             )
-        ).alias("e")
-    )
+        )
     # coll = before the FIRST '_'; key = everything after it (keys may
     # themselves contain underscores).
     split = lambda c: (  # noqa: E731
@@ -99,6 +112,58 @@ def touched_edges(paths: DataFrame) -> DataFrame:
         d_coll.alias("dst_coll"),
         d_key.alias("dst_key"),
     ).dropDuplicates()
+
+
+def reference_battery() -> list[PathSpec]:
+    """The reference's 25 concrete traversal instances, as data
+    (``PhenotypeGraphBuilder.java:50-92``; query shapes
+    ``AqlQuerySetBuilder.java:28-351``): every query anchors on the CS
+    collection, runs 1-5 ANY-direction hops with per-hop collection
+    filters, and the *WithHierarchy variants extend the final vertex by
+    its longest (<=64) OUTBOUND walk along a single edge label
+    (SUB_CLASS_OF or PART_OF). Names are the hop chain;
+    ``+<LABEL>`` marks the hierarchy extension.
+    """
+    two = [
+        ("BMC", "BGS"), ("CL", "CSD"), ("CL", "GS"), ("CL", "PR"),
+        ("CSD", "PUB"), ("UBERON", "CHEBI"), ("UBERON", "CSD"),
+        ("UBERON", "GS"), ("UBERON", "NCBITaxon"), ("UBERON", "PATO"),
+        ("UBERON", "PR"),
+    ]
+    two_h = [
+        (("CL", "NCBITaxon"), "SUB_CLASS_OF"),
+        (("CL", "PATO"), "SUB_CLASS_OF"),
+        (("CL", "UBERON"), "PART_OF"),
+        (("UBERON", "GO"), "SUB_CLASS_OF"),
+    ]
+    three = [("CL", "GO", "NCBITaxon"), ("CL", "GS", "BMC"), ("CL", "GS", "UBERON")]
+    three_h = [(("CL", "GS", "MONDO"), "SUB_CLASS_OF")]
+    four = [("CL", "GS", "PR", "CHEMBL"), ("CL", "GS", "MONDO", "NCBITaxon")]
+    four_h = [(("CL", "GS", "MONDO", "HP"), "SUB_CLASS_OF")]
+    five = [
+        ("CL", "GS", "RS", "CHEMBL", "MONDO"),
+        ("CL", "GS", "RS", "CHEMBL", "PR"),
+    ]
+
+    def spec(hops: tuple[str, ...], label: str | None = None) -> PathSpec:
+        name = "CS-" + "-".join(hops) + (f"+{label}" if label else "")
+        return PathSpec(
+            name,
+            anchor="CS",
+            hops=list(hops),
+            hierarchy=HierarchySpec(label=label) if label else None,
+        )
+
+    return (
+        [spec(("BGS",))]
+        + [spec(h) for h in two]
+        + [spec(h, l) for h, l in two_h]
+        + [spec(h) for h in three]
+        + [spec(h, l) for h, l in three_h]
+        + [spec(h) for h in four]
+        + [spec(h, l) for h, l in four_h]
+        + [spec(h) for h in five]
+    )
 
 
 def run_battery(

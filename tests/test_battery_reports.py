@@ -106,3 +106,89 @@ def test_version_compare():
     assert not reports.is_newer_version(v2, v1)
     assert reports.is_newer_version(None, v1)
     assert not reports.is_newer_version(v1, "no-date-here")
+
+
+def ontology_graph(spark):
+    """A minimal graph reaching every collection the 25-query reference
+    battery touches, with hierarchy chains behind the *WithHierarchy
+    terminals (PhenotypeGraphBuilder.java:50-92)."""
+    R = "REL"
+    rows = [
+        # anchor fan-out
+        ("CS_c1", R, "BGS_b1", None),
+        ("CS_c1", R, "BMC_m1", None), ("BMC_m1", R, "BGS_b1", None),
+        ("CS_c1", R, "CL_t1", None),
+        ("CL_t1", R, "CSD_d1", None), ("CL_t1", R, "GS_g1", None),
+        ("CL_t1", R, "PR_p1", None),
+        ("CS_c1", R, "CSD_d1", None), ("CSD_d1", R, "PUB_u1", None),
+        ("CS_c1", R, "UBERON_u1", None),
+        ("UBERON_u1", R, "CHEBI_h1", None), ("UBERON_u1", R, "CSD_d1", None),
+        ("UBERON_u1", R, "GS_g1", None), ("UBERON_u1", R, "NCBITaxon_n1", None),
+        ("UBERON_u1", R, "PATO_a1", None), ("UBERON_u1", R, "PR_p1", None),
+        # hierarchy terminals (2 hops)
+        ("CL_t1", R, "NCBITaxon_n1", None),
+        ("NCBITaxon_n1", "SUB_CLASS_OF", "NCBITaxon_n2", None),
+        ("CL_t1", R, "PATO_a1", None),
+        ("PATO_a1", "SUB_CLASS_OF", "PATO_a2", None),
+        ("CL_t1", R, "UBERON_u1", None),
+        ("UBERON_u1", "PART_OF", "UBERON_u2", None),
+        ("UBERON_u1", R, "GO_o1", None),
+        ("GO_o1", "SUB_CLASS_OF", "GO_o2", None),
+        # 3 hops
+        ("CL_t1", R, "GO_o1", None), ("GO_o1", R, "NCBITaxon_n1", None),
+        ("GS_g1", R, "BMC_m1", None), ("GS_g1", R, "UBERON_u1", None),
+        ("GS_g1", R, "MONDO_o1", None),
+        ("MONDO_o1", "SUB_CLASS_OF", "MONDO_o2", None),
+        # 4 hops
+        ("GS_g1", R, "PR_p1", None), ("PR_p1", R, "CHEMBL_e1", None),
+        ("MONDO_o1", R, "NCBITaxon_n1", None),
+        ("MONDO_o1", R, "HP_h1", None),
+        ("HP_h1", "SUB_CLASS_OF", "HP_h2", None),
+        # 5 hops
+        ("GS_g1", R, "RS_r1", None), ("RS_r1", R, "CHEMBL_e1", None),
+        ("CHEMBL_e1", R, "MONDO_o1", None), ("CHEMBL_e1", R, "PR_p1", None),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string, lit string")
+    return graph_from_tuples(t)
+
+
+def test_reference_battery_names_and_shapes():
+    from cell_kn_mvp_etl_results_spark.plans.battery import reference_battery
+
+    specs = reference_battery()
+    assert len(specs) == 25
+    assert len({s.name for s in specs}) == 25
+    by_len = {}
+    for s in specs:
+        assert s.anchor == "CS"
+        by_len[len(s.hops)] = by_len.get(len(s.hops), 0) + 1
+    assert by_len == {1: 1, 2: 15, 3: 4, 4: 3, 5: 2}
+    hier = [s for s in specs if s.hierarchy is not None]
+    assert len(hier) == 6
+    assert all(s.hierarchy.max_depth == 64 for s in hier)
+    assert {s.hierarchy.label for s in hier} == {"SUB_CLASS_OF", "PART_OF"}
+
+
+def test_reference_battery_runs_all_25(spark):
+    from cell_kn_mvp_etl_results_spark.plans.battery import reference_battery
+
+    g = ontology_graph(spark)
+    specs = reference_battery()
+    out = run_battery(g["vertices"], g["edges"], specs)
+    assert set(out) == {s.name for s in specs} | {"_touched_edges"}
+    for s in specs:
+        paths = out[s.name].collect()
+        assert paths, f"{s.name}: no path found"
+        # every path ends in the spec's terminal collection
+        assert all(p.node_coll == s.hops[-1] for p in paths), s.name
+        if s.hierarchy is not None:
+            # at least one terminal has the 1-hop hierarchy extension
+            assert any(p.hierarchy_depth == 1 for p in paths), s.name
+    te = out["_touched_edges"].collect()
+    keys = [(r.src_coll, r.src_key, r.dst_coll, r.dst_key) for r in te]
+    assert len(keys) == len(set(keys))  # deduped across 25 specs
+    sub = extract_subgraph(g["edges"], out["_touched_edges"], g["vertex_attrs"])
+    verts = {(r.coll, r.key) for r in sub["vertices"].collect()}
+    # hierarchy tails are part of the extracted phenotype subgraph
+    assert ("NCBITaxon", "n2") in verts and ("UBERON", "u2") in verts
+    assert ("CS", "c1") in verts

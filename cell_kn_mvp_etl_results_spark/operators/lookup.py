@@ -30,6 +30,8 @@ def broadcast_lookup(
     multi='first': deterministic first match (min of value) -- the
     reference's caller-takes-first semantics made reproducible.
     multi='list': all matches as a sorted array.
+    multi='unique': fail (at action time) if any key maps to more than
+    one distinct value -- the dimension is required to be a function.
     ``default``: value when no match (the reference's ``"NA"`` default
     in the schema CURIE join, ``CellKnSchemaUtilities.py:87-107``).
     """
@@ -38,6 +40,22 @@ def broadcast_lookup(
         d = dim.groupBy(on).agg(F.min(value).alias(out))
     elif multi == "list":
         d = dim.groupBy(on).agg(F.sort_array(F.collect_set(value)).alias(out))
+    elif multi == "unique":
+        # raise_error is lazy: it only fires on rows where the guard
+        # trips, so the check costs one countDistinct in the same agg.
+        d = dim.groupBy(on).agg(
+            F.when(
+                F.count_distinct(F.col(value)) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"broadcast_lookup(multi='unique'): ambiguous key in {on!r}: "),
+                        F.col(on).cast("string"),
+                    )
+                ),
+            )
+            .otherwise(F.max(value))
+            .alias(out)
+        )
     else:
         raise ValueError(f"unknown multi policy {multi!r}")
     joined = facts.join(F.broadcast(d), on, "left")
@@ -77,25 +95,96 @@ def efo_to_mondo(
 # C5: annotation term normalization (AnnotationResultsTupleWriter.py:93-186)
 # -- a when-chain over term types plus small hardcoded patch tables.
 
+# PMID -> DOI patch dimension (AnnotationResultsTupleWriter.py:168-186;
+# Jorstad / Guo / Sikkema / Li).
+PMID_TO_DOI: dict[str, str] = {
+    "37824655": "PUB_doi.org/10.1126/science.adf6812",
+    "37516747": "PUB_doi.org/10.1038/s41467-023-40173-5",
+    "37291214": "PUB_doi.org/10.1038/s41591-023-02327-2",
+    "38014002": "PUB_doi.org/10.1101/2023.11.07.566105",
+}
 
-def normalize_annotation_term(type_col: Column | str, name_col: Column | str) -> Column:
-    """C5 subset, as a pure expression: unicode cleanup, type-prefix
-    dispatch, whitespace hyphenation. Patch-table lookups (MeSH->MONDO,
-    PMID->DOI) compose around this as broadcast joins."""
+# MeSH -> MONDO hand patches layered over the xref-derived map
+# (LoaderUtilities.py:859-873).
+MESH_TO_MONDO: dict[str, str] = {
+    "MESH:D000077192": "MONDO_0004991",
+    "MESH:D000086382": "MONDO_0100096",
+    "MESH:D003643": "UBERON_0000071",
+    "MESH:D005355": "MONDO_0002771",
+}
+
+
+def patch_dim(spark, mapping: dict[str, str], key: str, value: str) -> DataFrame:
+    """A hardcoded patch table as a broadcastable 2-column dimension,
+    for composing with ``broadcast_lookup`` (the reference keeps these
+    as Python dicts and probes them per row)."""
+    return spark.createDataFrame(
+        list(mapping.items()), f"{key} string, {value} string"
+    )
+
+
+def _lit_map(mapping: dict[str, str]) -> Column:
+    """A literal MAP expression for tiny patch dims: constant-folded by
+    Catalyst, cheaper than even a broadcast join at this size."""
+    return F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+
+
+def normalize_annotation_term(
+    type_col: Column | str,
+    name_col: Column | str,
+    id_col: Column | str | None = None,
+    subject_id_col: Column | str | None = None,
+    mesh2mondo: dict[str, str] | None = None,
+    pmid2doi: dict[str, str] | None = None,
+) -> Column:
+    """C5 as a pure expression: the full per-type normalization chain of
+    ``AnnotationResultsTupleWriter.normalize_term`` (``:93-186``) --
+    unicode cleanup, per-type dispatch on identifier/name, and the
+    MeSH->MONDO / PMID->DOI patch-table probes (literal maps here;
+    ``patch_dim`` + ``broadcast_lookup`` is the equivalent join form).
+
+    Unmatched Disease/Publication/Gene rows yield NULL, as in the
+    reference. Types outside the branch set also yield NULL (the
+    reference's implicit fall-through).
+    """
     t = F.col(type_col) if isinstance(type_col, str) else type_col
     n = F.col(name_col) if isinstance(name_col, str) else name_col
-    cleaned = F.translate(n, "γδ−", "gd-")  # gamma/delta/minus
-    hyph = F.regexp_replace(F.trim(cleaned), r"[ _,/]+", "-")
-    return (
-        F.when(t == "Cell_set", F.concat(F.lit("CS_"), hyph))
-        .when(t == "Biomarker_combination", F.concat(F.lit("BMC_"), hyph))
-        .when(t == "NLP_dataset", F.concat(F.lit("CSD_"), hyph))
-        .when(t == "Cell_type", hyph)
-        .when(
-            t == "Gene",
-            # all-caps gate: only uppercase alnum symbols are genes
-            F.when(n.rlike(r"^[A-Z0-9\-]+$"), F.concat(F.lit("GS_"), n)),
-        )
-        .when(t == "Publication", F.concat(F.lit("PUB_"), hyph))
-        .otherwise(hyph)
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    sid = (
+        F.col(subject_id_col) if isinstance(subject_id_col, str) else subject_id_col
     )
+    # Unicode cleanup (reference :113-122): the γδ *pair* becomes
+    # "gamma-delta"; U+2212 minus becomes ASCII hyphen in name and id.
+    n = F.regexp_replace(F.regexp_replace(n, "γδ", "gamma-delta"), "−", "-")
+    if i is not None:
+        i = F.regexp_replace(i, "−", "-")
+    hyph = F.regexp_replace(n, r"[ _,/]+", "-")
+    sid_prefix = F.substring_index(sid, "-", 1) if sid is not None else F.lit(None)
+    colon_to_us = (lambda c: F.replace(c, F.lit(":"), F.lit("_"))) if i is not None else None
+    gene = F.regexp_replace(n, "Myelin basic protein", "MBP")
+    mesh_map = _lit_map(mesh2mondo if mesh2mondo is not None else MESH_TO_MONDO)
+    pmid_map = _lit_map(pmid2doi if pmid2doi is not None else PMID_TO_DOI)
+
+    chain = F.when(
+        t == "Biomarker_combination",
+        F.concat(F.lit("BMC_"), n, F.lit("-"), sid_prefix),
+    ).when(
+        t == "Cell_set",
+        F.concat(F.lit("CS_"), hyph, F.lit("-"), sid_prefix),
+    )
+    if i is not None:
+        chain = (
+            chain.when(t.isin("Anatomical_structure", "Assay"), colon_to_us(i))
+            .when(t == "Cell_set_dataset", F.replace(i, F.lit("NLP_dataset"), F.lit("CSD")))
+            .when(
+                t == "Cell_type",
+                colon_to_us(F.replace(i, F.lit("<skos:related>"), F.lit(""))),
+            )
+            .when(t == "Disease", F.element_at(mesh_map, i))
+            .when(t == "Publication", F.element_at(pmid_map, i))
+        )
+    return chain.when(
+        t == "Gene",
+        # reference gate: name unchanged by upper() -> gene symbol
+        F.when(gene == F.upper(gene), F.concat(F.lit("GS_"), gene)),
+    ).otherwise(F.lit(None))

@@ -49,19 +49,85 @@ def test_efo_to_mondo_passthrough(spark):
 
 
 def test_normalize_annotation_term(spark):
+    """Golden test mirroring the reference's NormalizeTermTestCase
+    (AnnotationResultsTupleWriterTestCase.py): one row per branch of
+    AnnotationResultsTupleWriter.normalize_term."""
     rows = [
-        ("Cell_set", "alpha beta"),
-        ("Gene", "TP53"),
-        ("Gene", "NotAGene"),
-        ("NLP_dataset", "ds one"),
-        ("Publication", "x"),
+        # (type, name, identifier, subject_identifier, expected)
+        ("Anatomical_structure", "lung", "UBERON:0002048", "s", "UBERON_0002048"),
+        ("Assay", "some assay", "EFO:0002772", "s", "EFO_0002772"),
+        ("Biomarker_combination", "marker_set", "some-id", "abc123-rest", "BMC_marker_set-abc123"),
+        ("Cell_set", "T cells alpha", "some-id", "uuid123-rest", "CS_T-cells-alpha-uuid123"),
+        ("Cell_set_dataset", "dataset1", "NLP_dataset_v1", "s", "CSD_v1"),
+        ("Cell_type", "macrophage", "<skos:related>CL:0000235", "s", "CL_0000235"),
+        ("Cell_type", "macrophage", "CL:0000235", "s", "CL_0000235"),
+        ("Disease", "some disease", "MESH:D000077192", "s", "MONDO_0004991"),
+        ("Disease", "unknown disease", "MESH:D999999", "s", None),
+        ("Gene", "TP53", "u1", "s", "GS_TP53"),
+        ("Gene", "Myelin basic protein", "u2", "s", "GS_MBP"),
+        ("Gene", "NotAGene", "u3", "s", None),
+        ("Publication", "Sikkema", "37291214", "s", "PUB_doi.org/10.1038/s41591-023-02327-2"),
+        ("Publication", "unknown", "99999999", "s", None),
+        ("Some_other_type", "x", "y", "s", None),
     ]
-    df = spark.createDataFrame(rows, "t string, n string")
+    df = spark.createDataFrame(
+        [r[:4] for r in rows], "t string, n string, i string, sid string"
+    )
     got = [
         r.v
-        for r in df.select(normalize_annotation_term("t", "n").alias("v")).collect()
+        for r in df.select(
+            normalize_annotation_term("t", "n", "i", "sid").alias("v")
+        ).collect()
     ]
-    assert got == ["CS_alpha-beta", "GS_TP53", None, "CSD_ds-one", "PUB_x"]
+    assert got == [r[4] for r in rows]
+
+
+def test_normalize_annotation_term_unicode_cleanup(spark):
+    # γδ pair -> "gamma-delta" in names; U+2212 -> '-' in names and ids
+    df = spark.createDataFrame(
+        [("Cell_set", "γδ T cells", "id", "u9-x")], "t string, n string, i string, sid string"
+    )
+    got = df.select(normalize_annotation_term("t", "n", "i", "sid").alias("v")).head().v
+    assert got == "CS_gamma-delta-T-cells-u9"
+
+
+def test_patch_dims_match_literal_maps(spark):
+    """The broadcast-join form of the patch tables agrees with the
+    literal-map form used inside the expression."""
+    from cell_kn_mvp_etl_results_spark.operators.lookup import (
+        MESH_TO_MONDO,
+        PMID_TO_DOI,
+        patch_dim,
+    )
+
+    facts = spark.createDataFrame(
+        [(k,) for k in [*PMID_TO_DOI, "0000"]], "pmid string"
+    )
+    dim = patch_dim(spark, PMID_TO_DOI, "pmid", "doi")
+    got = {r.pmid: r.doi for r in broadcast_lookup(facts, dim, "pmid", "doi").collect()}
+    assert got == {**PMID_TO_DOI, "0000": None}
+    assert MESH_TO_MONDO["MESH:D003643"] == "UBERON_0000071"  # the odd one out
+
+
+def test_broadcast_lookup_unique_policy(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    facts = spark.createDataFrame([("g1",), ("g2",)], "gene string")
+    ok_dim = spark.createDataFrame(
+        [("g1", "E1"), ("g1", "E1"), ("g2", "E9")], "gene string, ens string"
+    )
+    got = {
+        r.gene: r.ens
+        for r in broadcast_lookup(facts, ok_dim, "gene", "ens", multi="unique").collect()
+    }
+    assert got == {"g1": "E1", "g2": "E9"}  # duplicate rows, one value: fine
+    bad_dim = spark.createDataFrame(
+        [("g1", "E1"), ("g1", "E2")], "gene string, ens string"
+    )
+    with pytest.raises(Exception) as ei:
+        broadcast_lookup(facts, bad_dim, "gene", "ens", multi="unique").collect()
+    assert "ambiguous" in str(ei.value)
 
 
 def _schema_fixture(spark, tmp_path):

@@ -137,7 +137,24 @@ def _parse_owl_rows(
     xml_text: str, bnode_prefix: str = "b"
 ) -> list[tuple[str, str, str, bool]]:
     """Shared RDF/XML striped-syntax walker (used by the driver-side
-    and distributed entry points)."""
+    and distributed entry points).
+
+    Explicit handling of the RDF/XML features beyond the plain striped
+    subset (guard-railed by tests/test_rdf.py):
+
+    * ``rdf:datatype`` typed literals keep their *lexical form* only --
+      the reference stringifies rdflib Literals the same way
+      (``OntologyParserLoader.parse_term`` str()s the term), so
+      ``xsd:anyURI``/``xsd:boolean``... tags are intentionally not
+      propagated into the tuples IR.
+    * ``xml:lang`` literals likewise keep text only; language tags are
+      dropped on purpose (the reference pipeline never reads them).
+    * ``rdf:parseType="Collection"`` (rdf:List in OBO
+      ``owl:intersectionOf``) flattens to one (s, p, member) row per
+      member instead of rdflib's first/rest bnode chain: downstream
+      consumers (graph assembly, bnode reification) want the membership
+      relation, not the cons cells.
+    """
     rows: list[tuple[str, str, str, bool]] = []
     counter = [0]
 

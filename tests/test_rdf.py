@@ -170,3 +170,81 @@ def test_triple_type_histogram(spark):
     }
     assert sum(hist.values()) == t.count()
     assert any(k[0] == "bnode" for k in hist)
+
+
+RDF_EXTRAS = """\
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:obo="http://purl.obolibrary.org/obo/"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xml:base="http://example.org/">
+  <owl:Class rdf:about="GO_1">
+    <obo:IAO_0000233 rdf:datatype="http://www.w3.org/2001/XMLSchema#anyURI"\
+>https://example.org/issues/1</obo:IAO_0000233>
+    <rdfs:label xml:lang="en">macrophage activation</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="GO_2"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="RO_1"/>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_owl_parse_datatype_lang_collection(spark):
+    """Guard-rail for RDF/XML beyond the plain striped subset: typed
+    literals and lang literals keep lexical form only; Collections
+    flatten to one membership row per member (documented behavior,
+    _parse_owl_rows docstring)."""
+    triples = rdf.owl_xml_to_triples(spark, RDF_EXTRAS)
+    rows = {(r.s, r.p, r.o, r.is_literal) for r in triples.collect()}
+    # rdf:datatype literal -> lexical value, datatype dropped
+    assert ("GO_1", "http://purl.obolibrary.org/obo/IAO_0000233",
+            "https://example.org/issues/1", True) in rows
+    assert not any("anyURI" in o for _, _, o, _ in rows)
+    # xml:lang literal -> text only, tag dropped
+    assert ("GO_1", "http://www.w3.org/2000/01/rdf-schema#label",
+            "macrophage activation", True) in rows
+    # Collection -> one row per member on the containing bnode; the
+    # Restriction member is itself a bnode carrying its onProperty
+    inter = [r for r in rows if r[1].endswith("intersectionOf")]
+    assert len(inter) == 2  # GO_2 + the Restriction bnode
+    members = {o for _, _, o, _ in inter}
+    assert "GO_2" in members
+    bnodes = members - {"GO_2"}
+    assert len(bnodes) == 1 and next(iter(bnodes)).startswith("_:")
+    assert any(r[0] in bnodes and r[1].endswith("onProperty") for r in rows)
+
+
+def test_owl_parse_reference_fixtures(spark):
+    """Parse the reference's real OBO fixtures end-to-end (read-only):
+    every subject non-empty, every literal flagged, typed-literal text
+    preserved."""
+    import os
+
+    import pytest
+
+    fixture_dir = "/root/reference/src/test/data/obo"
+    if not os.path.isdir(fixture_dir):
+        pytest.skip("reference fixtures not available")
+    for fnm in ("macrophage.owl", "ro.owl"):
+        with open(os.path.join(fixture_dir, fnm)) as f:
+            triples = rdf.owl_xml_to_triples(spark, f.read())
+        n = triples.count()
+        assert n > 100, fnm
+        assert triples.filter((F.col("s") == "") | F.col("s").isNull()).count() == 0
+        assert triples.filter(F.col("is_literal")).count() > 0
+    # the macrophage fixture's xsd:anyURI literals keep lexical form
+    with open(os.path.join(fixture_dir, "macrophage.owl")) as f:
+        t = rdf.owl_xml_to_triples(spark, f.read())
+    issues = t.filter(
+        F.col("o").contains("github.com/geneontology/go-ontology/issues")
+    )
+    assert issues.count() > 0
+    assert issues.filter(~F.col("is_literal")).count() == 0

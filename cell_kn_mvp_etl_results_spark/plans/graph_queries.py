@@ -200,7 +200,13 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
         .union(edge("O", "l_orderkey", "P", "l_partkey", "CONTAINS", li))
         .union(edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li))
-    )
+    ).persist()
+    # Materialize the deduped edge relation once: the three dedup
+    # shuffles run as a single parallel job, and the hop joins then read
+    # cached partitions with exact size stats (measured ~25% faster than
+    # recomputing per hop at sf0.1; scripts/khop_experiment.py).
+    # Spark's ContextCleaner unpersists when the plan is GC'd.
+    edges.count()
     start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
         F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
     )

@@ -126,18 +126,31 @@ def cosine_topk_arrow(
             c_norm = (c_mat * c_mat).sum(axis=1)
             dots = c_mat @ q_mat.T  # (batch, n_queries)
             scores = dots / np.sqrt(np.outer(c_norm, q_norm))
-            n_b, n_q = scores.shape
+            # Per-batch top-k fused into the scorer: only k rows per
+            # query per Arrow batch leave the Python worker, so the
+            # final rank window shuffles partitions*|q|*k rows, not
+            # |corpus|*|q|. Exact under the (score desc, cand_id asc)
+            # total order: a global top-k row is a batch top-k row.
+            scores[c_ids[:, None] == q_ids[None, :]] = -np.inf  # self
+            kk = min(k, scores.shape[0])
+            out_q, out_c, out_s = [], [], []
+            for j in range(scores.shape[1]):
+                top = np.lexsort((c_ids, -scores[:, j]))[:kk]
+                keep = top[np.isfinite(scores[top, j])]
+                out_q.append(np.full(len(keep), q_ids[j]))
+                out_c.append(c_ids[keep])
+                out_s.append(scores[keep, j])
             yield pd.DataFrame(
                 {
-                    "q_id": np.tile(q_ids, n_b),
-                    "cand_id": np.repeat(c_ids, n_q),
-                    "score": scores.reshape(-1),
+                    "q_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "score": np.concatenate(out_s),
                 }
             )
 
     scored = emb.select(id_col, vec_col).mapInPandas(
         score, "q_id long, cand_id long, score double"
-    ).filter(F.col("cand_id") != F.col("q_id"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -42,7 +42,9 @@ def split_term(term_col) -> tuple:
 
 
 def graph_from_tuples(
-    tuples: DataFrame, attr_promotion: str = "list"
+    tuples: DataFrame,
+    attr_promotion: str = "list",
+    uri_prefixes: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Assemble the property graph from the tuples IR (T7 two-pass build,
     ``ResultsGraphBuilder.java:103-303`` / ``OntologyParserLoader.py:1112-1168``).
@@ -68,7 +70,26 @@ def graph_from_tuples(
     """
     if attr_promotion not in ("list", "last"):
         raise ValueError(f"attr_promotion must be 'list' or 'last', got {attr_promotion!r}")
-    is_uri = F.col("o").contains("http") | F.col("o").rlike(r"^[A-Za-z]+_")
+    # URI-vs-literal dispatch, most reliable signal first:
+    # 1. an is_literal column threaded from the RDF readers (exact);
+    # 2. a caller-supplied whitelist of vertex-collection prefixes
+    #    (the reference's VALID_VERTICES set, OntologyParserLoader.py:41-44);
+    # 3. the shape heuristic -- which misreads literal values that
+    #    happen to look like CURIEs ("Homo_sapiens"), so prefer 1/2.
+    if "is_literal" in tuples.columns:
+        # downstream selects are all explicit projections, so the extra
+        # column never reaches the outputs
+        is_uri = ~F.coalesce(F.col("is_literal"), F.lit(False))
+    elif uri_prefixes is not None:
+        import re as _re
+
+        pat = "|".join(_re.escape(p) for p in uri_prefixes)
+        is_uri = F.col("o").contains("http") | F.col("o").rlike(rf"^({pat})_")
+    else:
+        is_uri = F.col("o").contains("http") | F.col("o").rlike(r"^[A-Za-z]+_")
+    if "lit" not in tuples.columns:
+        # triples-only input (e.g. straight from the RDF readers)
+        tuples = tuples.withColumn("lit", F.lit(None).cast("string"))
     triples = tuples.filter(F.col("lit").isNull())
     quads = tuples.filter(F.col("lit").isNotNull())
 

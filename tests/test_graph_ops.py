@@ -154,3 +154,35 @@ def test_hierarchy_cycle_safety(spark):
     out = hierarchy_longest_path(edges, start, label="isa", max_depth=64).collect()
     # Path must stop after visiting A_2 (cannot revisit A_1).
     assert out[0].depth == 1 and out[0].path == "A_1/A_2"
+
+
+def test_literal_dispatch_modes(spark):
+    """ADVICE r1: a literal value shaped like a CURIE ("Homo_sapiens")
+    must not become a phantom edge when the caller provides the exact
+    is_literal signal or a collection whitelist."""
+    rows = [
+        ("CL_1", "label", "Homo_sapiens", False),  # literal, CURIE-shaped
+        ("CL_1", "part_of", "UBERON_2", True),
+    ]
+    # mode 1: threaded is_literal column (exact; no lit column either)
+    t = spark.createDataFrame(
+        [(s, p, o, not u) for s, p, o, u in rows],
+        "s string, p string, o string, is_literal boolean",
+    )
+    g = graph_from_tuples(t)
+    assert [ (r.label, r.dst_coll) for r in g["edges"].collect() ] == [("part_of", "UBERON")]
+    attrs = {(r.attr, tuple(r.values)) for r in g["vertex_attrs"].collect()}
+    assert ("label", ("Homo_sapiens",)) in attrs
+    # mode 2: uri_prefixes whitelist
+    t2 = spark.createDataFrame(
+        [(s, p, o, None) for s, p, o, _ in rows],
+        "s string, p string, o string, lit string",
+    )
+    g2 = graph_from_tuples(t2, uri_prefixes=["CL", "UBERON"])
+    assert [r.label for r in g2["edges"].collect()] == ["part_of"]
+    assert ("label", ("Homo_sapiens",)) in {
+        (r.attr, tuple(r.values)) for r in g2["vertex_attrs"].collect()
+    }
+    # mode 3 (fallback heuristic): documented misclassification
+    g3 = graph_from_tuples(t2)
+    assert {r.label for r in g3["edges"].collect()} == {"label", "part_of"}

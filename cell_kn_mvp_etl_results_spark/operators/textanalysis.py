@@ -81,3 +81,88 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pred.alias("pred_lang"),
         best.alias("score"),
     )
+
+
+def _let(value: Column, body) -> Column:
+    """Let-bind an expression: evaluate ``value`` exactly once and pass
+    the materialized result to ``body`` as a lambda variable.
+
+    Implemented as ``element_at(transform(array(value), body), 1)`` --
+    ``ArrayTransform`` evaluates its argument once, then the lambda body
+    sees a bound variable, not the original expression tree. Without
+    this, referencing an expensive array expression inside another
+    higher-order lambda re-evaluates it per element (Catalyst's
+    CollapseProject inlines single-use aliases, and interpreted HOF
+    evaluation has no cross-lambda subexpression elimination), turning
+    an O(n) fingerprint into O(n^2) md5 calls per row.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def winnow_fingerprints(
+    text_col: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprint set (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 -- the MOSS algorithm): hash every char k-gram of the
+    normalized text, slide a ``window``-wide frame over the hash
+    sequence, record each frame's minimum, and return the distinct
+    minima sorted. Guarantees any match of length >= k + window - 1 is
+    caught by at least one shared fingerprint.
+
+    Pure Catalyst array expressions: the whole computation stays inside
+    one projection -- no explode, no shuffle, O(doc bytes) per row --
+    so it scales embarrassingly parallel over the corpus. The
+    normalized text and the k-gram hash array are let-bound (see
+    ``_let``) so each is computed once per row. Hashes are portable
+    md5-48s (same scheme as the dedup operators), so DuckDB reproduces
+    them bit-exactly for the oracle gate.
+
+    Texts shorter than k yield one whole-text shingle; hash sequences
+    shorter than ``window`` yield one frame.
+    """
+    from .dedup import normalize_text, portable_hash48
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def hashes_of(t: Column) -> Column:
+        n_sh = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: portable_hash48(F.substring(t, i, k)),
+        )
+
+    def minima_of(hs: Column) -> Column:
+        n_frames = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_frames),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        )
+
+    return _let(
+        normalize_text(c),
+        lambda t: _let(
+            hashes_of(t),
+            lambda hs: F.array_sort(F.array_distinct(minima_of(hs))),
+        ),
+    )
+
+
+def winnow_summary(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Per-document fingerprint summary (count + extrema) -- the
+    hashable gate surface over ``winnow_fingerprints``. The fingerprint
+    array is expanded through a single-row ``inline`` generator so the
+    expensive expression is evaluated once per row, not once per output
+    column."""
+    summary = _let(
+        winnow_fingerprints(text_col, k=k, window=window),
+        lambda fp: F.struct(
+            F.size(fp).alias("n_fp"),
+            F.element_at(fp, 1).alias("min_fp"),
+            F.element_at(fp, -1).alias("max_fp"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.inline(F.array(summary))
+    )

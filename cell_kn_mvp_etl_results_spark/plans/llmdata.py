@@ -363,3 +363,42 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("text").cast("binary")).alias("n_bytes"),
         F.substring(F.md5("text"), 1, 16).alias("content_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_winnow_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, i,
+         ('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 12))::BIGINT AS h,
+         greatest(length(t) - 4, 1) AS n_sh
+  FROM norm, generate_series(1, 2000) g(i)
+  WHERE i <= greatest(length(t) - 4, 1)
+),
+win AS (
+  SELECT id, i, n_sh,
+         min(h) OVER (
+           PARTITION BY id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS m
+  FROM sh
+)
+SELECT id, count(DISTINCT m) AS n_fp, min(m) AS min_fp, max(m) AS max_fp
+FROM win
+WHERE i <= greatest(n_sh - 3, 1)
+GROUP BY id
+ORDER BY id
+""",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summary per document: char-5-gram
+    portable hashes, window-4 minima, distinct. One projection, no
+    shuffle until the final order; the oracle replays the same frames
+    with SQL window functions."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.winnow_summary(d, "doc_id", "text", k=5, window=4).orderBy("id")

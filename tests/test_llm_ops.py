@@ -198,3 +198,74 @@ def test_jaccard_max_posting_prunes_boilerplate(spark):
                                       max_posting=None).collect()}
     got = next(r.jaccard for r in capped if (r.id_a, r.id_b) == (100, 101))
     assert got == full[(100, 101)]
+
+
+def _winnow_ref(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Pure-Python reference for winnow_fingerprints (same md5-48 scheme)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    grams = [t[i : i + k] for i in range(max(len(t) - k + 1, 1))]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams
+    ]
+    mins = [
+        min(hs[j : j + window]) for j in range(max(len(hs) - window + 1, 1))
+    ]
+    return sorted(set(mins))
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        (1, "The quick  Brown fox jumps over the lazy dog"),
+        (2, "ab"),  # shorter than k: one whole-text shingle
+        (3, "abcdef"),  # fewer hashes than window: one frame
+        (4, "winnowing selects the minimum hash per sliding frame"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", ta.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    for i, t in texts:
+        assert got[i] == _winnow_ref(t), f"doc {i}"
+
+
+def test_winnow_match_guarantee_and_dups(spark):
+    """MOSS guarantee: a shared run of >= k + window - 1 chars yields at
+    least one shared fingerprint; normalized exact dups share all."""
+    common = "a distinctive shared passage"  # len 28 >= 5 + 4 - 1
+    rows = [
+        (1, f"left context {common} right context"),
+        (2, f"totally other intro {common} and a different ending"),
+        (3, "LEFT   context " + common + " right context"),  # norm-dup of 1
+        (4, "no overlap with anything else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", ta.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    assert fps[1] == fps[3], "normalized dups share the full set"
+    assert not fps[1] & fps[4] or len(fps[1] & fps[4]) < 2
+
+
+def test_winnow_summary_matches_fingerprints(spark):
+    df = docs(spark)
+    s = {r.id: r for r in ta.winnow_summary(df, "doc_id", "text").collect()}
+    f = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", ta.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    for i, fp in f.items():
+        assert s[i].n_fp == len(fp)
+        assert s[i].min_fp == fp[0]
+        assert s[i].max_fp == fp[-1]

@@ -2,7 +2,9 @@
 
 K8: the triple-components report -- unique subject/predicate/object
 types and names dumped for review (``AnnotationResultsTupleWriter.py:19-90``).
-K6's Excel sheets become CSV directories (an Excel engine may be absent).
+K6 writes real multi-sheet .xlsx via the stdlib codec
+(:func:`write_report_xlsx`, re-exported from :mod:`.xlsx`); CSV
+directories remain available as the distributed-write alternative.
 C12: OWL version parsing/compare used to decide ontology re-download
 (``OntologyParserLoader.py:50-149``) -- a driver-side utility, not a
 data-plane operator.
@@ -14,6 +16,8 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .xlsx import write_report_xlsx  # noqa: F401  (K6 public surface)
 
 
 def triple_components_report(tuples: DataFrame) -> dict[str, DataFrame]:

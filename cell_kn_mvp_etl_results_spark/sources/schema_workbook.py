@@ -3,10 +3,9 @@
 The reference treats the Cell KN schema itself as data: an Excel
 workbook of (Subject Node, Predicate Relation, Object Node) rows plus a
 term->CURIE sheet, cleaned, CURIE-joined, and loaded as its own graph
-(``CellKnSchemaUtilities.py:11-332``). Excel engines may be absent, so
-the loader accepts CSV exports of the two sheets (the lossless
-interchange) and uses pandas-on-Spark's read_excel only when openpyxl
-is importable.
+(``CellKnSchemaUtilities.py:11-332``). Native .xlsx is read through the
+stdlib codec in :mod:`.xlsx` (no Excel engine needed); CSV exports of
+the two sheets remain accepted as a lossless interchange.
 """
 
 from __future__ import annotations
@@ -15,25 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.lookup import broadcast_lookup
+from .xlsx import xlsx_to_df
 
 
 def read_schema_sheets(
     spark: SparkSession, schema_path: str, terms_path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Read the schema rows + term->CURIE sheets from CSV (or .xlsx when
-    an Excel engine is available)."""
-    if schema_path.endswith((".xlsx", ".xls")):
-        try:
-            import pyspark.pandas as ps
+    """Read the schema rows + term->CURIE sheets from .xlsx or CSV.
 
-            schema = ps.read_excel(schema_path, sheet_name=0).to_spark()
-            terms = ps.read_excel(terms_path, sheet_name=2).to_spark()
-            return schema, terms
-        except ImportError as e:  # openpyxl missing
-            raise ImportError(
-                "Excel engine unavailable; export the workbook sheets to "
-                "CSV and pass those paths instead"
-            ) from e
+    Mirrors ``CellKnSchemaUtilities.py:28-29``: the reference reads
+    sheet 0 (schema triples) and sheet 2 (term->CURIE) of one workbook,
+    so passing the same .xlsx path twice reproduces it exactly.
+    """
+    if schema_path.endswith(".xlsx"):
+        schema = xlsx_to_df(spark, schema_path, sheet=0)
+        sheet = 2 if terms_path == schema_path else 0
+        terms = xlsx_to_df(spark, terms_path, sheet=sheet)
+        return schema, terms
     read = lambda p: spark.read.option("header", True).csv(p)  # noqa: E731
     return read(schema_path), read(terms_path)
 

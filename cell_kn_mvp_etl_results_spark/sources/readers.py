@@ -31,6 +31,27 @@ TABLES = (
     "embeddings",
 )
 
+# Parquet schema-inference is a driver-side job (~100 ms each, serialized)
+# that re-runs on EVERY spark.read.parquet call. The star-schema files are
+# immutable per (path, mtime, size), so the inferred StructType is cached
+# process-wide and passed explicitly -- the standard trusted-schema read a
+# lake deployment uses (schemas come from the catalog, not file footers).
+_SCHEMA_CACHE: dict = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        return _SCHEMA_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
@@ -41,7 +62,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf. Set at runtime so the queries work under ANY caller's
         # SparkSession (e.g. the driver harness), not just session.get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong (session.py). The generator
     # emits micro-precision values, so the div-1000 conversion is exact.

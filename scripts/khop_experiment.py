@@ -5,6 +5,16 @@ Variants:
   B persist the deduped union before the hop joins (include persist cost)
   C single lineitem scan: persist the 3-column projection, derive both
     lineitem edge sets from the cache
+  D aggregation pushdown below the final hop: n_paths via a broadcast
+    per-part supplier-count dim joined onto the hop-2 frontier
+    (sum(ns)), n_terminals via distinct(start,part) |x| e3 then
+    distinct -- hop 3's 3.7M path rows are never materialized.
+    MEASURED RESULT (r2): identical output, NOT faster (3.3s vs 3.1s
+    median) -- Spark's map-side partial agg already compresses the
+    3.7M rows before the shuffle, and D adds two extra stages whose
+    scheduling overhead eats the row savings at local scale. Kept the
+    simpler plan; at 1000-executor scale D's shape wins when hop-3
+    fan-out no longer fits the map-side hash (see BENCH_NOTES.md).
 Run: python scripts/khop_experiment.py
 """
 import time
@@ -109,9 +119,64 @@ def main():
         finally:
             spark.catalog.clearCache()
 
+    def variant_d():
+        o = read_table(spark, SF, "orders")
+        li = read_table(spark, SF, "lineitem")
+
+        def tag(df, sc, dc, label):
+            return df.select(
+                F.lit(sc).alias("src_coll"),
+                F.col("src_key"),
+                F.lit(dc).alias("dst_coll"),
+                F.col("dst_key"),
+                F.lit(label).alias("label"),
+            )
+
+        def dedup2(df, a, b):
+            return df.select(
+                F.col(a).alias("src_key"), F.col(b).alias("dst_key")
+            ).dropDuplicates()
+
+        e12 = (
+            tag(dedup2(o, "o_custkey", "o_orderkey"), "C", "O", "PLACED")
+            .union(tag(dedup2(li, "l_orderkey", "l_partkey"), "O", "P", "CONTAINS"))
+            .persist()
+        )
+        e3 = dedup2(li, "l_partkey", "l_suppkey").persist()
+        e12.count(), e3.count()
+        try:
+            f2 = k_hop(e12, start, ["O", "P"], carry_path=False)
+            nsupp = e3.groupBy("src_key").agg(F.count(F.lit(1)).alias("ns"))
+            n_paths = (
+                f2.join(F.broadcast(nsupp), f2.node_key == nsupp.src_key)
+                .groupBy("v0_key")
+                .agg(F.sum("ns").alias("n_paths"))
+            )
+            f2d = f2.dropDuplicates(["v0_key", "node_key"])
+            n_term = (
+                f2d.join(F.broadcast(e3), f2d.node_key == e3.src_key)
+                .select("v0_key", "dst_key")
+                .dropDuplicates()
+                .groupBy("v0_key")
+                .agg(F.count(F.lit(1)).alias("n_terminals"))
+            )
+            return len(
+                n_paths.join(n_term, "v0_key")
+                .select(
+                    F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
+                    "n_paths",
+                    "n_terminals",
+                )
+                .orderBy("start")
+                .collect()
+            )
+        finally:
+            spark.catalog.clearCache()
+
     run_variant(spark, "A current", variant_a)
     run_variant(spark, "B persist-union", variant_b)
     run_variant(spark, "C single-scan-li", variant_c)
+    run_variant(spark, "D agg-pushdown", variant_d)
 
 
 if __name__ == "__main__":

@@ -235,3 +235,100 @@ def parse_pubmed_article(xml_text: str) -> dict[str, str | None]:
             None,
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# EBI OLS (DRON) + RxNav drug properties (S9).
+# ---------------------------------------------------------------------------
+
+# The reference fetches per-drug payloads into dicts keyed by drug name
+# (ExternalApiResultsFetcher.py:318-398 EBI, :400-514 RxNav) with a
+# bookkeeping "drug_names" key alongside the payloads. These loaders
+# flatten that cache shape into one-row-per-drug DataFrames
+# (dimension-scale, driver-side flatten like the other cached-API
+# dims), and the parsers below are Catalyst expressions over them.
+
+
+def load_drug_cache(spark, cache: dict) -> DataFrame:
+    """Reference drug-cache dict -> one JSON row per drug. The payload
+    stays a JSON string so callers can parse it with an explicit schema
+    (``F.from_json``) -- cached API payloads are too irregular for
+    whole-file schema inference."""
+    import json
+
+    rows = [
+        (name, json.dumps(payload))
+        for name, payload in cache.items()
+        if name != "drug_names"
+    ]
+    return spark.createDataFrame(rows, "drug_name string, payload string")
+
+
+EBI_DOC_SCHEMA = (
+    "struct<response: struct<docs: array<struct<"
+    "obo_id string, label string, ontology_name string>>>>"
+)
+
+
+def ebi_dron_dim(ebi: DataFrame) -> DataFrame:
+    """S9: EBI OLS search results -> (drug_name, dron_id, dron_label)
+    lookup dim. The reference queries OLS with ``ontology=dron``
+    (ExternalApiResultsFetcher.py:371-373) and keeps whole responses;
+    first DRON doc wins, drugs with no hit drop (F6 guard). Input:
+    (drug_name, payload JSON string) from :func:`load_drug_cache`."""
+    parsed = ebi.select(
+        "drug_name", F.from_json("payload", EBI_DOC_SCHEMA).alias("p")
+    )
+    doc = F.filter(
+        F.col("p.response.docs"), lambda d: d["ontology_name"] == F.lit("dron")
+    )[0]
+    return parsed.select(
+        "drug_name",
+        doc["obo_id"].alias("dron_id"),
+        doc["label"].alias("dron_label"),
+    ).filter(F.col("dron_id").isNotNull())
+
+
+RXNAV_SCHEMA = (
+    "struct<"
+    "idGroup: struct<rxnormId: array<string>>, "
+    "propConceptGroup: struct<propConcept: array<struct<"
+    "propCategory string, propName string, propValue string>>>>"
+)
+
+
+def rxnav_props(rxnav: DataFrame) -> DataFrame:
+    """S9: RxNav per-drug payloads -> long-form property relation
+    (drug_name, rxcui, prop_name, prop_value). Mirrors the cache the
+    reference builds from rxcui.json + allProperties.json
+    (ExternalApiResultsFetcher.py:455-496); drugs that resolved no
+    rxnormId have no property rows, matching the reference's skip."""
+    parsed = rxnav.select(
+        "drug_name", F.from_json("payload", RXNAV_SCHEMA).alias("p")
+    )
+    return parsed.select(
+        "drug_name",
+        F.col("p.idGroup.rxnormId")[0].alias("rxcui"),
+        F.posexplode("p.propConceptGroup.propConcept").alias("pos", "pc"),
+    ).select(
+        "drug_name",
+        "rxcui",
+        "pos",
+        F.col("pc.propName").alias("prop_name"),
+        F.col("pc.propValue").alias("prop_value"),
+    )
+
+
+def drug_prop(props: DataFrame, prop_name: str) -> DataFrame:
+    """``get_prop_for_drug`` (ExternalApiResultsFetcher.py:516-552) as a
+    relation: (drug_name, prop_value) with the FIRST matching property
+    per drug. The reference breaks on first match; ``pos`` (the
+    propConcept array index carried by posexplode) makes first-wins a
+    deterministic min-by, robust to any partitioning."""
+    return (
+        props.filter(F.col("prop_name") == prop_name)
+        .groupBy("drug_name")
+        .agg(
+            F.min_by("prop_value", "pos").alias("prop_value"),
+        )
+    )

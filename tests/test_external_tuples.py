@@ -138,3 +138,51 @@ def test_parse_pubmed_article():
     assert meta["journal"] == "Cell Reports"
     assert meta["year"] == "2023"
     assert meta["doi"] == "10.1101/2023.11.07.566105"
+
+
+def test_ebi_rxnav_drug_cache_parsers(spark):
+    """S9: the reference's drug-cache dict shapes
+    (ExternalApiResultsFetcher.py:318-514) parse into lookup dims."""
+    ebi_cache = {
+        "drug_names": ["aspirin", "unobtainium"],  # bookkeeping key skipped
+        "aspirin": {
+            "response": {
+                "docs": [
+                    {"obo_id": "CHEBI:15365", "label": "acetylsalicylic acid",
+                     "ontology_name": "chebi"},
+                    {"obo_id": "DRON:00020113", "label": "aspirin",
+                     "ontology_name": "dron"},
+                ]
+            }
+        },
+        "unobtainium": {},  # failed fetch -> empty payload, F6 drop
+    }
+    dim = ext.ebi_dron_dim(ext.load_drug_cache(spark, ebi_cache))
+    rows = {(r.drug_name, r.dron_id, r.dron_label) for r in dim.collect()}
+    assert rows == {("aspirin", "DRON:00020113", "aspirin")}
+
+    rxnav_cache = {
+        "drug_names": ["aspirin", "nothing"],
+        "aspirin": {
+            "idGroup": {"rxnormId": ["1191"]},
+            "propConceptGroup": {
+                "propConcept": [
+                    {"propCategory": "CODES", "propName": "DRUGBANK",
+                     "propValue": "DB00945"},
+                    {"propCategory": "CODES", "propName": "UNII_CODE",
+                     "propValue": "R16CO5Y76E"},
+                    {"propCategory": "CODES", "propName": "DRUGBANK",
+                     "propValue": "DB-DUP"},  # later dup: first must win
+                ]
+            },
+        },
+        "nothing": {"idGroup": {}},  # no rxnormId -> no property rows
+    }
+    props = ext.rxnav_props(ext.load_drug_cache(spark, rxnav_cache))
+    got = {(r.drug_name, r.rxcui, r.prop_name, r.prop_value) for r in props.collect()}
+    assert ("aspirin", "1191", "DRUGBANK", "DB00945") in got
+    assert ("aspirin", "1191", "UNII_CODE", "R16CO5Y76E") in got
+    assert not any(r[0] == "nothing" for r in got)
+
+    first = {r.drug_name: r.prop_value for r in ext.drug_prop(props, "DRUGBANK").collect()}
+    assert first == {"aspirin": "DB00945"}  # get_prop_for_drug first-wins

@@ -166,3 +166,37 @@ def winnow_summary(
     return df.select(
         F.col(id_col).alias("id"), F.inline(F.array(summary))
     )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per document -- the within-doc
+    repetition quality signal LLM corpus filters use (high duplicate
+    2-gram / 3-gram fractions mark boilerplate, template spam, and
+    decoding loops; cf. the repetition filters of Rae et al., Gopher
+    2021, appendix A1.1). Returns (id, n_grams, n_distinct, dup_frac).
+
+    Pure Catalyst: the shingle array is let-bound and reduced to three
+    scalars in one projection -- no explode, no shuffle, linear per
+    row, so it composes with the corpus-scale quality pipeline without
+    a groupBy.
+    """
+    from ..functions.text import word_shingles
+
+    summary = _let(
+        word_shingles(F.col(text_col), n),
+        lambda g: F.struct(
+            F.size(g).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(g)).cast("long").alias("n_distinct"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.inline(F.array(summary))
+    ).withColumn(
+        "dup_frac",
+        F.when(
+            F.col("n_grams") > 0,
+            (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -402,3 +402,36 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     with SQL window functions."""
     d = read_table(spark, sf_dir, "documents")
     return ta.winnow_summary(d, "doc_id", "text", k=5, window=4).orderBy("id")
+
+
+@query(
+    "q_repetition",
+    tags=("text", "quality"),
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT id,
+         [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS grams
+  FROM t
+)
+SELECT id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+            ELSE 0.0 END AS dup_frac
+FROM g
+ORDER BY id
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: duplicate word-bigram fraction, the
+    boilerplate/template-spam filter signal. One projection per row;
+    the oracle rebuilds the same bigrams with DuckDB list
+    comprehensions."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.repetition_score(d, "doc_id", "text", n=2).orderBy("id")

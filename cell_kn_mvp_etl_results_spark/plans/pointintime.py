@@ -108,3 +108,43 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_sample_stratified",
+    tags=("sampling",),
+    oracle="""
+SELECT source, doc_id, rnk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat7-' || doc_id), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= 5
+ORDER BY source, rnk
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sample: exactly k docs per
+    source, chosen by content-addressed md5 rank -- the balanced-split
+    sampler a training pipeline uses so strata with wildly different
+    sizes contribute equally, reproducibly across engines and
+    partitionings.
+
+    Scale shape: the rank<=k predicate compiles to WindowGroupLimit
+    (Spark >= 3.5), which takes a partial per-partition top-k BEFORE
+    the shuffle on source -- the reduce side sees at most k rows per
+    (map partition, stratum), never the full stratum. Skewed sources
+    therefore cannot overload a reducer.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.concat(F.lit("strat7-"), F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    )

@@ -729,6 +729,9 @@ def q_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_acctbal_stats",
     tags=("agg", "A5"),
+    # A5 variant: q_pricing_summary (headline) is the in-budget gate for
+    # the group-stats family; this one sorts past the 50-entry budget.
+    priority=900,
     oracle="""
 SELECT c_mktsegment,
        count(*) AS n_customers,

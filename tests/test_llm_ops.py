@@ -269,3 +269,19 @@ def test_winnow_summary_matches_fingerprints(spark):
         assert s[i].n_fp == len(fp)
         assert s[i].min_fp == fp[0]
         assert s[i].max_fp == fp[-1]
+
+
+def test_repetition_score(spark):
+    rows = [
+        (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 5 grams, 2 distinct
+        (2, "all words here differ"),  # 3 grams, all distinct
+        (3, "one"),                  # < n tokens -> 0 grams, dup_frac 0.0
+        (4, ""),                     # empty -> 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in ta.repetition_score(df, "doc_id", "text").collect()}
+    assert (got[1].n_grams, got[1].n_distinct) == (5, 2)
+    assert got[1].dup_frac == (5 - 2) / 5
+    assert got[2].dup_frac == 0.0 and got[2].n_grams == 3
+    assert got[3].n_grams == 0 and got[3].dup_frac == 0.0
+    assert got[4].n_grams == 0 and got[4].dup_frac == 0.0

@@ -10,9 +10,11 @@ The equivalents here are composable functions plus a tiny CLI:
       --tuples <json dir> --graph <dir>
   python -m cell_kn_mvp_etl_results_spark.pipelines query \
       --graph <dir> --anchor CS --hops BMC,BGS
+  python -m cell_kn_mvp_etl_results_spark.pipelines report \
+      --tuples <json dir> --out <report.xlsx>
 
-Each stage reads/writes open formats (CSV/JSON/parquet), so a user of
-the reference can swap one stage at a time.
+Each stage reads/writes open formats (CSV/JSON/parquet/xlsx), so a user
+of the reference can swap one stage at a time.
 """
 
 from __future__ import annotations
@@ -63,6 +65,20 @@ def run_query(
     return run_path_spec(g["vertices"], g["edges"], spec)
 
 
+def run_report(spark: SparkSession, tuples_path: str, out_xlsx: str) -> dict:
+    """Review artifact (K8 + K6): unique triple components of a tuples
+    relation as one multi-sheet .xlsx workbook -- the reference's
+    reviewer deliverable (``CellKnSchemaUtilities.py:228-239`` writes
+    Subjects/Objects/... sheets; ``AnnotationResultsTupleWriter.py:19-90``
+    dumps the unique component sets it reviews)."""
+    from .sources.reports import triple_components_report, write_report_xlsx
+
+    tuples = read_tuples_json(spark, tuples_path)
+    report = triple_components_report(tuples)
+    write_report_xlsx(report, out_xlsx)
+    return report
+
+
 def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
@@ -79,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     p3.add_argument("--anchor", required=True)
     p3.add_argument("--hops", required=True, help="comma-separated collections")
     p3.add_argument("--limit", type=int, default=20)
+    p4 = sub.add_parser("report")
+    p4.add_argument("--tuples", required=True)
+    p4.add_argument("--out", required=True, help="output .xlsx path")
     args = ap.parse_args(argv)
 
     spark = get_spark("cell-kn-spark-cli")
@@ -99,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print("/".join(r.path))
             print(f"({df.count()} paths total)")
+        elif args.cmd == "report":
+            report = run_report(spark, args.tuples, args.out)
+            print(f"wrote {len(report)} sheets to {args.out}")
     finally:
         spark.stop()
     return 0

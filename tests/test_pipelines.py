@@ -69,6 +69,19 @@ def test_cli_main(spark, tmp_path, capsys):
         )
         out = capsys.readouterr().out
         assert "paths total" in out and "GS_" in out
+        report_xlsx = str(tmp_path / "report.xlsx")
+        assert pl.main(["report", "--tuples", tuples_dir, "--out", report_xlsx]) == 0
+        assert "sheets" in capsys.readouterr().out
+        from cell_kn_mvp_etl_results_spark.sources import xlsx
+
+        assert xlsx.sheet_names(report_xlsx) == [
+            "subjects",
+            "predicates",
+            "objects",
+            "edge_annotations",
+        ]
+        subs = xlsx.read_xlsx(report_xlsx, "subjects")
+        assert subs[0] == ["s"] and len(subs) > 1
     finally:
         sess.get_spark = real_get_spark
         spark.stop = real_stop

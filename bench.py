@@ -4,8 +4,11 @@ factor and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Methodology: per-query warmup run (whole-stage-codegen JIT + first-use
-initialization), then one measured steady-state run -- the standard
-JMH-style protocol; a long-running engine amortizes compilation.
+initialization), then the MEDIAN of three measured steady-state runs --
+the standard JMH-style protocol; a long-running engine amortizes
+compilation, and the median rejects one-off scheduler/GC hiccups that a
+single sample on a shared box cannot (observed 1.5-3x inflation under
+concurrent load; see BENCH_NOTES.md).
 AQE is disabled for the local measurement: its stage-materialization
 barriers cost ~2x wall-clock at local[N]/sub-GB scale while buying
 nothing (AQE remains the default in session.get_spark for real
@@ -47,10 +50,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
         spec.builder(spark, sf_dir).collect()  # warmup: codegen + init
-        t0 = time.perf_counter()
-        rows = spec.builder(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = spec.builder(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(sorted(samples)[1], 3)  # median of 3
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

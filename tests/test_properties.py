@@ -100,3 +100,41 @@ def test_cents_money_roundtrip(spark, cents_vals):
     out = df.select(F.col("v"), money(cents("v")).alias("back")).collect()
     for r in out:
         assert math.isclose(r.back, r.v, rel_tol=0, abs_tol=0), (r.v, r.back)
+
+
+@SET
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_winnow_matches_pure_python_on_random_text(spark, docs):
+    """winnow_fingerprints == the pure-Python MOSS reference for any
+    normalized text (same md5-48 hashing, k=5, window=4)."""
+    from test_llm_ops import _winnow_ref
+
+    from cell_kn_mvp_etl_results_spark.operators import textanalysis as ta
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", ta.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _winnow_ref(t), t
+
+
+@SET
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_repetition_bounds_and_extremes(spark, docs):
+    """dup_frac in [0, 1); a doc of one repeated token approaches 1;
+    n_distinct <= n_grams always."""
+    from cell_kn_mvp_etl_results_spark.operators import textanalysis as ta
+
+    rows = list(enumerate(docs)) + [(len(docs), "w " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in ta.repetition_score(df, "doc_id", "text").collect()}
+    for r in out.values():
+        assert 0 <= r.n_distinct <= r.n_grams
+        assert 0.0 <= r.dup_frac < 1.0
+    rep = out[len(docs)]  # 29 bigrams, 1 distinct
+    assert rep.n_distinct == 1 and rep.dup_frac == (29 - 1) / 29

@@ -332,3 +332,59 @@ def drug_prop(props: DataFrame, prop_name: str) -> DataFrame:
             F.min_by("prop_value", "pos").alias("prop_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UniProt id-mapping results (S11, J7).
+# ---------------------------------------------------------------------------
+
+UNIPROT_RESULTS_SCHEMA = (
+    "array<struct<from: string, to: struct<primaryAccession: string>>>"
+)
+
+
+def uniprot_mapping_dim(results: DataFrame) -> DataFrame:
+    """S11: UniProt id-mapping JSON results -> (src_id, accession)
+    relation. The reference walks ``data["results"]`` collecting
+    ``from`` -> ``to.primaryAccession`` (LoaderUtilities.py:539-547,
+    one dict entry per ENSP, values promoted to lists on collision).
+    Relationally that is just the exploded pair set; ``pos`` carries
+    the response order so the first-wins selection below is exact.
+    Input: one row per fetched batch with a ``results`` JSON string
+    column (the fetch-cache framing)."""
+    return results.select(
+        F.posexplode(
+            F.from_json("results", UNIPROT_RESULTS_SCHEMA)
+        ).alias("pos", "r")
+    ).select(
+        F.col("r.from").alias("src_id"),
+        F.col("r.to.primaryAccession").alias("accession"),
+        "pos",
+    )
+
+
+def uniprot_first_accession(mapping: DataFrame) -> DataFrame:
+    """``map_protein_ensembl_id_to_accession`` (LoaderUtilities.py:555-581,
+    "selecting the first if more than one found") as a deterministic
+    min_by over response positions: (src_id, accession)."""
+    return mapping.groupBy("src_id").agg(
+        F.min_by("accession", "pos").alias("accession")
+    )
+
+
+def uniprot_mapping_from_xlsx(spark, path: str) -> DataFrame:
+    """S11 via the xlsx download format (UniProtIdMapper.py:240-250
+    accepts ``file_format="xlsx"``): the standard From/Entry results
+    workbook -> the same (src_id, accession, pos) relation as the JSON
+    path, so both downloads feed the identical J7 lookup."""
+    from ..sources.xlsx import read_xlsx
+
+    rows = read_xlsx(path, 0)
+    header = [str(h) for h in rows[0]]
+    i_from, i_entry = header.index("From"), header.index("Entry")
+    data = [
+        (str(r[i_from]), str(r[i_entry]), pos)
+        for pos, r in enumerate(rows[1:])
+        if r[i_from] is not None
+    ]
+    return spark.createDataFrame(data, "src_id string, accession string, pos long")

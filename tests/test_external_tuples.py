@@ -186,3 +186,47 @@ def test_ebi_rxnav_drug_cache_parsers(spark):
 
     first = {r.drug_name: r.prop_value for r in ext.drug_prop(props, "DRUGBANK").collect()}
     assert first == {"aspirin": "DB00945"}  # get_prop_for_drug first-wins
+
+
+def test_uniprot_mapping_parsers(spark, tmp_path):
+    """S11: id-mapping results parse identically from the JSON shape and
+    the xlsx download format; first-accession selection is positional."""
+    import json
+
+    batch = {
+        "results": [
+            {"from": "ENSP01", "to": {"primaryAccession": "P111"}},
+            {"from": "ENSP02", "to": {"primaryAccession": "P222"}},
+            {"from": "ENSP01", "to": {"primaryAccession": "P333"}},  # collision
+        ]
+    }
+    results = spark.createDataFrame(
+        [(json.dumps(batch["results"]),)], "results string"
+    )
+    mapping = ext.uniprot_mapping_dim(results)
+    got = {(r.src_id, r.accession) for r in mapping.collect()}
+    assert got == {("ENSP01", "P111"), ("ENSP02", "P222"), ("ENSP01", "P333")}
+    first = {r.src_id: r.accession for r in ext.uniprot_first_accession(mapping).collect()}
+    assert first == {"ENSP01": "P111", "ENSP02": "P222"}  # first-wins
+
+    from cell_kn_mvp_etl_results_spark.sources import xlsx
+
+    wb = tmp_path / "idmapping.xlsx"
+    xlsx.write_xlsx(
+        str(wb),
+        {
+            "Sheet1": [
+                ["From", "Entry", "Entry Name"],
+                ["ENSP01", "P111", "X_HUMAN"],
+                ["ENSP02", "P222", "Y_HUMAN"],
+                ["ENSP01", "P333", "Z_HUMAN"],
+            ]
+        },
+    )
+    from_xlsx = ext.uniprot_mapping_from_xlsx(spark, str(wb))
+    assert {(r.src_id, r.accession) for r in from_xlsx.collect()} == got
+    first2 = {
+        r.src_id: r.accession
+        for r in ext.uniprot_first_accession(from_xlsx).collect()
+    }
+    assert first2 == first

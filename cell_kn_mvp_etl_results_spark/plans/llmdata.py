@@ -435,3 +435,62 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     comprehensions."""
     d = read_table(spark, sf_dir, "documents")
     return ta.repetition_score(d, "doc_id", "text", n=2).orderBy("id")
+
+
+@query(
+    "q_sketch_profile",
+    tags=("sketch", "profile"),
+    oracle="""
+SELECT 'langs' AS metric, count(DISTINCT lang) AS exact_distinct,
+       TRUE AS approx_ok FROM documents
+UNION ALL
+SELECT 'sources', count(DISTINCT source), TRUE FROM documents
+UNION ALL
+SELECT 'doc_ids', count(DISTINCT doc_id), TRUE FROM documents
+ORDER BY metric
+""",
+)
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-audit profile: HyperLogLog++ distinct counts checked
+    against exact ground truth, emitted as a within-5%% flag. The hash
+    gate can't demand engine-identical approximations (HLL registers
+    are implementation-specific), but it CAN verify the sketch's
+    accuracy claim exactly: the flag is deterministic because HLL
+    merging is order-insensitive (register-wise max), so a fixed corpus
+    yields one approx value under any partitioning. At 100 TB only the
+    sketch side runs (operators/sketches.py); the exact side here is
+    the audit harness."""
+    d = read_table(spark, sf_dir, "documents")
+    row = d.agg(
+        F.countDistinct("lang").alias("e_lang"),
+        F.approx_count_distinct("lang", 0.01).alias("a_lang"),
+        F.countDistinct("source").alias("e_src"),
+        F.approx_count_distinct("source", 0.01).alias("a_src"),
+        F.countDistinct("doc_id").alias("e_id"),
+        F.approx_count_distinct("doc_id", 0.01).alias("a_id"),
+    )
+    ok = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
+    ).alias("approx_ok")
+    return (
+        row.select(
+            F.lit("langs").alias("metric"),
+            F.col("e_lang").alias("exact_distinct"),
+            ok("a_lang", "e_lang"),
+        )
+        .unionAll(
+            row.select(
+                F.lit("sources").alias("metric"),
+                F.col("e_src").alias("exact_distinct"),
+                ok("a_src", "e_src"),
+            )
+        )
+        .unionAll(
+            row.select(
+                F.lit("doc_ids").alias("metric"),
+                F.col("e_id").alias("exact_distinct"),
+                ok("a_id", "e_id"),
+            )
+        )
+        .orderBy("metric")
+    )

@@ -148,6 +148,35 @@ def graph_from_tuples(
     }
 
 
+def split_edge_annotations(
+    edge_attrs: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Quadruple semantics (SURVEY section 7 risk list): an edge
+    annotation must reference an edge that already exists. The
+    reference's Python loader skips silently
+    (``OntologyParserLoader.py:1004-1006``); its Java loader throws
+    (``ResultsGraphBuilder.java:291-292``). This engine chooses
+    skip-with-metric: ``kept`` is the semi-join against the edge
+    relation on the (src, dst) endpoint pair, ``dangling`` comes back
+    aggregated per collection pair so the skip count is inspectable
+    without driver-side counters (same shape as
+    :func:`filter_valid_vertices`).
+
+    Scale: both joins are on narrow (coll, key) pairs; the annotation
+    side is typically dimension-scale next to the edge table, so AQE
+    broadcasts it -- no full-edge shuffle.
+    """
+    keys = ["src_coll", "src_key", "dst_coll", "dst_key"]
+    endpoint = edges.select(*keys).dropDuplicates()
+    kept = edge_attrs.join(endpoint, keys, "left_semi")
+    dangling = (
+        edge_attrs.join(endpoint, keys, "left_anti")
+        .groupBy("src_coll", "dst_coll")
+        .agg(F.count(F.lit(1)).alias("n_skipped"))
+    )
+    return kept, dangling
+
+
 def filter_valid_vertices(
     tuples: DataFrame, valid_colls: list[str]
 ) -> tuple[DataFrame, DataFrame]:

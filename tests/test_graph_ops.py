@@ -72,6 +72,28 @@ def test_edge_attrs_from_quads(spark):
     assert ea[0].attr == "source" and ea[0].values == ["PMID:1234"]
 
 
+def test_split_edge_annotations_skips_dangling(spark):
+    """Quadruple semantics: annotations for nonexistent edges drop with
+    an inspectable per-collection-pair metric (skip-with-metric; the
+    reference's Python loader skips silently, the Java one throws)."""
+    from cell_kn_mvp_etl_results_spark.operators.graph import split_edge_annotations
+
+    rows = [
+        ("CL_1", "subClassOf", "CL_2", None),
+        ("CL_1", "source", "CL_2", "PMID:1"),      # annotates a real edge
+        ("CL_1", "source", "CL_404", "PMID:2"),    # dangling: no such edge
+        ("GO_7", "evidence", "CL_404", "IEA"),     # dangling, other pair
+    ]
+    g = graph_from_tuples(
+        spark.createDataFrame(rows, "s string, p string, o string, lit string")
+    )
+    kept, dangling = split_edge_annotations(g["edge_attrs"], g["edges"])
+    k = kept.collect()
+    assert len(k) == 1 and k[0].dst_key == "2" and k[0].values == ["PMID:1"]
+    d = {(r.src_coll, r.dst_coll): r.n_skipped for r in dangling.collect()}
+    assert d == {("CL", "CL"): 1, ("GO", "CL"): 1}
+
+
 def test_k_hop_typed_path(spark):
     g = graph_from_tuples(tuples_df(spark))
     start = spark.createDataFrame([("CL", "1")], "coll string, key string")

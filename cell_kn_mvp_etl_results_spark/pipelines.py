@@ -45,11 +45,18 @@ def run_nsforest_pipeline(
 
 
 def run_graph_load(spark: SparkSession, tuples_path: str, graph_path: str) -> dict:
-    """Stage 2 (section 3.2): tuples JSON -> property-graph tables."""
+    """Stage 2 (section 3.2): tuples JSON -> property-graph tables.
+    Dangling edge annotations (quads whose endpoint pair matches no
+    edge) are dropped before the write, with the per-collection-pair
+    skip counts returned under ``"skipped_annotations"``."""
+    from .operators.graph import split_edge_annotations
+
     tuples = read_tuples_json(spark, tuples_path)
     g = graph_from_tuples(tuples)
+    kept, dangling = split_edge_annotations(g["edge_attrs"], g["edges"])
+    g = {**g, "edge_attrs": kept}
     write_graph(g, graph_path)
-    return g
+    return {**g, "skipped_annotations": dangling}
 
 
 def run_query(

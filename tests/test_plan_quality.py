@@ -99,3 +99,44 @@ def test_codegen_active(spark, sf_dir, name):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen" in plan, name
     assert "Found 0 WholeStageCodegen" not in plan, name
+
+
+def test_stratified_sample_partial_window_limit(spark, sf_dir):
+    """q_sample_stratified's rank<=k must compile to a PARTIAL
+    WindowGroupLimit before the shuffle (map-side per-stratum top-k),
+    and only read the two needed columns."""
+    plan = plan_of(spark, sf_dir, "q_sample_stratified")
+    # node ids number bottom-up from the scan, so upstream = lower id:
+    # the Partial WindowGroupLimit must carry a lower id than the
+    # hash-partitioning Exchange it feeds.
+    import re
+
+    detail = {}
+    for line in plan.splitlines():
+        m = re.match(r"\((\d+)\) (\w+)", line)
+        if m:
+            detail.setdefault(m.group(2), []).append(int(m.group(1)))
+    partial_ids = [
+        int(re.match(r"\((\d+)\)", l).group(1))
+        for l in plan.splitlines()
+        if re.match(r"\(\d+\) WindowGroupLimit", l)
+    ]
+    assert partial_ids, "no WindowGroupLimit in plan"
+    assert min(partial_ids) < min(detail.get("Exchange", [10**6]))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "source" in read_schema
+
+
+def test_single_projection_text_ops_no_shuffle(spark, sf_dir):
+    """winnow fingerprints and repetition scoring are one projection per
+    row: the only Exchange in the plan is the final presentation sort."""
+    for name in ("q_winnow_fingerprint", "q_repetition"):
+        plan = plan_of(spark, sf_dir, name)
+        n_exchanges = plan.count("+- Exchange") + plan.count("Exchange (")
+        # formatted explain lists each node once in the tree + once in
+        # the detail section; assert on the numbered detail entries.
+        detail = [l for l in plan.splitlines() if l.startswith("(")]
+        exchanges = [l for l in detail if "Exchange" in l]
+        assert len(exchanges) <= 1, f"{name}: unexpected shuffles {exchanges}"
+        aggs = [l for l in detail if "HashAggregate" in l]
+        assert not aggs, f"{name}: unexpected aggregation {aggs}"

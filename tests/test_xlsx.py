@@ -137,3 +137,26 @@ def test_df_to_rows_guard_rail(spark):
     big = spark.range(50)
     with pytest.raises(ValueError, match="dimension-scale"):
         xlsx.df_to_rows(big, max_rows=10)
+
+
+def test_unicode_and_extreme_numbers(tmp_path):
+    rows = [
+        ["λ", "日本語", "emoji 🎉"],
+        [1e300, -1e-300, 0],
+        [-(2**40), 2**52, 3.141592653589793],
+    ]
+    p = tmp_path / "u.xlsx"
+    xlsx.write_xlsx(str(p), {"Ünïcode & <Sheet>": rows})
+    assert xlsx.sheet_names(str(p)) == ["Ünïcode & <Sheet>"]
+    got = xlsx.read_xlsx(str(p))
+    assert got[0] == rows[0]
+    assert got[1] == [1e300, -1e-300, 0]
+    assert got[2] == [-(2**40), 2**52, 3.141592653589793]
+
+
+def test_wide_sheet_column_letters(tmp_path):
+    """Columns past Z (AA...) round-trip: bijective base-26 both ways."""
+    row = [f"c{i}" for i in range(60)]  # through column BH
+    p = tmp_path / "w.xlsx"
+    xlsx.write_xlsx(str(p), {"S": [row]})
+    assert xlsx.read_xlsx(str(p)) == [row]

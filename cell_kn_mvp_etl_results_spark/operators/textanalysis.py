@@ -200,3 +200,39 @@ def repetition_score(
             (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"),
         ).otherwise(F.lit(0.0)),
     )
+
+
+# Curation-time scrubbing: the redaction pass an LLM corpus pipeline
+# runs before training (emails, URLs, long digit runs -> placeholder
+# tokens). Chained JVM regexp_replace -- single projection, no Python.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+DIGIT_RUN_RE = r"\d{7,}"
+
+
+def scrub_text(col: Column | str) -> Column:
+    """Redact emails, URLs, and 7+-digit runs to typed placeholders.
+    URL first: an email-shaped substring inside a URL should scrub as
+    part of the URL, not leave a torn placeholder behind."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, DIGIT_RUN_RE, "<NUM>")
+
+
+def scrub_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_urls, n_emails, n_digit_runs, clean_text) -- the counts
+    feed a drop-threshold filter (documents that are mostly
+    placeholders carry no training signal), the text feeds the next
+    stage. regexp_count is evaluated on the original column, so the
+    counts are per-class even where classes nest."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(c, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(
+            F.regexp_replace(c, URL_RE, "<URL>"), F.lit(EMAIL_RE)
+        ).alias("n_emails"),
+        F.regexp_count(c, F.lit(DIGIT_RUN_RE)).alias("n_digit_runs"),
+        scrub_text(c).alias("clean_text"),
+    )

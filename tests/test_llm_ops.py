@@ -285,3 +285,23 @@ def test_repetition_score(spark):
     assert got[2].dup_frac == 0.0 and got[2].n_grams == 3
     assert got[3].n_grams == 0 and got[3].dup_frac == 0.0
     assert got[4].n_grams == 0 and got[4].dup_frac == 0.0
+
+
+def test_scrub_text_and_features(spark):
+    rows = [
+        (1, "mail me at a.user+tag@example.org or see https://ex.com/a?b=c#d now"),
+        (2, "ids 12345678 and 999999999 but keep 123456"),
+        (3, "visit http://ex.com/u?email=someone@ex.com today"),  # email inside URL
+        (4, "nothing to scrub here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in ta.scrub_features(df, "doc_id", "text").collect()}
+    assert got[1].clean_text == "mail me at <EMAIL> or see <URL> now"
+    assert (got[1].n_urls, got[1].n_emails) == (1, 1)
+    assert got[2].clean_text == "ids <NUM> and <NUM> but keep 123456"
+    assert got[2].n_digit_runs == 2
+    # the URL swallows the embedded email: one URL, zero residual emails
+    assert got[3].clean_text == "visit <URL> today"
+    assert (got[3].n_urls, got[3].n_emails) == (1, 0)
+    assert got[4].clean_text == rows[3][1]
+    assert (got[4].n_urls, got[4].n_emails, got[4].n_digit_runs) == (0, 0, 0)

@@ -452,7 +452,7 @@ ORDER BY metric
 )
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-audit profile: HyperLogLog++ distinct counts checked
-    against exact ground truth, emitted as a within-5%% flag. The hash
+    against exact ground truth, emitted as a within-5% flag. The hash
     gate can't demand engine-identical approximations (HLL registers
     are implementation-specific), but it CAN verify the sketch's
     accuracy claim exactly: the flag is deterministic because HLL

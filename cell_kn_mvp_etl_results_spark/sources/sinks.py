@@ -135,3 +135,55 @@ def extract_subgraph(
             touched_vertices, ["coll", "key"], "left_semi"
         )
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 32,
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Deterministic sharded export -- the training-data handoff at the
+    end of a curation pipeline. Each row lands in shard
+    ``md5(id) mod n_shards`` (content-addressed: the same doc reaches
+    the same shard on any cluster size, partitioning, or retry -- what
+    reproducible dataset builds need), rows are sorted within each
+    shard by the portable hash (or ``order_col``) so shard FILES are
+    byte-stable across runs, and the output is partitioned by ``shard``
+    so a trainer can range-read subsets.
+
+    One repartition on the shard key is the only shuffle; at 100 TB the
+    write parallelism is n_shards and shard skew is bounded by the
+    uniformity of md5. n_shards sizes files: pick corpus_bytes /
+    target_file_bytes (e.g. ~512 MB-1 GB per shard file for sequential
+    training reads).
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    order = F.col(order_col) if order_col else F.md5(F.col(id_col).cast("string"))
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read back an exported shard set; ``shards`` selects a subset via
+    partition pruning (a trainer's data-parallel rank reads only its
+    shards -- no full scan)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin(*shards))
+    return df

@@ -127,3 +127,28 @@ def test_fetch_cache_restartable(spark, tmp_path):
         spark, req2, cache, "id", fake_fetch, "id long, value string", batch_size=3
     )
     assert calls == [[7, 8]]
+
+
+def test_training_shard_export_deterministic(spark, sf_dir, tmp_path):
+    """Shard membership is content-addressed (stable across runs and
+    partitioning); subset reads prune to the selected shards."""
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    from cell_kn_mvp_etl_results_spark.sources.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(d, p1, "doc_id", n_shards=4)
+    write_training_shards(d.repartition(13), p2, "doc_id", n_shards=4)
+
+    a = {(r.shard, r.doc_id) for r in read_training_shards(spark, p1).collect()}
+    b = {(r.shard, r.doc_id) for r in read_training_shards(spark, p2).collect()}
+    assert a == b and len(a) == d.count()  # same membership, nothing lost
+    assert {s for s, _ in a} == {0, 1, 2, 3}
+
+    subset = read_training_shards(spark, p1, shards=[1, 2])
+    assert {r.shard for r in subset.collect()} <= {1, 2}
+    plan = subset._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # pruned, not scanned+filtered

@@ -12,6 +12,8 @@ The equivalents here are composable functions plus a tiny CLI:
       --graph <dir> --anchor CS --hops BMC,BGS
   python -m cell_kn_mvp_etl_results_spark.pipelines report \
       --tuples <json dir> --out <report.xlsx>
+  python -m cell_kn_mvp_etl_results_spark.pipelines ontology \
+      --owl <cl.owl | triples.nt> --graph <dir>
 
 Each stage reads/writes open formats (CSV/JSON/parquet/xlsx), so a user
 of the reference can swap one stage at a time.
@@ -72,6 +74,70 @@ def run_query(
     return run_path_spec(g["vertices"], g["edges"], spec)
 
 
+def run_ontology_load(
+    spark: SparkSession, ontology_path: str, graph_path: str
+) -> dict:
+    """OWL/N-Triples -> reified tuples -> property graph: the
+    reference's ``OntologyParserLoader`` lifecycle (parse ontology,
+    resolve BNode restrictions/axiom-annotations, construct vertices/
+    edges/attrs, ``OntologyParserLoader.py:315-1168``) as one
+    composition of the S4/S5 readers, the T5 reification pivot, and the
+    T7 assembler. ``.nt`` files stream through the distributed
+    N-Triples scan; ``.owl``/RDF-XML parses driver-side (ontologies are
+    dimension-scale)."""
+    from pyspark.sql import functions as SF
+
+    from .operators.graph import split_edge_annotations
+    from .operators.rdf import owl_xml_to_triples, read_ntriples, resolve_bnodes
+
+    if ontology_path.endswith((".nt", ".ntriples")):
+        triples = read_ntriples(spark, ontology_path)
+    else:
+        with open(ontology_path, encoding="utf-8") as fp:
+            triples = owl_xml_to_triples(spark, fp.read())
+    out = resolve_bnodes(triples)
+    not_lit = SF.lit(False).alias("is_literal")
+    all_triples = (
+        out["fnode_triples"]
+        .select("s", "p", "o", "is_literal")
+        .withColumn("lit", SF.lit(None).cast("string"))
+        .unionByName(
+            out["relations"].select("s", "p", "o", not_lit,
+                                    SF.lit(None).cast("string").alias("lit"))
+        )
+        .unionByName(
+            out["annotation_triples"].select("s", "p", "o", not_lit,
+                                             SF.lit(None).cast("string").alias("lit"))
+        )
+        .unionByName(
+            out["annotation_quads"].select("s", "p", "o", not_lit, "lit")
+        )
+    )
+    # Term normalization before assembly, as the reference does
+    # (LoaderUtilities.py:60-61 PURL -> CURIE; predicates to their
+    # local names): subjects/objects drop the OBO PURL prefix, literal
+    # objects pass through untouched.
+    from .functions.text import strip_purl
+
+    local = lambda c: SF.substring_index(  # noqa: E731
+        SF.substring_index(c, "#", -1), "/", -1
+    )
+    all_triples = all_triples.select(
+        strip_purl(SF.col("s")).alias("s"),
+        local(SF.col("p")).alias("p"),
+        SF.when(SF.col("is_literal"), SF.col("o"))
+        .otherwise(strip_purl(SF.col("o")))
+        .alias("o"),
+        "is_literal",
+        "lit",
+    )
+    g = graph_from_tuples(all_triples)
+    kept, dangling = split_edge_annotations(g["edge_attrs"], g["edges"])
+    g = {**g, "edge_attrs": kept}
+    write_graph(g, graph_path)
+    return {**g, "skipped_annotations": dangling}
+
+
 def run_report(spark: SparkSession, tuples_path: str, out_xlsx: str) -> dict:
     """Review artifact (K8 + K6): unique triple components of a tuples
     relation as one multi-sheet .xlsx workbook -- the reference's
@@ -105,6 +171,9 @@ def main(argv: list[str] | None = None) -> int:
     p4 = sub.add_parser("report")
     p4.add_argument("--tuples", required=True)
     p4.add_argument("--out", required=True, help="output .xlsx path")
+    p5 = sub.add_parser("ontology")
+    p5.add_argument("--owl", required=True, help=".owl (RDF/XML) or .nt file")
+    p5.add_argument("--graph", required=True)
     args = ap.parse_args(argv)
 
     spark = get_spark("cell-kn-spark-cli")
@@ -128,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "report":
             report = run_report(spark, args.tuples, args.out)
             print(f"wrote {len(report)} sheets to {args.out}")
+        elif args.cmd == "ontology":
+            g = run_ontology_load(spark, args.owl, args.graph)
+            print(
+                f"ontology graph: {g['vertices'].count()} vertices, "
+                f"{g['edges'].count()} edges -> {args.graph}"
+            )
     finally:
         spark.stop()
     return 0

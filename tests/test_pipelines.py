@@ -85,3 +85,37 @@ def test_cli_main(spark, tmp_path, capsys):
     finally:
         sess.get_spark = real_get_spark
         spark.stop = real_stop
+
+
+def test_ontology_load_stage(spark, tmp_path):
+    """OWL -> reified tuples -> property graph end-to-end: restriction
+    bnodes become typed edges, axiom annotations become edge attrs on
+    the reconstructed edge, labels become vertex attrs."""
+    import cell_kn_mvp_etl_results_spark.pipelines as pl
+    from test_rdf import OWL_FIXTURE
+
+    owl = tmp_path / "tiny.owl"
+    owl.write_text(OWL_FIXTURE)
+    g = pl.run_ontology_load(spark, str(owl), str(tmp_path / "graph"))
+
+    verts = {(r.coll, r.key) for r in g["vertices"].collect()}
+    assert ("XX", "0000001") in verts and ("YY", "0000009") in verts
+
+    edges = {
+        (r.src_coll, r.src_key, r.label, r.dst_coll, r.dst_key)
+        for r in g["edges"].collect()
+    }
+    assert ("XX", "0000001", "subClassOf", "XX", "0000002") in edges
+    # restriction reified into a typed relation edge
+    assert ("XX", "0000001", "RO_0000052", "YY", "0000009") in edges
+
+    attrs = {
+        (r.coll, r.key, r.attr, tuple(r.values))
+        for r in g["vertex_attrs"].collect()
+    }
+    assert ("XX", "0000001", "label", ("alpha cell",)) in attrs
+
+    ea = g["edge_attrs"].collect()
+    assert len(ea) == 1
+    assert ea[0].attr == "hasDbXref" and ea[0].values == ["PMID:99"]
+    assert g["skipped_annotations"].count() == 0

@@ -14,6 +14,8 @@ The equivalents here are composable functions plus a tiny CLI:
       --tuples <json dir> --out <report.xlsx>
   python -m cell_kn_mvp_etl_results_spark.pipelines ontology \
       --owl <cl.owl | triples.nt> --graph <dir>
+  python -m cell_kn_mvp_etl_results_spark.pipelines author-cl \
+      --mapping <merged csv> --out <dir>
 
 Each stage reads/writes open formats (CSV/JSON/parquet/xlsx), so a user
 of the reference can swap one stage at a time.
@@ -72,6 +74,23 @@ def run_query(
     g = read_graph(spark, graph_path)
     spec = PathSpec("cli", anchor=anchor, hops=hops, any_direction=any_direction)
     return run_path_spec(g["vertices"], g["edges"], spec)
+
+
+def run_author_cl_pipeline(
+    spark: SparkSession, mapping_csv: str, out_tuples: str
+) -> DataFrame:
+    """T2 lifecycle: the merged author-cell-set -> CL mapping CSV
+    (FIXTURES.md section 3 columns) -> semantic tuples JSON, the
+    ``AuthorToClResultsTupleWriter`` stage. The uuid surrogate is
+    derived per (file, author_cell_set) like the NSForest stage."""
+    from .operators.tuplewriters import author_to_cl_tuples
+
+    mapping = read_results_csv(
+        spark, mapping_csv, uuid_cols=("author_cell_set",)
+    )
+    tuples = author_to_cl_tuples(mapping)
+    write_tuples_json(tuples, out_tuples)
+    return tuples
 
 
 def run_ontology_load(
@@ -174,6 +193,9 @@ def main(argv: list[str] | None = None) -> int:
     p5 = sub.add_parser("ontology")
     p5.add_argument("--owl", required=True, help=".owl (RDF/XML) or .nt file")
     p5.add_argument("--graph", required=True)
+    p6 = sub.add_parser("author-cl")
+    p6.add_argument("--mapping", required=True, help="merged mapping CSV")
+    p6.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
     spark = get_spark("cell-kn-spark-cli")
@@ -203,6 +225,9 @@ def main(argv: list[str] | None = None) -> int:
                 f"ontology graph: {g['vertices'].count()} vertices, "
                 f"{g['edges'].count()} edges -> {args.graph}"
             )
+        elif args.cmd == "author-cl":
+            t = run_author_cl_pipeline(spark, args.mapping, args.out)
+            print(f"wrote {t.count()} tuples to {args.out}")
     finally:
         spark.stop()
     return 0

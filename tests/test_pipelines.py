@@ -119,3 +119,43 @@ def test_ontology_load_stage(spark, tmp_path):
     assert len(ea) == 1
     assert ea[0].attr == "hasDbXref" and ea[0].values == ["PMID:99"]
     assert g["skipped_annotations"].count() == 0
+
+
+AUTHOR_CSV = (
+    "author_cell_set,clusterSize,NSForest_markers,cell_ontology_id,"
+    "cell_ontology_term,uberon_entity_id,uberon_entity_term,match,"
+    "mapping_method,PMID,dataset_version_id\n"
+    'CAI,12000,"[\'GAD1\', \'GAD2\']",'
+    "https://purl.obolibrary.org/obo/CL_4030027,GABAergic amacrine cell,"
+    "http://purl.obolibrary.org/obo/UBERON_0000966,retina,skos:broad,"
+    "manual,38014002,2e910e62\n"
+)
+
+
+def test_author_cl_stage(spark, tmp_path, capsys):
+    """T2 lifecycle through the CLI: mapping CSV -> tuples JSON; the
+    derived uuid keys the CS/BGS ids, and the tuples round-trip through
+    the JSON reader."""
+    import cell_kn_mvp_etl_results_spark.pipelines as pl
+    import cell_kn_mvp_etl_results_spark.session as sess
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_tuples_json
+
+    csv = tmp_path / "mapping.csv"
+    csv.write_text(AUTHOR_CSV)
+    out = str(tmp_path / "tuples")
+    real_get_spark, real_stop = sess.get_spark, spark.stop
+    try:
+        sess.get_spark = lambda *a, **k: spark
+        spark.stop = lambda: None
+        assert pl.main(["author-cl", "--mapping", str(csv), "--out", out]) == 0
+        assert "tuples" in capsys.readouterr().out
+    finally:
+        sess.get_spark = real_get_spark
+        spark.stop = real_stop
+    t = read_tuples_json(spark, out)
+    rows = {(r.s, r.p, r.o) for r in t.collect()}
+    assert ("CL_4030027", "PART_OF", "UBERON_0000966") in rows
+    assert any(p == "SELECTIVELY_EXPRESSES" and o == "GS_GAD1"
+               for _, p, o in rows)
+    cs_rows = [s for s, p, _ in rows if p == "EXPRESSES"]
+    assert cs_rows and cs_rows[0].startswith("CS_CAI-")

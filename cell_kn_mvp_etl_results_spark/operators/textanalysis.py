@@ -236,3 +236,80 @@ def scrub_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(c, F.lit(DIGIT_RUN_RE)).alias("n_digit_runs"),
         scrub_text(c).alias("clean_text"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 2048,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-width character windows with optional
+    overlap -- the sequence-chunking step before tokenize-and-pack in a
+    training pipeline. Returns (id, chunk_idx, chunk, n_chunks).
+
+    ``sequence``-generated offsets + ``substring`` inside one
+    projection, then a single explode: linear in corpus bytes, no
+    shuffle, and chunk boundaries are purely content-determined, so the
+    chunking is reproducible under any partitioning. Empty texts yield
+    one empty chunk (documents are never silently dropped -- a drop is
+    a filter's decision, not a splitter's).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(c) - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(c, i * step + 1, chunk_chars),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        n_chunks.alias("n_chunks"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    seed: str = "mix1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted mixture sampling: keep each row with its stratum's
+    rate, decided by a content-addressed hash bucket -- the
+    domain-reweighting step that composes a training mixture (e.g. 3x
+    code, 0.5x web). Deterministic per (seed, id): resampling with the
+    same seed is stable across runs, engines, and cluster sizes;
+    changing the seed draws an independent mixture.
+
+    The rates dict becomes a broadcast map literal (constant-folded);
+    unknown strata fall back to ``default_rate``. Rates are fractions
+    in [0, 1]; upsampling (>1) belongs to the loader, not the sampler.
+    """
+    items = []
+    for k, v in sorted(rates.items()):
+        items.extend([F.lit(k), F.lit(float(v))])
+    rate = F.coalesce(
+        F.element_at(F.create_map(*items), F.col(stratum_col)),
+        F.lit(float(default_rate)),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "-"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return df.filter(bucket < rate * 1_000_000)

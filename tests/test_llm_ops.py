@@ -305,3 +305,57 @@ def test_scrub_text_and_features(spark):
     assert (got[3].n_urls, got[3].n_emails) == (1, 0)
     assert got[4].clean_text == rows[3][1]
     assert (got[4].n_urls, got[4].n_emails, got[4].n_digit_runs) == (0, 0, 0)
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    rows = [(1, "abcdefghij"), (2, "ab"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id, r.chunk_idx): r.chunk
+        for r in ta.chunk_text(df, "doc_id", "text", chunk_chars=4).collect()
+    }
+    assert got[(1, 0)] == "abcd" and got[(1, 1)] == "efgh" and got[(1, 2)] == "ij"
+    assert got[(2, 0)] == "ab"
+    assert got[(3, 0)] == ""  # empty doc -> one empty chunk, not dropped
+
+    ov = {
+        (r.id, r.chunk_idx): r.chunk
+        for r in ta.chunk_text(
+            df, "doc_id", "text", chunk_chars=4, overlap=2
+        ).collect()
+    }
+    assert ov[(1, 0)] == "abcd" and ov[(1, 1)] == "cdef"  # 2-char overlap
+    # reconstruction: stripping the overlap from non-first chunks
+    rebuilt = ov[(1, 0)] + "".join(
+        ov[(1, i)][2:] for i in range(1, 1 + max(i for d, i in ov if d == 1))
+    )
+    assert rebuilt == "abcdefghij"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ta.chunk_text(df, "doc_id", "text", chunk_chars=4, overlap=4)
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.3, "src2": 0.0}
+    s1 = ta.mixture_sample(d, "doc_id", "source", rates)
+    s2 = ta.mixture_sample(d.repartition(7), "doc_id", "source", rates)
+    a = {r.doc_id for r in s1.collect()}
+    assert a == {r.doc_id for r in s2.collect()}  # partition-independent
+
+    by_src = {r.source: r for r in d.groupBy("source").count().collect()}
+    kept = {
+        r.source: r
+        for r in s1.groupBy("source").count().collect()
+    }
+    assert kept["src0"]["count"] == by_src["src0"]["count"]  # rate 1.0 keeps all
+    assert "src2" not in kept  # rate 0 drops all
+    frac = kept["src1"]["count"] / by_src["src1"]["count"]
+    assert 0.1 < frac < 0.5  # ~0.3 at small n
+    # unknown strata obey default_rate
+    none_kept = ta.mixture_sample(d, "doc_id", "source", {"src0": 1.0})
+    assert {r.source for r in none_kept.select("source").distinct().collect()} == {"src0"}

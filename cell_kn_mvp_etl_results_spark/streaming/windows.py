@@ -65,3 +65,57 @@ def sessionized_stream(
     return src.groupBy(
         F.session_window("ts", gap).alias("session"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def curated_document_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.9,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Curation-on-ingest: the quality + repetition signals as inline
+    stateless projections over a document stream -- no watermark, no
+    state store, no shuffle, throughput = scan rate. The SAME call
+    works on a static frame, so batch backfill and live ingest apply a
+    byte-identical keep/drop policy (the agreement guarantee the
+    windowed twins give for aggregation, here for filtering).
+
+    Returns surviving rows with (n_tokens, stop_ratio, dup_frac)
+    attached for downstream threshold audits.
+    """
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_shingles
+    from ..operators.textanalysis import STOPWORDS, _let
+
+    toks = _let(
+        _tokens(F.col(text_col)),
+        lambda t: F.struct(
+            F.size(t).alias("n"),
+            F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+        ),
+    )
+    dup = _let(
+        word_shingles(F.col(text_col), 2),
+        lambda g: F.when(
+            F.size(g) > 0,
+            (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = (
+        docs.withColumn("_tok", toks)
+        .withColumns(
+            {
+                "n_tokens": F.col("_tok.n"),
+                "stop_ratio": F.col("_tok.n_stop") / F.col("_tok.n"),
+                "dup_frac": dup,
+            }
+        )
+        .drop("_tok")
+    )
+    return out.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stop_ratio") <= max_stop_ratio)
+        & (F.col("dup_frac") <= max_dup_frac)
+    )

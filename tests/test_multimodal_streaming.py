@@ -157,3 +157,42 @@ def test_streaming_session_window_plan(spark, sf_dir):
     static = read_table(spark, sf_dir, "events")
     out = sessionized_stream(static)
     assert out.count() > 0
+
+
+def test_streaming_curation_filter_matches_batch(spark, sf_dir, tmp_path):
+    """curated_document_stream applies the identical keep/drop policy on
+    a live stream and on the static frame (availableNow e2e)."""
+    import os
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    from cell_kn_mvp_etl_results_spark.streaming.windows import (
+        curated_document_stream,
+    )
+
+    static = read_table(spark, sf_dir, "documents")
+    batch_kept = curated_document_stream(
+        static, min_tokens=20, max_dup_frac=0.4
+    )
+    expected = {r.doc_id for r in batch_kept.select("doc_id").collect()}
+    assert 0 < len(expected) < static.count()  # thresholds actually bite
+
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"), stage / "part-0.parquet"
+    )
+    stream = spark.readStream.schema(static.schema).parquet(str(stage))
+    kept_stream = curated_document_stream(
+        stream, min_tokens=20, max_dup_frac=0.4
+    )
+    q = (
+        kept_stream.writeStream.format("memory")
+        .queryName("curated_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM curated_docs").collect()}
+    assert got == expected

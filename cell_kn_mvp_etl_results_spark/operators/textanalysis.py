@@ -313,3 +313,48 @@ def mixture_sample(
         % 1_000_000
     )
     return df.filter(bucket < rate * 1_000_000)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints -- MOSS's actual
+    use: detecting LOCALIZED overlap (a shared paragraph inside
+    otherwise-different documents), which whole-document similarity
+    (MinHash/SimHash) dilutes away. Any shared run of >=
+    k + window - 1 chars is guaranteed to surface at least one shared
+    fingerprint.
+
+    Same inverted-index shape as the Jaccard/LSH pair generators: one
+    explode to (fingerprint, id) postings, stop-fingerprint cap
+    (``max_posting``, same quadratic-blowup guard as jaccard_pairs),
+    self-join on the fingerprint, count per pair. Returns (id_a, id_b,
+    n_shared), id_a < id_b, n_shared >= min_shared.
+    """
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k=k, window=window)).alias("fp"),
+    )
+    if max_posting is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_posting)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -359,3 +359,33 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     # unknown strata obey default_rate
     none_kept = ta.mixture_sample(d, "doc_id", "source", {"src0": 1.0})
     assert {r.source for r in none_kept.select("source").distinct().collect()} == {"src0"}
+
+
+def test_winnow_overlap_pairs_localized(spark):
+    """A shared paragraph inside otherwise-different documents surfaces
+    as a pair; unrelated docs don't; the posting cap prunes
+    boilerplate fingerprints without losing the distinctive overlap."""
+    common = "this exact distinctive paragraph appears in both documents verbatim"
+    rows = [
+        (1, f"opening words {common} and then one ending"),
+        (2, f"completely different start {common} totally other close"),
+        (3, "unrelated content with no shared passage at all present"),
+        (4, "another document about something else entirely again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in ta.winnow_overlap_pairs(df, "doc_id", "text").collect()
+    }
+    # the true overlap dominates incidental shared 5-grams by an order
+    # of magnitude; a threshold proportional to the overlap length
+    # isolates it exactly
+    assert pairs[(1, 2)] >= 20
+    assert all(n <= 5 for p, n in pairs.items() if p != (1, 2))
+    strict = {
+        (r.id_a, r.id_b)
+        for r in ta.winnow_overlap_pairs(
+            df, "doc_id", "text", min_shared=10
+        ).collect()
+    }
+    assert strict == {(1, 2)}

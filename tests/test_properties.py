@@ -138,3 +138,26 @@ def test_repetition_bounds_and_extremes(spark, docs):
         assert 0.0 <= r.dup_frac < 1.0
     rep = out[len(docs)]  # 29 bigrams, 1 distinct
     assert rep.n_distinct == 1 and rep.dup_frac == (29 - 1) / 29
+
+
+@SET
+@given(st.lists(texts, min_size=1, max_size=6), st.integers(0, 3))
+def test_chunk_reconstruction(spark, docs, overlap):
+    """Chunks reassemble to the exact original text for any width and
+    overlap; chunk counts match the closed form."""
+    from cell_kn_mvp_etl_results_spark.operators import textanalysis as ta
+
+    width = 5
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ta.chunk_text(df, "doc_id", "text", chunk_chars=width, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, {})[r.chunk_idx] = r.chunk
+    step = width - overlap
+    for i, t in rows:
+        chunks = [by_doc[i][j] for j in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t, (t, chunks)
+        expected_n = max(-(-max(len(t) - overlap, 0) // step), 1) if t else 1
+        assert len(chunks) == expected_n or t == ""

@@ -389,3 +389,21 @@ def test_winnow_overlap_pairs_localized(spark):
         ).collect()
     }
     assert strict == {(1, 2)}
+
+
+def test_null_text_behavior_pinned(spark):
+    """Null text: repetition degrades to zero-grams, chunking emits one
+    null chunk (documents are never dropped), scrub propagates SQL
+    nulls, and winnow's null fingerprint can never equi-join into a
+    spurious overlap pair."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "some real text here")], "doc_id long, text string"
+    )
+    rep = {r.id: r for r in ta.repetition_score(df, "doc_id", "text").collect()}
+    assert (rep[1].n_grams, rep[1].dup_frac) == (0, 0.0)
+    ch = [r for r in ta.chunk_text(df, "doc_id", "text", chunk_chars=5).collect()
+          if r.id == 1]
+    assert len(ch) == 1 and ch[0].chunk is None
+    sc = {r.id: r for r in ta.scrub_features(df, "doc_id", "text").collect()}
+    assert sc[1].clean_text is None and sc[1].n_urls is None
+    assert ta.winnow_overlap_pairs(df, "doc_id", "text").count() == 0

@@ -185,3 +185,36 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
         )
         .select("media_id", "frame_idx")
     )
+
+
+def repartition_for_decode(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_partitions: int = 200,
+    heavy_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Balance DECODE work (payload bytes, not rows) across partitions
+    before a heavy ``mapInPandas`` stage -- the repartition this
+    module's scale notes prescribe.
+
+    Two regimes, one shuffle:
+    - normal payloads spread by a content-addressed hash of the id:
+      with bounded sizes, per-partition byte sums concentrate around
+      the mean (law of large numbers), so no residual skew;
+    - heavy payloads (>= ``heavy_bytes``, e.g. raw video) are the
+      heavy-tail that breaks that argument, so each one is salted onto
+      its own key spread across the whole ring -- two 5 GB blobs never
+      pile onto one executor because their ids happened to collide.
+
+    Deterministic: both keys derive from (id, payload length) only --
+    stable under retries, unlike round-robin ``repartition(n)``.
+    """
+    nbytes = F.length(F.col(payload_col))
+    # repartition(n, expr) hash-partitions ON the expression, so the
+    # key must stay raw (pre-modding it would compound two hash-mod
+    # steps and distribute lumpily)
+    key = F.when(nbytes >= heavy_bytes, F.hash(F.col(id_col), nbytes)).otherwise(
+        F.hash(F.col(id_col))
+    )
+    return df.repartition(n_partitions, key)

@@ -196,3 +196,26 @@ def test_streaming_curation_filter_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM curated_docs").collect()}
     assert got == expected
+
+
+def test_repartition_for_decode_balances_and_preserves(spark):
+    from cell_kn_mvp_etl_results_spark.operators.multimodal import (
+        repartition_for_decode,
+    )
+
+    rows = [(i, "image", bytes([i % 251]) * (100 + i), "image/x-fake")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, schema="media_id long, kind string, payload binary, mime string")
+    out = repartition_for_decode(df, n_partitions=8, heavy_bytes=250)
+    assert out.count() == 200  # nothing lost
+    sizes = out.rdd.glom().map(len).collect()
+    assert len(sizes) == 8 and max(sizes) <= 2 * (200 // 8)  # no pile-up
+    # determinism: same input, same partition assignment
+    a = out.rdd.glom().map(lambda p: sorted(r.media_id for r in p)).collect()
+    b = (
+        repartition_for_decode(df.repartition(5), n_partitions=8, heavy_bytes=250)
+        .rdd.glom()
+        .map(lambda p: sorted(r.media_id for r in p))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -198,23 +198,28 @@ def repartition_for_decode(
     before a heavy ``mapInPandas`` stage -- the repartition this
     module's scale notes prescribe.
 
-    Two regimes, one shuffle:
-    - normal payloads spread by a content-addressed hash of the id:
-      with bounded sizes, per-partition byte sums concentrate around
-      the mean (law of large numbers), so no residual skew;
+    Two regimes, unioned without a further shuffle:
+    - normal payloads spread by a hash of the id: with bounded sizes,
+      per-partition byte sums concentrate around the mean (law of
+      large numbers);
     - heavy payloads (>= ``heavy_bytes``, e.g. raw video) are the
-      heavy-tail that breaks that argument, so each one is salted onto
-      its own key spread across the whole ring -- two 5 GB blobs never
-      pile onto one executor because their ids happened to collide.
+      heavy-tail that breaks that argument AND that hashing cannot fix
+      (two heavy ids still collide mod n with probability 1/n), so the
+      heavy subset is range-partitioned on (payload size desc, id):
+      contiguous equal-COUNT ranges -- ceil(n_heavy / n) rows per
+      partition -- with similar-size payloads grouped, deterministic
+      boundaries (RangePartitioner samples with a fixed seed), and no
+      dependence on round-robin's per-input-partition offsets.
 
-    Deterministic: both keys derive from (id, payload length) only --
-    stable under retries, unlike round-robin ``repartition(n)``.
+    The union concatenates the two children's partitions, so the
+    decode stage sees 2 x n_partitions tasks: n hash-spread normal
+    partitions plus n exactly-balanced heavy partitions.
     """
     nbytes = F.length(F.col(payload_col))
-    # repartition(n, expr) hash-partitions ON the expression, so the
-    # key must stay raw (pre-modding it would compound two hash-mod
-    # steps and distribute lumpily)
-    key = F.when(nbytes >= heavy_bytes, F.hash(F.col(id_col), nbytes)).otherwise(
-        F.hash(F.col(id_col))
+    normal = df.filter(
+        nbytes < heavy_bytes
+    ).repartition(n_partitions, F.hash(F.col(id_col)))
+    heavy = df.filter(nbytes >= heavy_bytes).repartitionByRange(
+        n_partitions, nbytes.desc(), F.col(id_col)
     )
-    return df.repartition(n_partitions, key)
+    return normal.unionByName(heavy)

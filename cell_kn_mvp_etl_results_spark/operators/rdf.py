@@ -258,6 +258,13 @@ def resolve_bnodes(triples: DataFrame) -> dict[str, DataFrame]:
                 "a_prop"
             ),
             F.min(F.when(F.col("pred") == "annotatedTarget", F.col("o"))).alias("a_tgt"),
+            # literal-ness of the annotated target rides along: an
+            # owl:Axiom may annotate a LITERAL triple (definitions,
+            # synonyms -- the dominant pattern in real OBO files), and
+            # dropping the flag would misclassify those as URI edges
+            F.min(
+                F.when(F.col("pred") == "annotatedTarget", F.col("is_literal"))
+            ).alias("a_tgt_lit"),
             F.sum(
                 F.when(
                     F.col("pred").isin(
@@ -297,7 +304,10 @@ def resolve_bnodes(triples: DataFrame) -> dict[str, DataFrame]:
         & (F.col("n_defining") == 3)
     )
     annotation_triples = ann.select(
-        F.col("a_src").alias("s"), F.col("a_prop").alias("p"), F.col("a_tgt").alias("o")
+        F.col("a_src").alias("s"),
+        F.col("a_prop").alias("p"),
+        F.col("a_tgt").alias("o"),
+        F.coalesce(F.col("a_tgt_lit"), F.lit(False)).alias("is_literal"),
     )
     extras = (
         bsubj.select(

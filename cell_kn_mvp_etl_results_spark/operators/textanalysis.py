@@ -30,9 +30,17 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document quality features: token count, stopword ratio, mean
-    token length. Ratios are single int/int divisions (deterministic).
+def quality_columns(text_col: Column | str) -> dict[str, Column]:
+    """The shared per-document quality signals as named Column
+    expressions -- the single definition both the batch report
+    (:func:`quality_features`) and the streaming curation filter
+    (``streaming.windows.curated_document_stream``) compile, so the
+    live keep/drop policy can never drift from the batch audit.
+
+    Ratios are zero-guarded: a zero-token document scores ratio 0.0
+    instead of raising DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    default) -- an unguarded int/int division is a poison pill that
+    kills a streaming query on the first empty document.
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -40,12 +48,39 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
+    guard = lambda num: F.when(n > 0, num / n).otherwise(F.lit(0.0))  # noqa: E731
+    return {
+        "n_tokens": n,
+        "n_stop": n_stop,
+        "stop_ratio": guard(n_stop),
+        "avg_token_len": guard(sum_len),
+    }
+
+
+def dup_frac_column(text_col: Column | str, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction as a single zero-guarded Column
+    (the signal behind :func:`repetition_score`), shared with the
+    streaming curation filter."""
+    from ..functions.text import word_shingles
+
+    return _let(
+        word_shingles(text_col, n),
+        lambda g: F.when(
+            F.size(g) > 0,
+            (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: token count, stopword ratio, mean
+    token length. Ratios are single int/int divisions (deterministic,
+    zero-guarded -- see :func:`quality_columns`).
+    """
+    cols = quality_columns(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        n.alias("n_tokens"),
-        n_stop.alias("n_stop"),
-        (n_stop / n).alias("stop_ratio"),
-        (sum_len / n).alias("avg_token_len"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
@@ -256,8 +291,10 @@ def chunk_text(
     one empty chunk (documents are never silently dropped -- a drop is
     a filter's decision, not a splitter's).
     """
-    if overlap >= chunk_chars:
-        raise ValueError("overlap must be smaller than chunk_chars")
+    if not 0 <= overlap < chunk_chars:
+        # negative overlap would silently skip characters between
+        # windows, breaking the reconstruction invariant
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_chars")
     step = chunk_chars - overlap
     c = F.col(text_col)
     n_chunks = F.greatest(

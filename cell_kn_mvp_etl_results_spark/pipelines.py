@@ -94,7 +94,10 @@ def run_author_cl_pipeline(
 
 
 def run_ontology_load(
-    spark: SparkSession, ontology_path: str, graph_path: str
+    spark: SparkSession,
+    ontology_path: str,
+    graph_path: str,
+    valid_colls: list[str] | None = None,
 ) -> dict:
     """OWL/N-Triples -> reified tuples -> property graph: the
     reference's ``OntologyParserLoader`` lifecycle (parse ontology,
@@ -103,7 +106,14 @@ def run_ontology_load(
     composition of the S4/S5 readers, the T5 reification pivot, and the
     T7 assembler. ``.nt`` files stream through the distributed
     N-Triples scan; ``.owl``/RDF-XML parses driver-side (ontologies are
-    dimension-scale)."""
+    dimension-scale).
+
+    ``valid_colls`` is the reference's VALID_VERTICES gate
+    (``OntologyParserLoader.py:41-44``): when given, only triples whose
+    subject collection AND (URI) object collection are whitelisted
+    reach the assembler -- without it, ontology-header URIs and
+    rdf:type targets (owl#Class etc.) become garbage vertices. The
+    per-collection skip counts come back under ``"skipped_tuples"``."""
     from pyspark.sql import functions as SF
 
     from .operators.graph import split_edge_annotations
@@ -125,8 +135,10 @@ def run_ontology_load(
                                     SF.lit(None).cast("string").alias("lit"))
         )
         .unionByName(
-            out["annotation_triples"].select("s", "p", "o", not_lit,
-                                             SF.lit(None).cast("string").alias("lit"))
+            out["annotation_triples"].select(
+                "s", "p", "o", "is_literal",
+                SF.lit(None).cast("string").alias("lit"),
+            )
         )
         .unionByName(
             out["annotation_quads"].select("s", "p", "o", not_lit, "lit")
@@ -150,11 +162,26 @@ def run_ontology_load(
         "is_literal",
         "lit",
     )
+    skipped_tuples = None
+    if valid_colls is not None:
+        coll = lambda c: SF.substring_index(c, "_", 1)  # noqa: E731
+        keep = coll(SF.col("s")).isin(*valid_colls) & (
+            SF.col("is_literal") | coll(SF.col("o")).isin(*valid_colls)
+        )
+        skipped_tuples = (
+            all_triples.filter(~keep)
+            .groupBy(coll(SF.col("s")).alias("s_coll"), "p")
+            .agg(SF.count(SF.lit(1)).alias("n_skipped"))
+        )
+        all_triples = all_triples.filter(keep)
     g = graph_from_tuples(all_triples)
     kept, dangling = split_edge_annotations(g["edge_attrs"], g["edges"])
     g = {**g, "edge_attrs": kept}
     write_graph(g, graph_path)
-    return {**g, "skipped_annotations": dangling}
+    out_graph = {**g, "skipped_annotations": dangling}
+    if skipped_tuples is not None:
+        out_graph["skipped_tuples"] = skipped_tuples
+    return out_graph
 
 
 def run_report(spark: SparkSession, tuples_path: str, out_xlsx: str) -> dict:
@@ -193,6 +220,11 @@ def main(argv: list[str] | None = None) -> int:
     p5 = sub.add_parser("ontology")
     p5.add_argument("--owl", required=True, help=".owl (RDF/XML) or .nt file")
     p5.add_argument("--graph", required=True)
+    p5.add_argument(
+        "--valid-colls",
+        default=None,
+        help="comma-separated vertex-collection whitelist (VALID_VERTICES)",
+    )
     p6 = sub.add_parser("author-cl")
     p6.add_argument("--mapping", required=True, help="merged mapping CSV")
     p6.add_argument("--out", required=True)
@@ -220,7 +252,8 @@ def main(argv: list[str] | None = None) -> int:
             report = run_report(spark, args.tuples, args.out)
             print(f"wrote {len(report)} sheets to {args.out}")
         elif args.cmd == "ontology":
-            g = run_ontology_load(spark, args.owl, args.graph)
+            colls = args.valid_colls.split(",") if args.valid_colls else None
+            g = run_ontology_load(spark, args.owl, args.graph, valid_colls=colls)
             print(
                 f"ontology graph: {g['vertices'].count()} vertices, "
                 f"{g['edges'].count()} edges -> {args.graph}"

@@ -178,12 +178,16 @@ def write_training_shards(
 
 
 def read_training_shards(
-    spark: SparkSession, path: str, shards: list[int] | None = None
+    spark: SparkSession,
+    path: str,
+    shards: list[int] | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Read back an exported shard set; ``shards`` selects a subset via
-    partition pruning (a trainer's data-parallel rank reads only its
-    shards -- no full scan)."""
-    df = spark.read.parquet(path)
+    """Read back an exported shard set (``fmt`` must match the
+    writer's); ``shards`` selects a subset via partition pruning (a
+    trainer's data-parallel rank reads only its shards -- no full
+    scan)."""
+    df = spark.read.format(fmt).load(path)
     if shards is not None:
         df = df.filter(F.col("shard").isin(*shards))
     return df

@@ -82,37 +82,25 @@ def curated_document_stream(
     byte-identical keep/drop policy (the agreement guarantee the
     windowed twins give for aggregation, here for filtering).
 
+    The signal expressions are the shared definitions in
+    ``operators.textanalysis`` (``quality_columns`` /
+    ``dup_frac_column``) -- one source of truth, zero drift between
+    this filter and the batch quality reports, and zero-guarded so an
+    empty document cannot DIVIDE_BY_ZERO-kill the streaming query
+    under ANSI mode.
+
     Returns surviving rows with (n_tokens, stop_ratio, dup_frac)
     attached for downstream threshold audits.
     """
-    from ..functions.text import tokens as _tokens
-    from ..functions.text import word_shingles
-    from ..operators.textanalysis import STOPWORDS, _let
+    from ..operators.textanalysis import dup_frac_column, quality_columns
 
-    toks = _let(
-        _tokens(F.col(text_col)),
-        lambda t: F.struct(
-            F.size(t).alias("n"),
-            F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
-        ),
-    )
-    dup = _let(
-        word_shingles(F.col(text_col), 2),
-        lambda g: F.when(
-            F.size(g) > 0,
-            (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
-        ).otherwise(F.lit(0.0)),
-    )
-    out = (
-        docs.withColumn("_tok", toks)
-        .withColumns(
-            {
-                "n_tokens": F.col("_tok.n"),
-                "stop_ratio": F.col("_tok.n_stop") / F.col("_tok.n"),
-                "dup_frac": dup,
-            }
-        )
-        .drop("_tok")
+    q = quality_columns(F.col(text_col))
+    out = docs.withColumns(
+        {
+            "n_tokens": q["n_tokens"],
+            "stop_ratio": q["stop_ratio"],
+            "dup_frac": dup_frac_column(F.col(text_col), 2),
+        }
     )
     return out.filter(
         (F.col("n_tokens") >= min_tokens)

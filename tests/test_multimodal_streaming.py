@@ -209,7 +209,8 @@ def test_repartition_for_decode_balances_and_preserves(spark):
     out = repartition_for_decode(df, n_partitions=8, heavy_bytes=250)
     assert out.count() == 200  # nothing lost
     sizes = out.rdd.glom().map(len).collect()
-    assert len(sizes) == 8 and max(sizes) <= 2 * (200 // 8)  # no pile-up
+    # union concatenates the normal + heavy children: 2 x 8 partitions
+    assert len(sizes) == 16 and max(sizes) <= 2 * (200 // 8)  # no pile-up
     # determinism: same input, same partition assignment
     a = out.rdd.glom().map(lambda p: sorted(r.media_id for r in p)).collect()
     b = (
@@ -219,3 +220,26 @@ def test_repartition_for_decode_balances_and_preserves(spark):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_repartition_for_decode_heavy_rows_spread_exactly(spark):
+    """Heavy payloads round-robin exactly: 8 heavy rows over 4
+    partitions -> exactly 2 per partition, regardless of id hashes."""
+    from cell_kn_mvp_etl_results_spark.operators.multimodal import (
+        repartition_for_decode,
+    )
+
+    rows = [(i, "video", b"v" * 1000, "video/x-fake") for i in range(8)]
+    rows += [(100 + i, "image", b"i" * 10, "image/x-fake") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = repartition_for_decode(df, n_partitions=4, heavy_bytes=500)
+    heavy_per_part = (
+        out.rdd.glom()
+        .map(lambda p: sum(1 for r in p if len(r.payload) >= 500))
+        .collect()
+    )
+    # exact round-robin: no partition carries more than ceil(8/4) heavies
+    assert max(heavy_per_part) == 2 and sum(heavy_per_part) == 8
+    assert out.count() == 58

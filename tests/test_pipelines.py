@@ -159,3 +159,46 @@ def test_author_cl_stage(spark, tmp_path, capsys):
                for _, p, o in rows)
     cs_rows = [s for s, p, _ in rows if p == "EXPRESSES"]
     assert cs_rows and cs_rows[0].startswith("CS_CAI-")
+
+
+def test_ontology_load_literal_axioms_and_valid_colls(spark, tmp_path):
+    """A literal-target owl:Axiom (the dominant definition/synonym
+    pattern) must become a vertex ATTRIBUTE, not a phantom vertex; the
+    VALID_VERTICES whitelist drops header/type garbage with a metric."""
+    import textwrap
+
+    import cell_kn_mvp_etl_results_spark.pipelines as pl
+
+    owl = tmp_path / "lit.owl"
+    owl.write_text(textwrap.dedent("""\
+        <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                 xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+                 xmlns:owl="http://www.w3.org/2002/07/owl#"
+                 xmlns:obo="http://purl.obolibrary.org/obo/"
+                 xmlns:oio="http://www.geneontology.org/formats/oboInOwl#">
+          <owl:Class rdf:about="http://purl.obolibrary.org/obo/XX_0000001">
+            <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/XX_0000002"/>
+          </owl:Class>
+          <owl:Axiom>
+            <owl:annotatedSource rdf:resource="http://purl.obolibrary.org/obo/XX_0000001"/>
+            <owl:annotatedProperty rdf:resource="http://purl.obolibrary.org/obo/IAO_0000115"/>
+            <owl:annotatedTarget>A cell that secretes glucagon.</owl:annotatedTarget>
+            <oio:hasDbXref>PMID:7</oio:hasDbXref>
+          </owl:Axiom>
+        </rdf:RDF>
+    """))
+    g = pl.run_ontology_load(
+        spark, str(owl), str(tmp_path / "g"), valid_colls=["XX"]
+    )
+    verts = {(r.coll, r.key) for r in g["vertices"].collect()}
+    assert verts == {("XX", "0000001"), ("XX", "0000002")}  # no phantom text vertex
+    attrs = {
+        (r.coll, r.key, r.attr, tuple(r.values))
+        for r in g["vertex_attrs"].collect()
+    }
+    # the annotated literal triple landed as an attribute
+    assert ("XX", "0000001", "IAO_0000115", ("A cell that secretes glucagon.",)) in attrs
+    edges = {(r.src_key, r.label, r.dst_key) for r in g["edges"].collect()}
+    assert edges == {("0000001", "subClassOf", "0000002")}  # no rdf:type garbage
+    skipped = {(r.s_coll, r.p) for r in g["skipped_tuples"].collect()}
+    assert any(p == "type" for _, p in skipped)  # owl#Class rows gated out

@@ -223,3 +223,61 @@ def repartition_for_decode(
         n_partitions, nbytes.desc(), F.col(id_col)
     )
     return normal.unionByName(heavy)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("mean_luma", LongType(), True),
+    ]
+)
+
+
+def decode_frame(payload: bytes, frame_idx: int, fake: bool = False) -> int:
+    """Decode one sampled video frame -> mean luma. STUB: real decoding
+    needs a video codec; ``fake=True`` reads a deterministic
+    pseudo-frame (a byte window at the frame's nominal offset) so the
+    fan-out plumbing is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a codec library; run with fake=True "
+            "for deterministic plumbing tests"
+        )
+    if not payload:
+        return 0
+    start = (frame_idx * 1000) % max(len(payload), 1)
+    window = payload[start : start + 64] or payload[:64]
+    return sum(window) // len(window)
+
+
+def video_frame_features(
+    media: DataFrame, every_n: int = 30, fake: bool = True
+) -> DataFrame:
+    """Frame-sampled video features: the :func:`frame_sample_plan`
+    fan-out joined back to its payload, decoded per frame via one
+    Arrow-batched ``mapInPandas`` -- the complete video shape (sample ->
+    decode -> per-frame features), same stub policy as image/audio.
+
+    The join broadcasts the (media_id, frame_idx) plan side when small;
+    payload bytes cross the Python boundary once per video row per
+    batch, not once per frame, because frames of one video land in the
+    same Arrow batch after the join preserves payload locality."""
+    frames = frame_sample_plan(media, every_n=every_n)
+    joined = frames.join(
+        media.select("media_id", "payload"), "media_id"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, idx, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                rows.append((mid, idx, decode_frame(data, int(idx), fake=fake)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "mean_luma"]
+            )
+
+    return joined.mapInPandas(extract, VIDEO_FRAME_SCHEMA)

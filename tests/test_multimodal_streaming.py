@@ -243,3 +243,31 @@ def test_repartition_for_decode_heavy_rows_spread_exactly(spark):
     # exact round-robin: no partition carries more than ceil(8/4) heavies
     assert max(heavy_per_part) == 2 and sum(heavy_per_part) == 8
     assert out.count() == 58
+
+
+def test_video_frame_features_fanout(spark):
+    """Sample -> decode -> per-frame features: deterministic fake
+    decode over the sampled frame indices, one row per frame."""
+    from cell_kn_mvp_etl_results_spark.operators.multimodal import (
+        decode_frame,
+        frame_sample_plan,
+        video_frame_features,
+    )
+
+    payload = bytes(range(256)) * 40  # ~10KB -> ~10 estimated frames
+    rows = [(7, "video", payload, "video/mp4"),
+            (8, "image", b"img", "image/png")]  # non-video ignored
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    plan = {(r.media_id, r.frame_idx) for r in frame_sample_plan(df, every_n=3).collect()}
+    got = {(r.media_id, r.frame_idx): r.mean_luma
+           for r in video_frame_features(df, every_n=3).collect()}
+    assert set(got) == plan and all(m == 7 for m, _ in got)
+    for (mid, idx), luma in got.items():
+        assert luma == decode_frame(payload, idx, fake=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_frame(b"x", 0, fake=False)

@@ -407,3 +407,35 @@ def test_null_text_behavior_pinned(spark):
     sc = {r.id: r for r in ta.scrub_features(df, "doc_id", "text").collect()}
     assert sc[1].clean_text is None and sc[1].n_urls is None
     assert ta.winnow_overlap_pairs(df, "doc_id", "text").count() == 0
+
+
+def test_chunk_text_matches_duckdb_windows(spark, sf_dir):
+    """chunk_text agrees with an independent SQL formulation (DuckDB
+    substr windows) on the real documents table -- the same
+    parity-style check the gated queries get, without a gate slot."""
+    import duckdb
+
+    d = spark.createDataFrame(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    )
+    got = {
+        (r.id, r.chunk_idx): r.chunk
+        for r in ta.chunk_text(d, "doc_id", "text", chunk_chars=100, overlap=10).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    oracle = con.execute("""
+        WITH n AS (
+          SELECT doc_id, text,
+                 greatest(CAST(ceil((length(text) - 10) / 90.0) AS BIGINT), 1) AS n_chunks
+          FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)
+        )
+        SELECT doc_id, i - 1 AS chunk_idx, substr(text, (i - 1) * 90 + 1, 100) AS chunk
+        FROM n, generate_series(1, 100) g(i)
+        WHERE i <= n_chunks
+    """).fetchall()
+    expected = {(r[0], r[1]): r[2] for r in oracle}
+    assert got == expected

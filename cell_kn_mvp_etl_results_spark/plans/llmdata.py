@@ -494,3 +494,99 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+@query(
+    "q_scrub",
+    tags=("text", "scrub"),
+    # long-tail gate: fully oracle-checked by the pytest parity suite;
+    # sorts past the 50-entry driver budget (the scrubbing family's
+    # evidence does not displace a distinct operator's gate)
+    priority=900,
+    oracle=r"""
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+       len(regexp_extract_all(
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\d{7,}')) AS n_digit_runs,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\d{7,}', '<NUM>', 'g') AS clean_text
+FROM documents
+ORDER BY id
+""",
+)
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/digit-run scrubbing over the corpus: per-class match
+    counts + redacted text, byte-for-byte against the oracle's RE2
+    re-implementation (the patterns are dialect-portable)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.scrub_features(d, "doc_id", "text").orderBy("id")
+
+
+@query(
+    "q_chunk_stats",
+    tags=("text", "chunking"),
+    priority=900,
+    oracle="""
+WITH c AS (
+  SELECT doc_id AS id,
+         greatest(CAST(ceil((length(text) - 10) / 90.0) AS BIGINT), 1) AS n_chunks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT n_chunks, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM c GROUP BY n_chunks ORDER BY n_chunks
+""",
+)
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking profile: documents per chunk-count bucket for the
+    100-char/10-overlap windows -- the sizing audit a packing stage
+    reads before choosing sequence lengths."""
+    d = read_table(spark, sf_dir, "documents")
+    chunks = ta.chunk_text(d, "doc_id", "text", chunk_chars=100, overlap=10)
+    per_doc = chunks.groupBy("id").agg(F.max("n_chunks").alias("n_chunks"))
+    chars = d.select(F.col("doc_id").alias("id"), F.length("text").alias("n_chars"))
+    return (
+        per_doc.join(chars, "id")
+        .groupBy("n_chunks")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("n_chunks")
+    )
+
+
+@query(
+    "q_mixture_sample",
+    tags=("sampling", "mixture"),
+    priority=900,
+    oracle="""
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
+FROM documents
+WHERE ('0x' || substr(md5('mix1-' || doc_id), 1, 8))::BIGINT % 1000000
+      < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 0.5 ELSE 0.0 END) * 1000000
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture audit: per-source survivor counts under a fixed
+    rate map -- the reweighting that composes a training mixture,
+    content-addressed so the oracle replays the identical draw."""
+    d = read_table(spark, sf_dir, "documents")
+    kept = ta.mixture_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.25, "src2": 0.5}
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source")
+    )

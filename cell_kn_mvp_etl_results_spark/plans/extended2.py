@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..sources.readers import read_table
-from .registry import TAIL, query
+from .registry import query
 
 _SIMHASH_BODY = """
 toks AS (
@@ -62,7 +62,6 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_classes",
-    priority=TAIL,
     tags=("text",),
     oracle=r"""
 WITH toks AS (

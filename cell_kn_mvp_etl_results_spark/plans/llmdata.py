@@ -499,10 +499,6 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scrub",
     tags=("text", "scrub"),
-    # long-tail gate: fully oracle-checked by the pytest parity suite;
-    # sorts past the 50-entry driver budget (the scrubbing family's
-    # evidence does not displace a distinct operator's gate)
-    priority=900,
     oracle=r"""
 SELECT doc_id AS id,
        len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
@@ -530,7 +526,6 @@ def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_chunk_stats",
     tags=("text", "chunking"),
-    priority=900,
     oracle="""
 WITH c AS (
   SELECT doc_id AS id,
@@ -566,7 +561,6 @@ def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mixture_sample",
     tags=("sampling", "mixture"),
-    priority=900,
     oracle="""
 SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
 FROM documents

@@ -408,6 +408,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_top1_per_group",
     tags=("window", "W1"),
+    # W1 variant: q_hierarchy_longest (in-budget) exercises the same
+    # top-1-per-group window over the traversal output; this one stays
+    # pytest-oracle-checked past the 50-entry driver budget.
+    priority=TAIL,
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice
 FROM (
@@ -632,6 +636,10 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_hyphenate",
     tags=("scalar", "C1", "C13"),
+    # C1/C13 are single-expression scalar maps with golden tests against
+    # the reference's own examples; the slot goes to a distinct
+    # LLM-pipeline capability instead.
+    priority=TAIL,
     oracle="""
 SELECT p_partkey,
        regexp_replace(p_name, '[ _,/]+', '-', 'g') AS slug,
@@ -767,6 +775,10 @@ def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_collect_sorted_set",
     tags=("agg", "A7"),
+    # A7 variant: q_attr_pivot (in-budget) covers the pivot +
+    # list-promotion aggregate; the sorted-set collect stays
+    # pytest-oracle-checked past the budget.
+    priority=TAIL,
     oracle="""
 SELECT o_custkey,
        array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')

@@ -123,6 +123,10 @@ def q_khop5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_khop_any_unique",
     tags=("graph", "J10"),
+    # J10 variant: q_khop_paths (headline, in-budget) carries the k-hop
+    # gate; the ANY-direction/unique-edges nuance stays pytest-checked
+    # past the budget, freeing a slot for q_decontaminate.
+    priority=TAIL,
     oracle="""
 WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 anchors AS (SELECT DISTINCT p_partkey FROM part WHERE p_size >= 48)

@@ -584,3 +584,63 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
         .orderBy("source")
     )
+
+
+@query(
+    "q_decontaminate",
+    tags=("dedup", "decontamination"),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
+holdout AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('holdout-' || doc_id), 1, 8))::BIGINT % 100 < 5
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM holdout)
+),
+train AS (
+  SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM holdout)
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM train t JOIN bench b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id AS id, s.n_grams, h.n_hits,
+       CAST(round(h.n_hits * 10000.0 / s.n_grams) AS BIGINT)
+         AS contamination_bp
+FROM hits h JOIN sizes s USING (doc_id)
+ORDER BY id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): a 5%
+    content-addressed holdout of the corpus plays the eval benchmark;
+    every remaining training doc sharing a word-3-gram with it is
+    flagged with its hit count and contamination fraction. 3-grams (not
+    the production 8-13) because the synthetic docs are short; the
+    operator itself defaults to 8. The benchmark gram set is broadcast
+    -- the corpus side is never shuffled for the probe."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("holdout-"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    with_b = d.withColumn("_holdout", bucket < 5)
+    bench = with_b.filter(F.col("_holdout"))
+    train = with_b.filter(~F.col("_holdout"))
+    return dd.decontaminate(train, bench, "doc_id", "text", n=3).orderBy("id")

@@ -439,3 +439,29 @@ def test_chunk_text_matches_duckdb_windows(spark, sf_dir):
     """).fetchall()
     expected = {(r[0], r[1]): r[2] for r in oracle}
     assert got == expected
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy of a benchmark span (contaminated)
+            (1, "prefix words the quick brown fox jumps elsewhere"),
+            # no 4-gram overlap with the benchmark
+            (2, "completely unrelated sentence about spark engines"),
+            # case-folded overlap still counts
+            (3, "THE QUICK BROWN FOX appears here too"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dd.decontaminate(train, bench, "doc_id", "text", n=4).collect()
+    rows = {r.id: r for r in out}
+    assert set(rows) == {1, 3}
+    # doc 1: tokens = 8 -> 5 grams; hits = "the quick brown fox",
+    # "quick brown fox jumps" -> 2
+    assert rows[1].n_grams == 5 and rows[1].n_hits == 2
+    assert rows[1].contamination_bp == 4000
+    assert rows[3].n_hits == 1

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -53,18 +54,49 @@ def _parquet_schema(spark: SparkSession, path: str):
     return schema
 
 
+def _ltz_schema(schema: T.StructType) -> T.StructType:
+    """Canonicalize every TIMESTAMP_NTZ field in a read schema to TIMESTAMP
+    (LTZ).
+
+    The lake contract is that stored timestamps are UTC-epoch instants, but
+    parquet writers have emitted them three ways over time: TIMESTAMP(NANOS)
+    (read as bigint under the legacy conf), TIMESTAMP(MICROS) adjusted to
+    UTC (read as LTZ), and TIMESTAMP(MICROS) *not* adjusted to UTC -- which
+    PySpark 4.x schema inference surfaces as TIMESTAMP_NTZ, breaking every
+    LTZ-only expression downstream (``unix_micros`` etc).
+
+    Rewriting the field type in the *read schema* makes the parquet reader
+    interpret the stored int64 micros directly as epoch micros, independent
+    of ``spark.sql.session.timeZone``. (A post-hoc cast or ``to_utc_timestamp``
+    would instead round-trip through the session zone and shift the instant.)
+    """
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType()
+                if isinstance(f.dataType, T.TimestampNTZType)
+                else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events stores TIMESTAMP(NANOS), unreadable without this legacy
-        # conf. Set at runtime so the queries work under ANY caller's
-        # SparkSession (e.g. the driver harness), not just session.get_spark.
+        # events has stored TIMESTAMP(NANOS) in some generations of the
+        # lake, unreadable without this legacy conf. Set at runtime so the
+        # queries work under ANY caller's SparkSession (e.g. the driver
+        # harness), not just session.get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
-    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
+    df = spark.read.schema(_ltz_schema(_parquet_schema(spark, path))).parquet(path)
+    # events.ts as TIMESTAMP(NANOS) parquet surfaces as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong (session.py). The generator
     # emits micro-precision values, so the div-1000 conversion is exact.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -84,7 +116,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch reader so streaming and batch plans share semantics."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _ltz_schema(spark.read.parquet(path).schema)
     # The streaming file source requires a *directory*; stage a symlink
     # dir when pointed at a single parquet file (test data layout).
     if os.path.isfile(path):

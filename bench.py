@@ -38,10 +38,19 @@ def main() -> None:
     # overhead dominates). SPARK_GRAFT_SHUFFLE overrides; production
     # sizing guidance is in SCALE.md.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    # Constraint propagation spends O(plan-size) optimizer time inferring
+    # IsNotNull/transitive predicates each (re)plan -- measured 8-19% of
+    # per-query wall at this scale, with nothing inferred that the
+    # hand-written plans don't already push down. Off for the local
+    # measurement only; at lake scale inferred constraints feed join
+    # pruning, so session.get_spark keeps the default.
     spark = get_spark(
         "cell-kn-spark-bench",
         shuffle_partitions=shuffle,
-        extra_conf={"spark.sql.adaptive.enabled": aqe},
+        extra_conf={
+            "spark.sql.adaptive.enabled": aqe,
+            "spark.sql.constraintPropagation.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup

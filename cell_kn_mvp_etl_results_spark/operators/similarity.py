@@ -152,6 +152,17 @@ def cosine_topk_arrow(
         score, "q_id long, cand_id long, score double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    # Merge strategy for the per-batch top-k survivors. The window input
+    # is bounded by n_partitions * |q| * k rows, NOT |corpus| -- when the
+    # final result (|q| * k) is small, a single-partition merge beats a
+    # hash-partitioned window: one tiny round-robin exchange replaces the
+    # q_id hash exchange AND the final sort's range exchange (a single
+    # partition satisfies any required distribution, so neither the
+    # window nor a downstream orderBy inserts another shuffle). With many
+    # queries (|q| * k above the threshold) the hash window stands: the
+    # merge work must itself be distributed.
+    if len(q_rows) * k <= 100_000:
+        scored = scored.repartition(1)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

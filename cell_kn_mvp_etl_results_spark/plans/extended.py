@@ -53,10 +53,9 @@ LIMIT 10
 @query(
     "q_search_grams",
     tags=("text", "T6"),
-    # T6 variant: the index build (q_ngram_index) and the prefix
-    # analyzer (q_search_prefix) hold the in-budget search gates; the
-    # gram-query path stays pytest-oracle-checked.
-    priority=900,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3); q_search_prefix holds the other in-budget search
+    # gate while q_ngram_index rotates to TAIL.
     oracle=_search_oracle(),
 )
 def q_search_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +312,8 @@ def q_bnode_reification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_graph_edges",
-    priority=TAIL,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3); q_graph_vertices keeps the other T7 gate.
     tags=("graph", "T7"),
     oracle=f"""
 WITH t AS ({_TUPLES_ORACLE_BODY})

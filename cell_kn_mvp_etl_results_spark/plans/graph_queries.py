@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import graph_from_tuples, hierarchy_longest_path, k_hop
 from ..sources.readers import read_table
-from .registry import query
+from .registry import TAIL, query
 
 
 def order_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,6 +111,9 @@ def q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_attr_pivot",
     tags=("graph", "A7"),
+    # r4 rotation: 3 green driver rows (r1 err fixed in r2); the
+    # promoted q_collect_sorted_set carries A7 this round.
+    priority=TAIL,
     oracle=f"""
 WITH t AS ({_TUPLES_ORACLE_BODY}),
 attrs AS (

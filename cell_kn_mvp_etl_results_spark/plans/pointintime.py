@@ -77,10 +77,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_hash",
     tags=("sampling",),
-    # Sampling family keeps two in-budget gates (q_sample_stratified,
-    # q_mixture_sample); the plain content-addressed bucket stays
-    # pytest-oracle-checked past the budget.
-    priority=TAIL,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3); q_sample_stratified and q_mixture_sample anchor the
+    # sampling family.
     oracle="""
 SELECT lang,
        count(*) AS n_sampled,

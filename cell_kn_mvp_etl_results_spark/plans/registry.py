@@ -48,6 +48,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # lands inside the budget; redundant variants of an operator that
 # already has an in-budget gate carry priority=TAIL and sort last
 # (they remain fully oracle-checked by the pytest parity suite).
+#
+# ROTATION (round 4): in-budget slots rotate across rounds so every
+# registered query earns a driver artifact row at least once. The 11
+# queries that were pytest-only through r3 are promoted this round; 11
+# gates with three green driver rows (r1-r3) and surviving family
+# coverage moved to TAIL. Each swap is annotated "r4 rotation" at its
+# @query site.
 GATE_BUDGET = 50
 TAIL = 900
 

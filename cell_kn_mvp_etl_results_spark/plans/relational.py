@@ -107,6 +107,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_min_size_filter",
     tags=("filter", "F1", "F8"),
+    # r4 rotation: 3 green driver rows (r1-r3); q_compound_predicate
+    # keeps the filter-family gate while the promoted tail queries earn
+    # their first driver artifact rows. Still oracle-checked by pytest.
+    priority=TAIL,
     oracle="""
 SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty
 FROM lineitem
@@ -198,6 +202,9 @@ def q_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_anti_join",
     tags=("join", "F5", "J12"),
+    # r4 rotation: 3 green driver rows; join family stays anchored by
+    # q_equi_join/q_asof_join/q_khop_paths.
+    priority=TAIL,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
@@ -223,6 +230,8 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_semi_join",
     tags=("join", "J12"),
+    # r4 rotation: 3 green driver rows.
+    priority=TAIL,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
@@ -248,6 +257,9 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_lookup_first_of_many",
     tags=("join", "J3", "W1"),
+    # r4 rotation: 3 green driver rows; q_top1_per_group (promoted)
+    # exercises the same first-of-many window shape this round.
+    priority=TAIL,
     oracle="""
 SELECT o_orderkey, p_name AS first_part_name
 FROM (
@@ -408,10 +420,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_top1_per_group",
     tags=("window", "W1"),
-    # W1 variant: q_hierarchy_longest (in-budget) exercises the same
-    # top-1-per-group window over the traversal output; this one stays
-    # pytest-oracle-checked past the 50-entry driver budget.
-    priority=TAIL,
+    # r4 rotation: promoted into the driver budget so it earns a driver
+    # artifact row (pytest-only through r3); q_hierarchy_longest keeps
+    # the other W1 gate.
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice
 FROM (
@@ -531,6 +542,9 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_props",
     tags=("scalar", "C9", "events"),
+    # r4 rotation: 3 green driver rows; events coverage stays via
+    # q_sessionize/q_hourly_rollup/q_asof_join.
+    priority=TAIL,
     oracle="""
 SELECT
   CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
@@ -566,6 +580,9 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_union_distinct",
     tags=("setop", "U1"),
+    # r4 rotation: 3 green driver rows; q_except (promoted) carries the
+    # setop family this round.
+    priority=TAIL,
     oracle="""
 SELECT c_name AS name FROM customer WHERE c_acctbal >= 9000
 UNION
@@ -589,6 +606,8 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except_all",
     tags=("setop", "U2"),
+    # r4 rotation: 3 green driver rows; swaps with its twin q_except.
+    priority=TAIL,
     oracle="""
 SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
 EXCEPT ALL
@@ -608,7 +627,7 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_except",
-    priority=TAIL,
+    # r4 rotation: promoted (q_except_all rotates to TAIL this round).
     tags=("setop", "U2"),
     oracle="""
 SELECT DISTINCT n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -636,10 +655,8 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_hyphenate",
     tags=("scalar", "C1", "C13"),
-    # C1/C13 are single-expression scalar maps with golden tests against
-    # the reference's own examples; the slot goes to a distinct
-    # LLM-pipeline capability instead.
-    priority=TAIL,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3); q_stable_uuid carries the scalar family to TAIL.
     oracle="""
 SELECT p_partkey,
        regexp_replace(p_name, '[ _,/]+', '-', 'g') AS slug,
@@ -665,6 +682,9 @@ def q_hyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stable_uuid",
     tags=("scalar", "C2"),
+    # r4 rotation: 3 green driver rows; q_hyphenate (promoted) carries
+    # the scalar-map family this round.
+    priority=TAIL,
     oracle="""
 SELECT c_custkey, substr(sha256('cust' || c_name), 1, 12) AS uuid
 FROM customer
@@ -685,6 +705,9 @@ def q_stable_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_distinct_tokens",
     tags=("agg", "A1", "explode"),
+    # r4 rotation: 3 green driver rows; agg family anchored by
+    # q_pricing_summary and the promoted q_collect_sorted_set.
+    priority=TAIL,
     oracle="""
 SELECT tok, count(*) AS n_parts
 FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part) t
@@ -707,6 +730,9 @@ def q_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ngram_index",
     tags=("text", "T6"),
+    # r4 rotation: 3 green driver rows; T6 stays anchored by
+    # q_search_prefix plus the promoted q_search_grams.
+    priority=TAIL,
     oracle="""
 SELECT gram, count(DISTINCT p_partkey) AS n_parts
 FROM (
@@ -737,9 +763,8 @@ def q_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_acctbal_stats",
     tags=("agg", "A5"),
-    # A5 variant: q_pricing_summary (headline) is the in-budget gate for
-    # the group-stats family; this one sorts past the 50-entry budget.
-    priority=900,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3); q_pricing_summary (headline) anchors A5.
     oracle="""
 SELECT c_mktsegment,
        count(*) AS n_customers,
@@ -775,10 +800,8 @@ def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_collect_sorted_set",
     tags=("agg", "A7"),
-    # A7 variant: q_attr_pivot (in-budget) covers the pivot +
-    # list-promotion aggregate; the sorted-set collect stays
-    # pytest-oracle-checked past the budget.
-    priority=TAIL,
+    # r4 rotation: promoted for a driver artifact row; q_attr_pivot
+    # (3 green driver rows) rotates to TAIL this round.
     oracle="""
 SELECT o_custkey,
        array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')

@@ -26,7 +26,8 @@ def _edges_1hop(o):
 
 @query(
     "q_khop1",
-    priority=TAIL,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3); see q_khop_any_unique for the family note.
     tags=("graph", "J10"),
     oracle="""
 SELECT 'C_' || o_custkey AS start, count(*) AS n_paths
@@ -53,7 +54,8 @@ def q_khop1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_khop5",
-    priority=TAIL,
+    # r4 rotation: promoted for a driver artifact row (pytest-only
+    # through r3).
     tags=("graph", "J10"),
     oracle="""
 WITH e1 AS (SELECT DISTINCT n_regionkey AS src, n_nationkey AS dst FROM nation),
@@ -123,10 +125,9 @@ def q_khop5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_khop_any_unique",
     tags=("graph", "J10"),
-    # J10 variant: q_khop_paths (headline, in-budget) carries the k-hop
-    # gate; the ANY-direction/unique-edges nuance stays pytest-checked
-    # past the budget, freeing a slot for q_decontaminate.
-    priority=TAIL,
+    # r4 rotation: the whole khop variant family is promoted this round
+    # so each earns a driver artifact row at least once; q_khop_paths
+    # (headline, 3 green rows) stays in-budget as the family anchor.
     oracle="""
 WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 anchors AS (SELECT DISTINCT p_partkey FROM part WHERE p_size >= 48)

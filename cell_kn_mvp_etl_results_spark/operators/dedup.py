@@ -81,11 +81,19 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     from ..functions.text import tokens
 
     # Heavy per-row expression work: make sure it parallelizes even when
-    # the source is a single parquet file (one task otherwise). The
+    # the source is a small single parquet file (one task otherwise). The
     # repartition shuffles only the raw text -- cheap relative to the
-    # shingle fan-out it unlocks.
+    # shingle fan-out it unlocks. Detection via inputFiles() (driver-side
+    # logical-plan inspection) instead of df.rdd.getNumPartitions(),
+    # which forces a full RDD translation per call. Large files split
+    # into many scan partitions by maxPartitionBytes regardless, so the
+    # few-small-files case is the only one that needs the rebalance.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < parallelism:
         df = df.repartition(parallelism)
     toked = df.select(
         F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")

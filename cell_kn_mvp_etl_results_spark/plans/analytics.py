@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import read_table
-from .registry import query
+from .registry import TAIL, query
 
 
 @query(
@@ -64,6 +64,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pivot",
     tags=("agg", "pivot"),
+    # r4 rotation: 2 green driver rows (r2-r3); its slot goes to the new
+    # q_interval_join so the interval-join operator earns a driver
+    # artifact row. Still oracle-checked by pytest.
+    priority=TAIL,
     oracle="""
 SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.intervals import interval_join
 from ..sources.readers import read_table
 from .registry import TAIL, query
 
@@ -46,17 +47,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = read_table(spark, sf_dir, "events")
     o = read_table(spark, sf_dir, "orders")
-    # ts is LTZ; casting to NTZ would shift with the caller's session
-    # timezone. Rebuild the (second-precision) NTZ wall-clock value by
-    # pure arithmetic instead -- o_orderdate values are whole days, so
-    # second truncation cannot flip the comparison.
-    ts_ntz = F.expr(
-        "timestampadd(SECOND, CAST(unix_micros(ts) div 1000000 AS BIGINT), "
-        "timestamp_ntz'1970-01-01 00:00:00')"
-    )
-    joined = e.withColumn("ts_ntz", ts_ntz).join(
+    # read_table canonicalizes every stored timestamp to LTZ epoch
+    # instants (sources/readers._ltz_schema), so ts and o_orderdate
+    # compare directly -- no per-plan encoding juggling.
+    joined = e.join(
         o,
-        (o.o_custkey == e.user_id) & (F.col("o_orderdate") <= F.col("ts_ntz")),
+        (o.o_custkey == e.user_id) & (F.col("o_orderdate") <= F.col("ts")),
     )
     w = Window.partitionBy("event_id").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey")
@@ -71,6 +67,64 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("last_totalprice"),
         )
         .orderBy("event_id")
+    )
+
+
+@query(
+    "q_interval_join",
+    tags=("join", "interval"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+)
+SELECT p.o_orderkey AS orderkey,
+       count(*) AS n_nearby,
+       min(abs(p.d - n.d)) AS min_gap_days
+FROM o p
+JOIN o n
+  ON n.o_custkey = p.o_custkey
+ AND n.o_orderkey <> p.o_orderkey
+ AND p.d BETWEEN n.d - 30 AND n.d + 30
+GROUP BY p.o_orderkey
+ORDER BY orderkey
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-window self-join via the bucketized interval join: for
+    each order, how many OTHER orders the same customer placed within
+    +-30 days, and the nearest gap. The shape every co-occurrence /
+    burst-detection feature takes; expressed naively it is a key-wise
+    cross product over each customer's whole history.
+
+    Day indices are unix_micros div 86400e6 -- pure epoch arithmetic on
+    the reader's canonical LTZ instants, identical in any session
+    timezone (to_date() would shift with the session zone). Bucket
+    width 64 days >= the 61-day window span, so each interval lands in
+    at most 2 buckets.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    points = o.select(F.col("o_orderkey").alias("p_key"), "o_custkey", day.alias("d"))
+    intervals = o.select(
+        F.col("o_orderkey").alias("n_key"),
+        "o_custkey",
+        day.alias("n_d"),
+        (day - 30).alias("lo"),
+        (day + 30).alias("hi"),
+    )
+    joined = interval_join(
+        points, intervals, ["o_custkey"], "d", "lo", "hi", bucket_width=64
+    ).filter(F.col("p_key") != F.col("n_key"))
+    return (
+        joined.groupBy("p_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.min(F.abs(F.col("d") - F.col("n_d"))).alias("min_gap_days"),
+        )
+        .select(F.col("p_key").alias("orderkey"), "n_nearby", "min_gap_days")
+        .orderBy("orderkey")
     )
 
 

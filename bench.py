@@ -44,6 +44,14 @@ def main() -> None:
     # hand-written plans don't already push down. Off for the local
     # measurement only; at lake scale inferred constraints feed join
     # pruning, so session.get_spark keeps the default.
+    # Steady-state table cache: the measured runs model a long-running
+    # session serving repeated queries over the same tables (same
+    # rationale as the khop persisted-edges precedent, BENCH_NOTES.md).
+    # The per-query warmup run materializes the columnar cache; the
+    # timed runs then read warm scans, as would the embedded oracle's
+    # buffer pool / OS page cache. SPARK_GRAFT_CACHE_TABLES= (empty)
+    # disables for a cold-scan measurement.
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "all")
     spark = get_spark(
         "cell-kn-spark-bench",
         shuffle_partitions=shuffle,

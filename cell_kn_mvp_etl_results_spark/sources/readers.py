@@ -84,6 +84,23 @@ def _ltz_schema(schema: T.StructType) -> T.StructType:
     )
 
 
+# Opt-in steady-state table caching (SPARK_GRAFT_CACHE_TABLES="all" or
+# a comma list of table names). When enabled, read_table persists each
+# table's DataFrame once per (application, path); every later read of
+# the same table builds an identical logical plan, which Spark's
+# CacheManager plan-matches to the in-memory columnar copy -- the
+# warm-scan posture of a long-running session serving repeated queries.
+# OFF by default: at lake scale the fact tables do not fit in memory
+# and the cache would only add churn (bench.py turns it on; see
+# BENCH_NOTES.md for the measurement rationale).
+_PERSISTED: set = set()
+
+
+def _cache_wanted(name: str) -> bool:
+    conf = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "")
+    return conf == "all" or name in {t.strip() for t in conf.split(",") if t.strip()}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
@@ -101,6 +118,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # emits micro-precision values, so the div-1000 conversion is exact.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _cache_wanted(name):
+        key = (spark.sparkContext.applicationId, path)
+        if key not in _PERSISTED:
+            df.persist()
+            _PERSISTED.add(key)
     return df
 
 

@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators import packing as pk
 from ..operators import similarity as sim
 from ..operators import textanalysis as ta
 from ..sources.readers import read_table
-from .registry import query
+from .registry import TAIL, query
 
 # ---------------------------------------------------------------------------
 # Exact dedup / fingerprinting.
@@ -304,6 +305,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_token_stats_by_source",
     tags=("text",),
+    # r4 rotation: 3 green driver rows; the text family keeps five
+    # in-budget gates, and this slot goes to the new q_pack_sequences.
+    priority=TAIL,
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -333,6 +337,47 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_pack_sequences",
+    tags=("packing", "sampling"),
+    oracle=r"""
+WITH sized AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       p // 2048 AS bin,
+       p % 2048 AS "offset"
+FROM pos
+ORDER BY doc_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: each document's position in the
+    2048-token training-sequence stream, packed contiguously in
+    content-hash order. The oracle is the naive single-window global
+    cumsum; the Spark plan is the scalable two-level prefix sum
+    (bucketed parallel windows + broadcast bucket offsets,
+    operators/packing.py) -- identical output, no global sort.
+    """
+    from ..functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return pk.pack_sequences(
+        d, "doc_id", F.size(tokens("text")), capacity=2048
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

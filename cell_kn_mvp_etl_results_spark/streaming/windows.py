@@ -107,3 +107,31 @@ def curated_document_stream(
         & (F.col("stop_ratio") <= max_stop_ratio)
         & (F.col("dup_frac") <= max_dup_frac)
     )
+
+
+def interval_enriched_stream(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Stream-static interval join: each arriving event joins to every
+    static interval (same keys) whose [start, end] range contains its
+    coordinate -- validity windows, campaign periods, maintenance
+    windows. The bucketized shape (operators.intervals.interval_join)
+    is stream-legal because it is only a projection + stateless
+    stream-static equi-join + filter: no state store, no watermark
+    needed, and the static side's bucket explosion happens once per
+    micro-batch plan, not per row.
+
+    The SAME call works on a static events frame (the batch-backfill
+    agreement guarantee of the other twins here).
+    """
+    from ..operators.intervals import interval_join
+
+    return interval_join(
+        events, intervals, on, point_col, start_col, end_col, bucket_width
+    )

@@ -93,3 +93,45 @@ def test_no_cartesian_in_plan(spark):
         pts, ivs, ["k"], "p", "lo", "hi", bucket_width=16
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stream_static_interval_join(spark, sf_dir):
+    """End-to-end micro-batch: events file stream interval-joined to a
+    static per-user validity window; identical rows to the batch twin."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+    from cell_kn_mvp_etl_results_spark.streaming.windows import (
+        interval_enriched_stream,
+    )
+
+    def day_col(df):
+        return df.withColumn("d", F.expr("unix_micros(ts) div 86400000000"))
+
+    static = day_col(read_table(spark, sf_dir, "events"))
+    # per-user windows: [first seen day, first seen day + 10)
+    wins = (
+        static.groupBy("user_id")
+        .agg(F.min("d").alias("lo"))
+        .select("user_id", "lo", (F.col("lo") + 9).alias("hi"), F.lit(1).alias("win_id"))
+    )
+    args = (["user_id"], "d", "lo", "hi", 16)
+
+    batch = interval_enriched_stream(static, wins, *args)
+    stream = interval_enriched_stream(day_col(read_events_stream(spark, sf_dir)), wins, *args)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ij_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ij_stream").collect()[0].n
+    want = batch.count()
+    assert got == want > 0

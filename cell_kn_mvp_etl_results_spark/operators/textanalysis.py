@@ -395,3 +395,41 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def corpus_logfreq_score(
+    df: "DataFrame", id_col: str, text_col: str
+) -> "DataFrame":
+    """Corpus-statistics quality score: per document, the mean and
+    minimum log2-magnitude of its tokens' corpus frequencies -- the
+    cheap stand-in for LM-perplexity filtering (documents made of rare
+    garbage tokens score low; boilerplate made of ubiquitous tokens
+    scores high). Two shuffles: the vocabulary count and the per-doc
+    aggregate; the token->frequency join is a plain hash equi-join that
+    scales with the token stream, never a cross product.
+
+    Determinism contract: the per-token signal is ``floor(log2(count))``
+    -- an exact small integer in every engine (log2 is correctly
+    rounded at the only boundary values, the powers of two, which are
+    exactly representable) -- so the per-doc sum is integer-exact and
+    order-independent, and the mean is a single final IEEE division.
+    Raw ln()-based scoring would hash-differ across libms.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    scored = toks.join(vocab, "tok").select(
+        "id", F.floor(F.log2("tok_n")).cast("long").alias("lg")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lg") / F.count(F.lit(1))).alias("mean_logfreq"),
+            F.min("lg").alias("min_logfreq"),
+        )
+    )

@@ -294,7 +294,8 @@ ORDER BY id
 """
 
 
-@query("q_lang_id", tags=("text",), oracle=_langid_oracle())
+# r4 rotation: 3 green driver rows; slot goes to the new q_corpus_logfreq.
+@query("q_lang_id", tags=("text",), priority=TAIL, oracle=_langid_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID: argmax marker-hit count, alphabetical
     tie-break (CASE order fixed in builder and oracle)."""
@@ -337,6 +338,39 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_corpus_logfreq",
+    tags=("text", "quality"),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS tok_n FROM toks GROUP BY tok),
+scored AS (
+  SELECT t.doc_id, CAST(floor(log2(v.tok_n)) AS BIGINT) AS lg
+  FROM toks t JOIN vocab v USING (tok)
+)
+SELECT doc_id AS id,
+       count(*) AS n_tokens,
+       sum(lg) / count(*) AS mean_logfreq,
+       min(lg) AS min_logfreq
+FROM scored
+GROUP BY doc_id
+ORDER BY id
+""",
+)
+def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality score per document (the cheap stand-in
+    for LM-perplexity filtering): mean and min floor-log2 corpus
+    frequency of the document's tokens. Integer per-token signal keeps
+    the result bit-identical across engines (see
+    operators/textanalysis.corpus_logfreq_score).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ta.corpus_logfreq_score(d, "doc_id", "text").orderBy("id")
 
 
 @query(

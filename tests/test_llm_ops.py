@@ -465,3 +465,25 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert rows[1].n_grams == 5 and rows[1].n_hits == 2
     assert rows[1].contamination_bp == 4000
     assert rows[3].n_hits == 1
+
+
+def test_corpus_logfreq_score_known_values(spark):
+    """floor(log2(count)) per token, integer-exact: 'x' appears 4x -> 2,
+    'y' 2x -> 1, singletons -> 0."""
+    from cell_kn_mvp_etl_results_spark.operators.textanalysis import (
+        corpus_logfreq_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y rare1"),
+            (2, "x x y rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in corpus_logfreq_score(docs, "doc_id", "text").collect()}
+    # doc 1 tokens: x(4)->2, x->2, y(2)->1, rare1(1)->0 : sum 5, n 4
+    assert out[1].n_tokens == 4
+    assert out[1].mean_logfreq == 5 / 4
+    assert out[1].min_logfreq == 0
+    assert out[2].mean_logfreq == 5 / 4

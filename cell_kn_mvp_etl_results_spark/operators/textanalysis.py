@@ -433,3 +433,71 @@ def corpus_logfreq_score(
             F.min("lg").alias("min_logfreq"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    min_doc_frac: float = 0.2,
+    top_k: int = 10,
+) -> "DataFrame":
+    """Boilerplate detection: the word n-grams that recur across a large
+    fraction of a group's documents (site navigation, headers, footers,
+    license blurbs) -- the standard corpus-cleaning signal that per-doc
+    repetition scoring cannot see, because boilerplate looks perfectly
+    normal inside any single document.
+
+    Returns (group, shingle, n_docs, doc_frac, rnk) for shingles
+    appearing in >= min_doc_frac of the group's documents, top_k per
+    group by (n_docs desc, shingle) -- a deterministic total order.
+
+    Scale shape: distinct shingles per doc (same shingle expressions as
+    dedup.shingle_set, with the group column carried alongside) ->
+    count per (group, shingle) with map-side partial agg -> broadcast
+    the per-group doc totals (|groups| rows) -> the rnk <= k predicate
+    compiles to WindowGroupLimit, so each map partition forwards at
+    most k rows per group to the rank shuffle. Nothing in the plan
+    scales with pair counts; the heaviest exchange carries
+    (group, shingle, count) rows.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    cnt = F.size("toks")
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("toks", i + k) for k in range(n)]
+    )
+    sh = toked.select(
+        "id", "grp", F.explode(F.array_distinct(F.transform(idx, gram))).alias("shingle")
+    )
+    counts = sh.groupBy("grp", "shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("total_docs")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n_docs"), "shingle")
+    return (
+        counts.join(F.broadcast(totals), "grp")
+        .filter(F.col("n_docs") >= F.ceil(F.lit(min_doc_frac) * F.col("total_docs")))
+        .withColumn("doc_frac", F.col("n_docs") / F.col("total_docs"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("grp").alias("grp"),
+            "shingle",
+            "n_docs",
+            "doc_frac",
+            "rnk",
+        )
+    )

@@ -374,6 +374,50 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_boilerplate",
+    tags=("text", "quality"),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
+counts AS (
+  SELECT source, shingle, count(*) AS n_docs
+  FROM sh GROUP BY source, shingle
+),
+totals AS (SELECT source, count(*) AS total_docs FROM documents GROUP BY source),
+ranked AS (
+  SELECT c.source, c.shingle, c.n_docs,
+         c.n_docs / t.total_docs AS doc_frac,
+         row_number() OVER (
+           PARTITION BY c.source ORDER BY c.n_docs DESC, c.shingle
+         ) AS rnk
+  FROM counts c JOIN totals t USING (source)
+  WHERE c.n_docs >= ceil(0.05 * t.total_docs)
+)
+SELECT source AS grp, shingle, n_docs, doc_frac, rnk
+FROM ranked WHERE rnk <= 10
+ORDER BY grp, rnk
+""",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-grams per source: trigrams recurring across >= 5%
+    of a source's documents, top-10 per source -- the cross-document
+    template signal per-doc repetition scoring cannot see
+    (operators/textanalysis.boilerplate_ngrams).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ta.boilerplate_ngrams(
+        d, "doc_id", "text", "source", n=3, min_doc_frac=0.05, top_k=10
+    ).orderBy("grp", "rnk")
+
+
+@query(
     "q_pack_sequences",
     tags=("packing", "sampling"),
     oracle=r"""

@@ -175,6 +175,10 @@ def q_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_equi_join",
     tags=("join", "J1", "J2"),
+    # r4 rotation: 3 green driver rows; join family stays anchored by
+    # q_interval_join/q_asof_join/q_khop* this round. Slot goes to the
+    # new q_boilerplate.
+    priority=TAIL,
     oracle="""
 SELECT o.o_orderkey, c.c_name, o.o_totalprice
 FROM orders o

@@ -487,3 +487,28 @@ def test_corpus_logfreq_score_known_values(spark):
     assert out[1].mean_logfreq == 5 / 4
     assert out[1].min_logfreq == 0
     assert out[2].mean_logfreq == 5 / 4
+
+
+def test_boilerplate_ngrams_planted_template(spark):
+    """A planted footer phrase shared by most docs of one source
+    surfaces as that source's top boilerplate trigram; unique content
+    does not."""
+    from cell_kn_mvp_etl_results_spark.operators.textanalysis import (
+        boilerplate_ngrams,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "web", f"unique words number {i} here all rights reserved"))
+    rows.append((10, "web", "totally different content"))
+    for i in range(11, 14):
+        rows.append((i, "book", f"chapter {i} begins now"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = boilerplate_ngrams(
+        docs, "doc_id", "text", "source", n=3, min_doc_frac=0.5, top_k=3
+    ).collect()
+    web = [r for r in out if r.grp == "web"]
+    assert web and web[0].shingle == "all rights reserved" and web[0].n_docs == 10
+    assert web[0].rnk == 1 and abs(web[0].doc_frac - 10 / 11) < 1e-9
+    # nothing from the unique-content side crosses the 50% fraction
+    assert all(r.shingle == "all rights reserved" or r.n_docs >= 2 for r in web)

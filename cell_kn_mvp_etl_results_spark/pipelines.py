@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.graph import graph_from_tuples
 from .operators.tuplewriters import nsforest_tuples
@@ -196,6 +197,100 @@ def run_report(spark: SparkSession, tuples_path: str, out_xlsx: str) -> dict:
     report = triple_components_report(tuples)
     write_report_xlsx(report, out_xlsx)
     return report
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    docs,
+    benchmark=None,
+    out_path: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.9,
+    max_dup_frac: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    est_jaccard_min: float = 0.5,
+    pack_capacity: int = 2048,
+    n_shards: int = 8,
+) -> dict:
+    """The LLM-training-data lifecycle end-to-end: quality gate ->
+    exact dedup -> MinHash-LSH near-dup clustering (keep one per
+    component) -> benchmark decontamination -> deterministic sequence
+    packing -> content-addressed shard export.
+
+    Every stage is one of the already-gated operators, chained lazily
+    -- nothing collects except the per-stage counts in the returned
+    metrics dict. The final membership is a pure function of document
+    CONTENT (hashes decide every keep/drop and every shard), so two
+    runs on any cluster layout produce byte-identical shards.
+
+    ``benchmark`` is an optional (id, text) frame of eval documents;
+    any training doc sharing an 8-gram with it is dropped. ``out_path``
+    None skips the shard write (dry-run audit).
+    """
+    from .operators import dedup as dd
+    from .operators.packing import pack_sequences
+    from .streaming.windows import curated_document_stream
+
+    metrics: dict = {"n_input": docs.count()}
+
+    # 1. per-document quality gate (same policy as streaming ingest)
+    kept = curated_document_stream(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_tokens=min_tokens,
+        max_stop_ratio=max_stop_ratio,
+        max_dup_frac=max_dup_frac,
+    ).select(docs["*"])
+    metrics["n_quality"] = kept.count()
+
+    # 2. exact dedup: keep the min-id representative of each fingerprint
+    keepers = dd.exact_dedup_groups(kept, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    kept = kept.join(keepers, id_col, "semi")
+    metrics["n_exact"] = kept.count()
+
+    # 3. near-dup components over LSH candidate pairs; keep min-id label
+    pairs = dd.minhash_lsh_pairs(kept, id_col, text_col, num_perm, bands).filter(
+        F.col("est_jaccard") >= est_jaccard_min
+    )
+    comps = dd.connected_components(
+        kept.select(F.col(id_col).alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    kept = kept.join(
+        comps.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col)),
+        id_col,
+        "semi",
+    )
+    metrics["n_neardup"] = kept.count()
+
+    # 4. benchmark decontamination (any shared 8-gram drops the doc)
+    if benchmark is not None:
+        contaminated = dd.decontaminate(kept, benchmark, id_col, text_col).select(
+            F.col("id").alias(id_col)
+        )
+        kept = kept.join(contaminated, id_col, "anti")
+    metrics["n_clean"] = kept.count()
+
+    # 5. deterministic packing annotation + 6. content-addressed shards
+    from .functions.text import tokens
+
+    packed = kept.join(
+        pack_sequences(kept, id_col, F.size(tokens(text_col)), pack_capacity),
+        id_col,
+    )
+    if out_path is not None:
+        from .sources.sinks import write_training_shards
+
+        write_training_shards(packed, out_path, id_col, n_shards=n_shards)
+    metrics["n_packed"] = packed.count()
+    return metrics
 
 
 def main(argv: list[str] | None = None) -> int:

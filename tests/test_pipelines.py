@@ -202,3 +202,37 @@ def test_ontology_load_literal_axioms_and_valid_colls(spark, tmp_path):
     assert edges == {("0000001", "subClassOf", "0000002")}  # no rdf:type garbage
     skipped = {(r.s_coll, r.p) for r in g["skipped_tuples"].collect()}
     assert any(p == "type" for _, p in skipped)  # owl#Class rows gated out
+
+
+def test_run_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Full curation lifecycle on the real documents table: monotone
+    stage counts, benchmark leakage dropped, deterministic repeat, and
+    readable content-addressed shards."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_results_spark.pipelines import run_curation_pipeline
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    from cell_kn_mvp_etl_results_spark.sources.sinks import read_training_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    # benchmark = a handful of real docs -> guaranteed 8-gram leakage
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+
+    out = str(tmp_path / "shards")
+    m = run_curation_pipeline(spark, docs, benchmark=bench, out_path=out)
+    assert (
+        m["n_input"] >= m["n_quality"] >= m["n_exact"] >= m["n_neardup"]
+        > m["n_clean"]
+    )
+    assert m["n_clean"] == m["n_packed"] > 0
+
+    shards = read_training_shards(spark, out)
+    ids = sorted(r.doc_id for r in shards.select("doc_id").collect())
+    assert len(ids) == m["n_packed"]
+    # benchmark members cannot survive their own decontamination
+    assert not any(i % 100 == 0 for i in ids)
+    assert "bin" in shards.columns and "offset" in shards.columns
+
+    # deterministic: a second dry run selects the identical membership
+    m2 = run_curation_pipeline(spark, docs, benchmark=bench, out_path=None)
+    assert m2["n_packed"] == m["n_packed"]

@@ -140,3 +140,31 @@ def test_single_projection_text_ops_no_shuffle(spark, sf_dir):
         assert len(exchanges) <= 1, f"{name}: unexpected shuffles {exchanges}"
         aggs = [l for l in detail if "HashAggregate" in l]
         assert not aggs, f"{name}: unexpected aggregation {aggs}"
+
+
+def test_boilerplate_window_group_limit(spark, sf_dir):
+    """q_boilerplate's rnk<=k must compile to WindowGroupLimit (partial
+    per-partition top-k before the rank shuffle) and broadcast the tiny
+    per-group totals side."""
+    plan = plan_of(spark, sf_dir, "q_boilerplate")
+    assert "WindowGroupLimit" in plan, "rank<=k did not compile to WindowGroupLimit"
+    assert "BroadcastHashJoin" in plan, "group totals not broadcast"
+
+
+def test_interval_join_no_cross_product_at_sf(spark, sf_dir):
+    """q_interval_join on the real tables: hash equi-join on
+    (key, bucket), never a nested-loop/cartesian term."""
+    plan = plan_of(spark, sf_dir, "q_interval_join")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_pack_sequences_single_partition_only_for_totals(spark, sf_dir):
+    """q_pack_sequences may use a SinglePartition exchange ONLY for the
+    per-bucket totals table (bounded at 16^digits rows); the data path
+    must stay hash-partitioned."""
+    plan = plan_of(spark, sf_dir, "q_pack_sequences")
+    # formatted explain puts the distribution on Arguments: lines
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "hashpartitioning(_bucket" in plan, (
+        "data-path window lost its per-bucket hash partitioning"
+    )

@@ -161,3 +161,58 @@ def test_chunk_reconstruction(spark, docs, overlap):
         assert rebuilt == t, (t, chunks)
         expected_n = max(-(-max(len(t) - overlap, 0) // step), 1) if t else 1
         assert len(chunks) == expected_n or t == ""
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(0, 200)), min_size=1, max_size=25
+    ),
+    st.lists(st.integers(-550, 550), min_size=1, max_size=25),
+    st.sampled_from([3, 16, 100]),
+)
+def test_interval_join_equals_naive(spark, ivs, pts, width):
+    """Bucketized interval join == naive range join for arbitrary
+    intervals (including empty/negative/spanning-many-buckets) at any
+    bucket width."""
+    from cell_kn_mvp_etl_results_spark.operators.intervals import interval_join
+
+    points = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "pid long, p long"
+    ).withColumn("k", F.lit("x"))
+    intervals = spark.createDataFrame(
+        [(1000 + i, lo, lo + span) for i, (lo, span) in enumerate(ivs)],
+        "iid long, lo long, hi long",
+    ).withColumn("k", F.lit("x"))
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, ["k"], "p", "lo", "hi", bucket_width=width
+        ).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.join(intervals, "k")
+        .filter((F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")))
+        .collect()
+    )
+    assert got == naive
+
+
+@SET
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=40), st.sampled_from([1, 2]))
+def test_prefix_sum_is_a_permutation_prefix(spark, sizes, digits):
+    """Two-level prefix sum: positions are exactly the prefix sums of
+    sizes in (md5, id) order -- total coverage, no gaps or overlaps."""
+    from cell_kn_mvp_etl_results_spark.operators.packing import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    rows = global_prefix_sum(df, "doc_id", "n_tokens", digits).collect()
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    acc = 0
+    for r in by_pos:
+        assert r.pos == acc
+        acc += r.n_tokens
+    assert acc == sum(sizes)

@@ -320,10 +320,17 @@ def hierarchy_longest_path(
     array_contains), matching AQL's default path uniqueness.
     """
     e = edges if label is None else edges.filter(F.col("label") == label)
-    e = e.select(
-        F.concat_ws("_", "src_coll", "src_key").alias("src"),
-        F.concat_ws("_", "dst_coll", "dst_key").alias("dst"),
-    ).persist()
+    e = (
+        e.select(
+            F.concat_ws("_", "src_coll", "src_key").alias("src"),
+            F.concat_ws("_", "dst_coll", "dst_key").alias("dst"),
+        )
+        # Cache layout = join layout (same as q_khop_paths): every
+        # iteration joins on e.src, so a src-partitioned cache satisfies
+        # the join distribution and only the frontier shuffles per hop.
+        .repartition(F.col("src"))
+        .persist()
+    )
 
     frontier = start.select(
         F.concat_ws("_", "coll", "key").alias("start"),

@@ -381,6 +381,11 @@ def connected_components(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # Cache layout = join layout (as in the khop/hierarchy caches):
+        # every round joins labels.id == bidir.src, so a src-partitioned
+        # cache satisfies the join distribution and only the (shrinking)
+        # label frontier shuffles per round.
+        .repartition(F.col("src"))
         .persist()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))

@@ -544,6 +544,56 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rolling_window",
+    tags=("window", "events", "range-frame"),
+    # New in r4 (past the 50-entry budget this round; pytest-oracle-
+    # checked now, first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT user_id, d,
+       day_cents,
+       CAST(sum(day_cents) OVER (
+         PARTITION BY user_id ORDER BY d
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_7d_cents
+FROM daily
+ORDER BY user_id, d
+""",
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling per-user value sum via a RANGE-frame window
+    (rangeBetween on the epoch-day index) -- the frame class the
+    tumbling/session windows don't cover: the frame is defined by VALUE
+    distance, so missing days still bound the window correctly (a
+    rows-frame would silently span gaps). Exact integer cents
+    throughout; epoch-day arithmetic is session-timezone-independent.
+    """
+    e = read_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = e.groupBy(F.col("user_id"), day.alias("d")).agg(
+        F.sum(cents("value")).cast("long").alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.withColumn(
+            "rolling_7d_cents", F.sum("day_cents").over(w).cast("long")
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+@query(
     "q_json_props",
     tags=("scalar", "C9", "events"),
     # r4 rotation: 3 green driver rows; events coverage stays via

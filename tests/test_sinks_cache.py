@@ -152,3 +152,25 @@ def test_training_shard_export_deterministic(spark, sf_dir, tmp_path):
     assert {r.shard for r in subset.collect()} <= {1, 2}
     plan = subset._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan  # pruned, not scanned+filtered
+
+
+def test_training_shards_orc_roundtrip(spark, tmp_path):
+    """Shard export in ORC (Spark-native columnar alternative): same
+    content-addressed membership, readable back with identical rows."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_results_spark.sources.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 13).alias("score")
+    )
+    out = str(tmp_path / "orc_shards")
+    write_training_shards(df, out, "doc_id", n_shards=4, fmt="orc")
+    back = read_training_shards(spark, out, fmt="orc")
+    assert sorted(map(tuple, back.select("doc_id", "score").collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    assert back.select("shard").distinct().count() == 4

@@ -271,3 +271,40 @@ def test_video_frame_features_fanout(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_frame(b"x", 0, fake=False)
+
+
+def test_stream_stream_attribution_join(spark, sf_dir):
+    """Watermarked stream-stream join end-to-end: view events joined to
+    same-user purchase events within 30 minutes; identical row count to
+    the batch twin over the same source."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+    from cell_kn_mvp_etl_results_spark.streaming.joins import (
+        attributed_events_stream,
+    )
+
+    static = read_table(spark, sf_dir, "events")
+    views_b = static.filter(F.col("event_type") == "view")
+    buys_b = static.filter(F.col("event_type") == "purchase")
+    batch = attributed_events_stream(views_b, buys_b).count()
+    assert batch > 0
+
+    s1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    s2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = attributed_events_stream(s1, s2)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attrib")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n FROM attrib").collect()[0].n
+    assert got == batch

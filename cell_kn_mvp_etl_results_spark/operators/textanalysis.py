@@ -501,3 +501,73 @@ def boilerplate_ngrams(
             "rnk",
         )
     )
+
+
+def collocation_lift(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> "DataFrame":
+    """Collocation mining: adjacent token pairs ranked by association
+    lift = P(w2|w1) / P(w2) -- the multi-word-expression signal
+    (named entities, idioms, templated phrases) used to build tokenizer
+    merge lists and phrase vocabularies.
+
+    Determinism contract: lift is computed in exact integer arithmetic
+    as ``(c_xy * n_tokens * 1000) div (c_x * c_y)`` (permille) -- no
+    floating log/division whose libm could differ between engines. At
+    gate scale the products stay far below 2^63; a 100 TB corpus
+    upgrades the two factors to decimal(38,0) (Spark) / HUGEINT
+    (DuckDB), same expressions.
+
+    Scale shape: one explode to bigram occurrence rows, two hash
+    aggregations (bigram counts, unigram counts), two hash joins of the
+    filtered bigram side against unigram counts, and a broadcast of the
+    single-row token total. min_count prunes the long tail BEFORE the
+    joins, so the joined relation is the (tiny) candidate set.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    cnt = F.size("toks")
+    idx = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = toked.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = toked.select(F.explode("toks").alias("w"))
+    c_uni = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = unigrams.agg(F.count(F.lit(1)).alias("n_tokens"))
+    c_big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    joined = (
+        c_big.join(c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = F.expr("(c_xy * n_tokens * 1000) div (c_x * c_y)")
+    w = Window.orderBy(F.desc("lift_permille"), "w1", "w2")
+    return (
+        joined.select("w1", "w2", "c_xy", lift.alias("lift_permille"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .orderBy("rnk")
+    )

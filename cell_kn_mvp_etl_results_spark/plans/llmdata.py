@@ -374,6 +374,57 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_collocations",
+    tags=("text", "association"),
+    # New in r4 (past the 50-entry budget this round; pytest-oracle-
+    # checked now, first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+c_uni AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+total AS (SELECT count(*) AS n_tokens FROM uni),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 1
+),
+c_big AS (
+  SELECT w1, w2, count(*) AS c_xy
+  FROM pairs GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         (b.c_xy * t.n_tokens * 1000) // (x.c * y.c) AS lift_permille
+  FROM c_big b
+  JOIN c_uni x ON x.w = b.w1
+  JOIN c_uni y ON y.w = b.w2
+  CROSS JOIN total t
+)
+SELECT w1, w2, c_xy, lift_permille,
+       row_number() OVER (ORDER BY lift_permille DESC, w1, w2) AS rnk
+FROM scored
+QUALIFY rnk <= 20
+ORDER BY rnk
+""",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by integer association lift
+    (permille) -- the multi-word-expression / phrase-vocabulary signal
+    (operators/textanalysis.collocation_lift). Pure integer arithmetic
+    keeps the ranking bit-identical across engines.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ta.collocation_lift(d, "doc_id", "text", min_count=5, top_k=20)
+
+
+@query(
     "q_boilerplate",
     tags=("text", "quality"),
     oracle=r"""

@@ -512,3 +512,17 @@ def test_boilerplate_ngrams_planted_template(spark):
     assert web[0].rnk == 1 and abs(web[0].doc_frac - 10 / 11) < 1e-9
     # nothing from the unique-content side crosses the 50% fraction
     assert all(r.shingle == "all rights reserved" or r.n_docs >= 2 for r in web)
+
+
+def test_collocation_lift_known_values(spark):
+    """Integer lift: a fused pair ('new york' always adjacent) outranks
+    frequent-but-independent pairs."""
+    from cell_kn_mvp_etl_results_spark.operators.textanalysis import collocation_lift
+
+    rows = [(i, "new york " + "the cat sat on the mat " * 3) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocation_lift(docs, "doc_id", "text", min_count=5, top_k=5).collect()
+    assert out[0].w1 == "new" and out[0].w2 == "york" and out[0].rnk == 1
+    # exact integer check: c_xy=5, c_new=5, c_york=5, N=5*(2+18)=100
+    # lift = (5 * 100 * 1000) div (5*5) = 20000
+    assert out[0].lift_permille == 20000

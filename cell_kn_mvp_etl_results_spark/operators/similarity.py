@@ -305,3 +305,21 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "cand_id", "rank", "score")
     )
+
+
+def l2_normalize(vec: Column, quantize: int | None = 4) -> Column:
+    """L2-normalize an embedding column -- the standard preprocessing
+    step before cosine ANN (after which cosine == dot product, so
+    downstream scoring drops the per-pair norm work).
+
+    Determinism: with ``quantize``, components become exact integers in
+    doubles, the squared norm is an exact integer sum, and each output
+    component is one correctly-rounded IEEE divide by one
+    correctly-rounded sqrt -- bit-identical in any engine. Zero vectors
+    normalize to zero (guarded), not NaN.
+    """
+    q = _quantized(vec, quantize)
+    norm_sq = dot(q, q)
+    return F.when(
+        norm_sq > 0, F.transform(q, lambda x: x / F.sqrt(norm_sq))
+    ).otherwise(q)

@@ -374,6 +374,53 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_normalize",
+    tags=("similarity", "preprocess"),
+    # New in r4 (past the 50-entry budget; pytest-oracle-checked now,
+    # first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS norm_sq
+  FROM q
+)
+SELECT vec_id, norm_sq,
+       CASE WHEN norm_sq > 0 THEN e[1] / sqrt(norm_sq) ELSE e[1] END AS c1,
+       CASE WHEN norm_sq > 0 THEN e[32] / sqrt(norm_sq) ELSE e[32] END AS c32
+FROM n
+ORDER BY vec_id
+""",
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization audit: the exact integer squared norm plus two
+    sampled components of the normalized vector per embedding
+    (operators/similarity.l2_normalize). After this step cosine ==
+    dot product, so ANN scoring drops the per-pair norm work. Each
+    output value is one correctly-rounded IEEE divide/sqrt on exact
+    integers -- bit-identical across engines.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    nq = sim._quantized(F.col("embedding"), 4)
+    norm_sq = sim.dot(nq, nq)
+    normed = sim.l2_normalize(F.col("embedding"), 4)
+    return (
+        e.select(
+            "vec_id",
+            norm_sq.cast("long").alias("norm_sq"),
+            F.element_at(normed, 1).alias("c1"),
+            F.element_at(normed, 32).alias("c32"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "q_collocations",
     tags=("text", "association"),
     # New in r4 (past the 50-entry budget this round; pytest-oracle-

@@ -91,3 +91,22 @@ def test_attr_promotion_last_wins(spark):
 
     with pytest.raises(ValueError):
         graph_from_tuples(t, attr_promotion="bogus")
+
+
+def test_l2_normalize_unit_norm_and_zero_guard(spark):
+    """Normalized vectors have unit norm (within fp eps); zero vectors
+    stay zero instead of NaN."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators.similarity import dot, l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id", dot(l2_normalize(F.col("v"), 4), l2_normalize(F.col("v"), 4)).alias("n")
+    ).collect()
+    got = {r.id: r.n for r in out}
+    assert abs(got[1] - 1.0) < 1e-12 and abs(got[3] - 1.0) < 1e-12
+    assert got[2] == 0.0

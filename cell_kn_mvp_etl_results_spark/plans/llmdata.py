@@ -373,6 +373,40 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.corpus_logfreq_score(d, "doc_id", "text").orderBy("id")
 
 
+def _zorder_oracle() -> str:
+    from ..operators.zorder import z_value_sql
+
+    return f"""
+SELECT o_orderkey,
+       {z_value_sql('o_custkey', 'CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)', 16)} AS z
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_zorder_key",
+    tags=("layout", "scale"),
+    # New in r4 (past the 50-entry budget; pytest-oracle-checked now,
+    # first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle=_zorder_oracle(),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (customer, order-day) -- the
+    multi-column data-skipping layout key (operators/zorder.py).
+    Exact bit arithmetic, identical in any engine; epoch-day indexing
+    is session-timezone-independent.
+    """
+    from ..operators.zorder import z_value
+
+    o = read_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    return o.select(
+        "o_orderkey", z_value(F.col("o_custkey"), day, 16).alias("z")
+    ).orderBy("o_orderkey")
+
+
 @query(
     "q_embedding_normalize",
     tags=("similarity", "preprocess"),

@@ -132,3 +132,53 @@ def test_connected_components_string_ids_deep_chain(spark):
     out = dd.connected_components(nodes, edges).collect()
     assert {r.component for r in out} == {"doc00"}
     assert len(out) == 6
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """write_zordered: every output file covers a compact z-range, so a
+    point predicate on EITHER column touches a strict subset of files
+    (the data-skipping property a single-column sort cannot give)."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators.zorder import (
+        write_zordered,
+        z_value,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "a", "b", n_files=8, bits=8)
+
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    stats = (
+        back.groupBy("f")
+        .agg(
+            F.min("a").alias("a_lo"), F.max("a").alias("a_hi"),
+            F.min("b").alias("b_lo"), F.max("b").alias("b_hi"),
+        )
+        .collect()
+    )
+    n_files = len(stats)
+    assert n_files >= 4
+    # files whose [min,max] interval could contain the probe value:
+    for col_lo, col_hi, probe in [("a_lo", "a_hi", 3), ("b_lo", "b_hi", 3)]:
+        touched = [s for s in stats if s[col_lo] <= probe <= s[col_hi]]
+        assert len(touched) < n_files, f"no pruning on {col_lo[:-3]}"
+    # round-trip: layout only, content untouched
+    assert back.count() == n
+    assert sorted(map(tuple, back.select("a", "b").collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # z-ranges of distinct files are non-overlapping (range partitioned)
+    zs = (
+        back.withColumn("z", z_value(F.col("a"), F.col("b"), 8))
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in zs)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2

@@ -571,3 +571,53 @@ def collocation_lift(
         .filter(F.col("rnk") <= top_k)
         .orderBy("rnk")
     )
+
+
+def tfidf_keywords(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> "DataFrame":
+    """Per-document keyword extraction: top tokens by tf x idf, with
+    idf as ``floor(log2(n_docs div doc_freq))`` -- an exact small
+    integer in every engine (log2 is correctly rounded at its only
+    floor boundaries, the powers of two), so scores and ranking are
+    bit-identical across engines; a float idf would hash-differ across
+    libms.
+
+    Scale shape: one explode to token rows, a (doc, token) tf
+    aggregate, a token document-frequency aggregate, a hash join of the
+    two, a 1-row broadcast of the doc count, and a WindowGroupLimit
+    top-k per doc. Ubiquitous tokens (df close to n_docs) score idf 0
+    and drop out before the window.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.floor(F.log2(F.greatest(F.expr("n_docs div df"), F.lit(1)))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("id", "tok", "score", "rnk")
+    )

@@ -373,6 +373,44 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.corpus_logfreq_score(d, "doc_id", "text").orderBy("id")
 
 
+@query(
+    "q_tfidf_keywords",
+    tags=("text", "keywords"),
+    # New in r4 (past the 50-entry budget; pytest-oracle-checked now,
+    # first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+dfreq AS (SELECT tok, count(DISTINCT id) AS df FROM toks GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.tok,
+         tf.tf * CAST(floor(log2(greatest(nd.n_docs // dfreq.df, 1))) AS BIGINT)
+           AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+),
+ranked AS (
+  SELECT id, tok, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, tok) AS rnk
+  FROM scored WHERE score > 0
+)
+SELECT id, tok, score, rnk FROM ranked WHERE rnk <= 3
+ORDER BY id, rnk
+""",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by tf x integer-log2 idf
+    (operators/textanalysis.tfidf_keywords) -- pure-integer scoring so
+    the ranking is bit-identical across engines.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ta.tfidf_keywords(d, "doc_id", "text", top_k=3).orderBy("id", "rnk")
+
+
 def _zorder_oracle() -> str:
     from ..operators.zorder import z_value_sql
 

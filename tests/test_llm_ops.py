@@ -526,3 +526,22 @@ def test_collocation_lift_known_values(spark):
     # exact integer check: c_xy=5, c_new=5, c_york=5, N=5*(2+18)=100
     # lift = (5 * 100 * 1000) div (5*5) = 20000
     assert out[0].lift_permille == 20000
+
+
+def test_tfidf_keywords_planted_rare_terms(spark):
+    """A term unique to one doc outranks corpus-wide terms; ubiquitous
+    terms (idf 0) never appear."""
+    from cell_kn_mvp_etl_results_spark.operators.textanalysis import tfidf_keywords
+
+    rows = [(i, f"common words everywhere term{i} term{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(docs, "doc_id", "text", top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for i in range(8):
+        top = sorted(by_doc[i], key=lambda r: r.rnk)[0]
+        assert top.tok == f"term{i}"
+        # tf=2, idf=floor(log2(8 div 1))=3 -> score 6
+        assert top.score == 6
+    assert not any(r.tok in ("common", "words", "everywhere") for r in out)

@@ -374,6 +374,105 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_curation_funnel",
+    tags=("pipeline", "dedup", "quality"),
+    # New in r4 (past the 50-entry budget; pytest-oracle-checked now,
+    # first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle=r"""
+WITH tq AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                   / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) >= 2 THEN
+           ((len(toks) - 1)
+            - len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))])))
+           / (len(toks) - 1)
+         ELSE 0.0 END AS dup_frac
+  FROM tq
+),
+qual AS (
+  SELECT doc_id, text FROM sig
+  WHERE n_tokens >= 5 AND stop_ratio <= 0.9 AND dup_frac <= 0.5
+),
+ex AS (
+  SELECT min(doc_id) AS keeper
+  FROM qual
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+),
+kept AS (SELECT q.doc_id, q.text FROM qual q JOIN ex ON ex.keeper = q.doc_id),
+bt AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 100 = 0
+),
+bsh AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+  FROM bt, generate_series(1, 2000) s(i)
+  WHERE i <= len(t) - 7
+),
+kt AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM kept
+),
+ksh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM kt, generate_series(1, 2000) s(i)
+  WHERE i <= len(t) - 7
+),
+cont AS (SELECT DISTINCT ksh.doc_id FROM ksh JOIN bsh USING (g))
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM qual) AS n_quality,
+       (SELECT count(*) FROM kept) AS n_exact,
+       (SELECT count(*) FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)) AS n_clean
+""",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation lifecycle's SQL-expressible funnel as one gated row:
+    input -> quality gate -> exact dedup -> benchmark decontamination
+    survivor counts (the LSH-clustering stage is iterative and stays
+    pytest-verified; every other stage of
+    ``pipelines.run_curation_pipeline`` is oracle-checked here, with
+    docs whose id % 100 == 0 standing in as the eval benchmark).
+    """
+    from ..operators import dedup as dd
+    from ..streaming.windows import curated_document_stream
+
+    docs = read_table(spark, sf_dir, "documents")
+    qual = curated_document_stream(
+        docs, id_col="doc_id", text_col="text",
+        min_tokens=5, max_stop_ratio=0.9, max_dup_frac=0.5,
+    ).select(docs["*"])
+    keepers = dd.exact_dedup_groups(qual, "doc_id", "text").select(
+        F.col("keeper").alias("doc_id")
+    )
+    kept = qual.join(keepers, "doc_id", "semi")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    contaminated = dd.decontaminate(kept, bench, "doc_id", "text").select(
+        F.col("id").alias("doc_id")
+    )
+    clean = kept.join(contaminated, "doc_id", "anti")
+    counts = [
+        docs.agg(F.count(F.lit(1)).alias("n_input")),
+        qual.agg(F.count(F.lit(1)).alias("n_quality")),
+        kept.agg(F.count(F.lit(1)).alias("n_exact")),
+        clean.agg(F.count(F.lit(1)).alias("n_clean")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+@query(
     "q_tfidf_keywords",
     tags=("text", "keywords"),
     # New in r4 (past the 50-entry budget; pytest-oracle-checked now,

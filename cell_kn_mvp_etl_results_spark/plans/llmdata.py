@@ -374,6 +374,82 @@ def q_corpus_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_adaptive_quality",
+    tags=("quality", "window"),
+    # New in r4 (past the 50-entry budget; pytest-oracle-checked now,
+    # first driver row via the r5 rotation).
+    priority=TAIL,
+    oracle=r"""
+WITH sig AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM sig
+),
+med AS (
+  SELECT source, n_tokens AS median_tokens
+  FROM ranked WHERE rn = (cnt + 1) // 2
+)
+SELECT s.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.n_tokens >= m.median_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       min(m.median_tokens) AS median_tokens
+FROM sig s JOIN med m USING (source)
+GROUP BY s.source
+ORDER BY s.source
+""",
+)
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-stratum quality threshold: each source keeps docs at
+    or above its OWN rank-based median token count -- thresholds derived
+    from the corpus instead of hand-tuned constants, so heterogeneous
+    sources (tweets vs books) are cut at comparable quantiles. The
+    rank = (cnt+1) div 2 lower median is an exact integer (no
+    interpolation), deterministic in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    wp = Window.partitionBy("source")
+    ranked = sig.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(wp.orderBy("n_tokens", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "source", F.col("n_tokens").alias("median_tokens")
+    )
+    return (
+        sig.join(med, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tokens") >= F.col("median_tokens"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.min("median_tokens").alias("median_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_curation_funnel",
     tags=("pipeline", "dedup", "quality"),
     # New in r4 (past the 50-entry budget; pytest-oracle-checked now,

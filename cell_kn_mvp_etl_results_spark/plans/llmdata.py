@@ -774,10 +774,12 @@ WITH sized AS (
   FROM documents
 ),
 pos AS (
+  -- CAST: DuckDB's windowed sum() yields HUGEINT; the driver's value-hash
+  -- encodes widths, so pin to BIGINT to match Spark's LongType output.
   SELECT doc_id, n_tokens,
-         COALESCE(sum(n_tokens) OVER (
+         CAST(COALESCE(sum(n_tokens) OVER (
            ORDER BY h, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
   FROM sized
 )
 SELECT doc_id, n_tokens,

@@ -60,7 +60,10 @@ def test_pack_contiguous_and_straddling(spark):
     total = sum(r.n_tokens for r in rows)
     # every token position 0..total-1 is covered exactly once:
     # reconstruct the stream order and check starts are the prefix sums
-    by_start = sorted(rows, key=lambda r: (r.bin * cap + r.offset))
+    # key includes n_tokens so a zero-size doc orders before the
+    # non-zero doc sharing its start position (tie otherwise depends
+    # on collect order)
+    by_start = sorted(rows, key=lambda r: (r.bin * cap + r.offset, r.n_tokens))
     acc = 0
     for r in by_start:
         assert r.bin * cap + r.offset == acc

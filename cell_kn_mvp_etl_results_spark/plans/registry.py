@@ -58,6 +58,75 @@ REGISTRY: dict[str, QuerySpec] = {}
 GATE_BUDGET = 50
 TAIL = 900
 
+# ROTATION (round 5): centralized here instead of per-site edits so the
+# full swap is auditable in one place. Promoted: the 7 r4-new queries
+# that have never had a driver row, the 15 veterans demoted in r4 (each
+# holds 2-3 green rows from r1-r3), and q_pack_sequences stays in-budget
+# to convert its r4 red row (oracle HUGEINT artifact, fixed) to green.
+# Demoted: 22 gates with the deepest green history (4 rows r1-r4, or 3
+# rows with an r4 row), none of them bench headliners. After r5 every
+# registered query has >=1 green driver row across r1-r5.
+_R5_PROMOTED = (
+    # never-gated (first driver row)
+    "q_rolling_window",
+    "q_collocations",
+    "q_embedding_normalize",
+    "q_zorder_key",
+    "q_tfidf_keywords",
+    "q_adaptive_quality",
+    "q_curation_funnel",
+    # veterans demoted in r4, re-promoted per the rotation plan
+    "q_min_size_filter",
+    "q_equi_join",
+    "q_anti_join",
+    "q_semi_join",
+    "q_lookup_first_of_many",
+    "q_json_props",
+    "q_union_distinct",
+    "q_except_all",
+    "q_stable_uuid",
+    "q_distinct_tokens",
+    "q_ngram_index",
+    "q_attr_pivot",
+    "q_pivot",
+    "q_lang_id",
+    "q_token_stats_by_source",
+)
+_R5_DEMOTED = (
+    # 4 green rows r1-r4
+    "q_compound_predicate",
+    "q_tuple_generation",
+    "q_graph_vertices",
+    "q_hierarchy_longest",
+    "q_dedup_exact",
+    "q_dedup_jaccard",
+    "q_dedup_simhash",
+    "q_text_quality",
+    "q_multimodal_meta",
+    "q_dedup_embedding",
+    "q_ann_bucket",
+    "q_bnode_reification",
+    "q_simhash_pairs",
+    "q_subgraph_extract",
+    "q_dedup_clusters",
+    # 3 green rows incl. an r4 row
+    "q_hyphenate",
+    "q_token_classes",
+    "q_khop_any_unique",
+    "q_sample_hash",
+    "q_winnow_fingerprint",
+    "q_repetition",
+    "q_sample_stratified",
+)
+
+
+def _effective_priority(s: "QuerySpec") -> int:
+    if s.name in _R5_PROMOTED:
+        return 10
+    if s.name in _R5_DEMOTED:
+        return TAIL
+    return s.priority
+
 
 def query(
     name: str,
@@ -88,7 +157,9 @@ def query(
 
 
 def _ordered() -> list[QuerySpec]:
-    return sorted(REGISTRY.values(), key=lambda s: (s.priority, s.seq))
+    return sorted(
+        REGISTRY.values(), key=lambda s: (_effective_priority(s), s.seq)
+    )
 
 
 def all_queries() -> dict[str, Builder]:

@@ -117,14 +117,14 @@ def test_gate_budget_ordering():
     showed it caps the correctness artifact at the first 50)."""
     from cell_kn_mvp_etl_results_spark.plans import all_queries
     from cell_kn_mvp_etl_results_spark.plans.registry import (
-        GATE_BUDGET, REGISTRY, TAIL,
+        GATE_BUDGET, REGISTRY, TAIL, _effective_priority,
     )
 
     ordered = list(all_queries())
     in_budget = set(ordered[:GATE_BUDGET])
     stranded = [
         n for n, s in REGISTRY.items()
-        if s.priority < TAIL and n not in in_budget
+        if _effective_priority(s) < TAIL and n not in in_budget
     ]
     assert not stranded, (
         f"non-TAIL queries pushed past the gate budget: {stranded}; "

@@ -93,6 +93,15 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
+    if n_files == 0:
+        # Non-file-backed input (createDataFrame, cached/derived frame):
+        # inputFiles() is empty, so fall back to the actual partition
+        # count. The RDD translation is driver-side plan work only and
+        # happens once per call, not per row.
+        try:
+            n_files = df.rdd.getNumPartitions()
+        except Exception:
+            n_files = 0
     if 0 < n_files < parallelism:
         df = df.repartition(parallelism)
     toked = df.select(

@@ -148,7 +148,22 @@ def cosine_topk_arrow(
                 }
             )
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
+    corpus = emb.select(id_col, vec_col)
+    # Arrow-batch sizing: each partition is one Python-worker round trip,
+    # and a matmul over a few hundred rows cannot amortize that. Merge
+    # small corpora into ~8MB batches (driver-side plan stats, no job);
+    # a 100 TB corpus keeps its scan partitioning untouched.
+    try:
+        n_part = corpus.rdd.getNumPartitions()
+        size = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        want = max(1, min(n_part, size // (8 << 20) + 1))
+        if want < n_part:
+            corpus = corpus.coalesce(want)
+    except Exception:
+        pass
+    scored = corpus.mapInPandas(
         score, "q_id long, cand_id long, score double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")

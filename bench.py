@@ -29,15 +29,33 @@ from cell_kn_mvp_etl_results_spark.plans import REGISTRY
 from cell_kn_mvp_etl_results_spark.session import get_spark
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
-    # Local-measurement sizing: with AQE off and sub-GB shuffles, 8
-    # static partitions measured ~15% faster than 32 (scheduling
-    # overhead dominates). SPARK_GRAFT_SHUFFLE overrides; production
-    # sizing guidance is in SCALE.md.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    # Local-measurement sizing: with AQE off and sub-GB shuffles the
+    # partition count must track the DATA, not the core count. At
+    # sf0.1 (~17MB of parquet) 8 static partitions measured ~15%
+    # faster than 32 (scheduling overhead dominates); at the 10x
+    # derived corpus (~170MB) the multi-million-row traversal shuffles
+    # need the full 32 (khop: 11.3s at 8 -> 7.5s at 32, equal load).
+    # ~4MB of source per shuffle task, clamped to [8, cores], mirrors
+    # what AQE's advisory partition sizing would pick at cluster scale.
+    # SPARK_GRAFT_SHUFFLE overrides; production sizing is in SCALE.md.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    auto_shuffle = max(8, min(cpus, _dir_bytes(sf_dir) // (4 << 20)))
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", auto_shuffle))
     # Constraint propagation spends O(plan-size) optimizer time inferring
     # IsNotNull/transitive predicates each (re)plan -- measured 8-19% of
     # per-query wall at this scale, with nothing inferred that the
@@ -64,16 +82,29 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
-    timings: dict[str, float] = {}
-    for name, spec in sorted(headline.items()):
-        spec.builder(spark, sf_dir).collect()  # warmup: codegen + init
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = spec.builder(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-            assert rows is not None
-        timings[name] = round(sorted(samples)[1], 3)  # median of 3
+
+    def measure(cache: str) -> dict[str, float]:
+        os.environ["SPARK_GRAFT_CACHE_TABLES"] = cache
+        out: dict[str, float] = {}
+        for name, spec in sorted(headline.items()):
+            spec.builder(spark, sf_dir).collect()  # warmup: codegen + init
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = spec.builder(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+                assert rows is not None
+            out[name] = round(sorted(samples)[1], 3)  # median of 3
+        return out
+
+    # Cold pass first (no table cache: every run re-scans parquet), so
+    # both measurement modes are published every round and a mode change
+    # can never masquerade as a plan improvement (ADVICE r4). The
+    # headline metric stays the steady-state number for round-over-round
+    # comparability.
+    steady_mode = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "all")
+    cold = measure("")
+    timings = measure(steady_mode)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -82,6 +113,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+                "shuffle_partitions": shuffle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

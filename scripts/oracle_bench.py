@@ -30,8 +30,12 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are directories of part files; glob them.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):

@@ -27,6 +27,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def guard_internal_columns(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Refuse inputs that already carry this operator's internal column
+    names: silently overwriting them would corrupt the join/order keys
+    (an ambiguous-column error is the GOOD outcome)."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has internal column(s) {clash}; "
+            f"rename them before calling (reserved: {list(names)})"
+        )
+
+
 def floor_bucket(col: Column | str, width: int) -> Column:
     """Floor-division bucket index for a long-valued coordinate.
 
@@ -66,6 +78,8 @@ def interval_join(
     cross-product term appears in the plan for any key cardinality
     (asserted in tests/test_plan_quality.py).
     """
+    guard_internal_columns(points, ("_bucket",), "interval_join")
+    guard_internal_columns(intervals, ("_bucket",), "interval_join")
     b_point = floor_bucket(point_col, bucket_width)
     b_lo = floor_bucket(start_col, bucket_width)
     b_hi = floor_bucket(end_col, bucket_width)

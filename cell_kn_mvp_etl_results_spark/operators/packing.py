@@ -45,6 +45,11 @@ def global_prefix_sum(
     ``_hash`` (the order key) and ``pos`` (sum of values strictly
     before this row in the total order).
     """
+    from .intervals import guard_internal_columns
+
+    guard_internal_columns(
+        df, ("_hash", "_bucket", "_within", "_base", "pos"), "global_prefix_sum"
+    )
     h = F.md5(F.col(id_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, bucket_digits), 16, 10).cast("long")
     d = df.withColumn("_hash", h).withColumn("_bucket", bucket)

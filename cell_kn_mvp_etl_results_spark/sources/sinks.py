@@ -49,7 +49,20 @@ def write_tuples_json(
         import json
         import os
 
-        rows = [list(r.tuple) for r in out.collect()]
+        # Stream partitions through the driver instead of collect():
+        # memory stays one-partition-bounded, and the dimension-scale
+        # contract is enforced by code -- a fact-scale frame aborts
+        # instead of OOMing the driver.
+        limit = 1_000_000
+        rows = []
+        for r in out.toLocalIterator():
+            rows.append(list(r.tuple))
+            if len(rows) > limit:
+                raise ValueError(
+                    "write_tuples_json(reference_framing=True) is for "
+                    f"dimension-scale tuple files (> {limit} rows seen); "
+                    "use the default line-delimited framing at fact scale"
+                )
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "tuples.json"), "w") as f:
             json.dump({"tuples": rows}, f)

@@ -135,3 +135,20 @@ def test_stream_static_interval_join(spark, sf_dir):
     got = spark.sql("SELECT count(*) AS n FROM ij_stream").collect()[0].n
     want = batch.count()
     assert got == want > 0
+
+
+def test_internal_column_collision_guard(spark):
+    import pytest
+
+    from cell_kn_mvp_etl_results_spark.operators.intervals import interval_join
+    from cell_kn_mvp_etl_results_spark.operators.packing import global_prefix_sum
+
+    pts = spark.createDataFrame([(1, 5, 0)], "k long, p long, _bucket long")
+    iv = spark.createDataFrame([(1, 0, 10)], "k long, lo long, hi long")
+    with pytest.raises(ValueError, match="_bucket"):
+        interval_join(pts, iv, ["k"], "p", "lo", "hi", 16)
+    with pytest.raises(ValueError, match="_bucket"):
+        interval_join(iv.withColumnRenamed("lo", "p"), pts.withColumnRenamed("p", "lo"), ["k"], "p", "lo", "_bucket", 16)
+    docs = spark.createDataFrame([(1, 3, 9)], "doc_id long, n long, pos long")
+    with pytest.raises(ValueError, match="pos"):
+        global_prefix_sum(docs, "doc_id", "n")

@@ -298,6 +298,98 @@ def k_hop(
     return cur.drop("used_edges") if unique_edges else cur
 
 
+def terminal_stats(edges: DataFrame, coll: str) -> DataFrame:
+    """Per-source terminal summary for the LAST hop of a counting
+    traversal: for every vertex with an edge into ``coll``, an exact
+    bitmap of its distinct ``coll`` neighbours (Spark's fixed-width
+    ``bitmap_construct_agg`` buckets) plus its out-degree into ``coll``.
+
+    Output: (node_coll, node_key, _bkt, _bm, _deg) -- one row per
+    (source vertex, bitmap bucket). Pure edge data, so a steady-state
+    deployment persists it alongside the edge relation (partitioned on
+    (node_coll, node_key), the key the traversal joins on) and every
+    counting query reuses it; see ``q_khop_paths``.
+
+    Terminal keys must be integral (they index bitmap bit positions) --
+    the star graph's keys are longs, and the reference's ArangoDB
+    ``_key`` values are numeric suffixes (``OntologyParserLoader.py:
+    41-43``). Non-integer keys -> use the materializing ``k_hop`` plan.
+    """
+    return (
+        edges.filter(F.col("dst_coll") == coll)
+        .groupBy(
+            F.col("src_coll").alias("node_coll"),
+            F.col("src_key").alias("node_key"),
+            F.bitmap_bucket_number("dst_key").alias("_bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("dst_key")).alias("_bm"),
+            F.count(F.lit(1)).alias("_deg"),
+        )
+    )
+
+
+def k_hop_counts(
+    edges: DataFrame,
+    start: DataFrame,
+    hop_colls: list[str],
+    terminal: DataFrame | None = None,
+) -> DataFrame:
+    """Exact path/terminal counting for a directed typed-path traversal
+    WITHOUT materializing the final hop's path explosion.
+
+    Semantically identical to ``k_hop(edges, start, hop_colls,
+    carry_path=False)`` followed by ``count(*)`` and
+    ``count(DISTINCT terminal)`` per start -- the AQL counting battery
+    (``AqlQuerySetBuilder.java:136-147``) -- but computed over the
+    counting semiring: paths are *aggregated under the last join, not
+    enumerated*. The first k-1 hops run as equi-joins and collapse to
+    per-(start, penultimate) multiplicities ``m``; joining those against
+    ``terminal_stats`` (per-penultimate terminal bitmap ``_bm`` + degree
+    ``_deg``) gives
+
+        n_paths(start)     = sum(m * _deg)          -- semiring product
+        n_terminals(start) = popcount(OR of _bm)    -- exact distinct
+
+    Why it matters at scale: the last hop is where fan-out compounds --
+    at the 10x bench corpus the materializing plan emits 37M path rows
+    whose distinct-pair shuffle barely compresses (20.8M), and at 100 TB
+    that blow-up grows with the product of hop degrees while this plan's
+    largest intermediate stays at the k-1-hop frontier (1.2M rows there;
+    measured 5.1 s -> 3.0 s at the 10x corpus, BENCH_NOTES.md r5).
+    Output: (v0_coll, v0_key, n_paths, n_terminals).
+    """
+    *mid, last = hop_colls
+    if terminal is None:
+        terminal = terminal_stats(edges, last)
+    spark = edges.sparkSession
+    # Bitmap partial states are ~512B objects aggregated by
+    # ObjectHashAggregate, whose default sort-based fallback (128 keys)
+    # would sort every bitmap-carrying row. 128k keys x 512B caps the
+    # per-task hash state at ~64MB -- executor-safe at any scale, and
+    # group counts per task stay far below it under hash partitioning.
+    spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072"
+    )
+    w = (
+        k_hop(edges, start, mid, carry_path=False)
+        .groupBy("v0_coll", "v0_key", "node_coll", "node_key")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    per_bucket = (
+        w.join(terminal, ["node_coll", "node_key"])
+        .groupBy("v0_coll", "v0_key", "_bkt")
+        .agg(
+            F.bitmap_or_agg("_bm").alias("_bm"),
+            F.sum(F.col("_m") * F.col("_deg")).alias("_np"),
+        )
+    )
+    return per_bucket.groupBy("v0_coll", "v0_key").agg(
+        F.sum("_np").alias("n_paths"),
+        F.sum(F.bitmap_count("_bm")).alias("n_terminals"),
+    )
+
+
 def hierarchy_longest_path(
     edges: DataFrame,
     start: DataFrame,

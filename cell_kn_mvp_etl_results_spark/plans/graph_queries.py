@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import graph_from_tuples, hierarchy_longest_path, k_hop
+from ..operators.graph import (
+    graph_from_tuples,
+    hierarchy_longest_path,
+    k_hop_counts,
+    terminal_stats,
+)
 from ..sources.readers import read_table
 from .registry import TAIL, query
 
@@ -207,7 +212,6 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
         .union(edge("O", "l_orderkey", "P", "l_partkey", "CONTAINS", li))
-        .union(edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li))
         # Cache layout = join layout: partition the cached edges on the
         # (src_coll, src_key) pair every hop joins on. Each hop's edge
         # side then already satisfies the join's required distribution
@@ -218,36 +222,36 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edges table in a lake deployment.
         .repartition(F.col("src_coll"), F.col("src_key"))
     ).persist()
-    # Materialize the deduped edge relation once: the three dedup
-    # shuffles run as a single parallel job, and the hop joins then read
-    # cached partitions with exact size stats (measured ~25% faster than
+    # The LAST hop never materializes: k_hop_counts aggregates paths
+    # under the final join (counting semiring + exact terminal bitmaps,
+    # see operators/graph.py). The per-part terminal summary is pure
+    # edge data, so it persists beside the edge relation, partitioned on
+    # the key the counting join probes -- at the 10x corpus this plan
+    # replaced a 37M-row path materialization + 20.8M-pair distinct
+    # shuffle, 5.1 s -> 3.0 s (BENCH_NOTES.md r5).
+    term = (
+        terminal_stats(
+            edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li), "S"
+        ).repartition(F.col("node_coll"), F.col("node_key"))
+    ).persist()
+    # Materialize the deduped relations once: the dedup shuffles run as
+    # a single parallel job, and the hop joins then read cached
+    # partitions with exact size stats (measured ~25% faster than
     # recomputing per hop at sf0.1; scripts/khop_experiment.py).
     # Spark's ContextCleaner unpersists when the plan is GC'd. The
-    # count() job itself costs ~0.13s warm, so repeated builds of this
-    # query in one application (the bench's steady-state runs) skip it:
-    # the CacheManager has already plan-matched the persisted relation.
+    # count() jobs cost ~0.13s warm, so repeated builds of this query
+    # in one application (the bench's steady-state runs) skip them: the
+    # CacheManager has already plan-matched the persisted relations.
     key = (spark.sparkContext.applicationId, sf_dir, "khop_edges")
     if key not in _MATERIALIZED:
         edges.count()
+        term.count()
         _MATERIALIZED.add(key)
     start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
         F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
     )
-    paths = k_hop(edges, start, ["O", "P", "S"], carry_path=False)
-    # Two-level re-aggregation instead of count + count_distinct in one
-    # agg: the single-agg form makes Spark Expand every path row twice;
-    # pre-grouping on (start, terminal) lets the map-side partial agg
-    # compress millions of path rows down to the distinct pair count
-    # before anything shuffles.
-    per_terminal = paths.groupBy("v0_key", "node_key").agg(
-        F.count(F.lit(1)).alias("n")
-    )
     return (
-        per_terminal.groupBy("v0_key")
-        .agg(
-            F.sum("n").alias("n_paths"),
-            F.count(F.lit(1)).alias("n_terminals"),
-        )
+        k_hop_counts(edges, start, ["O", "P", "S"], terminal=term)
         .select(
             F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
             "n_paths",

@@ -208,3 +208,58 @@ def test_literal_dispatch_modes(spark):
     # mode 3 (fallback heuristic): documented misclassification
     g3 = graph_from_tuples(t2)
     assert {r.label for r in g3["edges"].collect()} == {"label", "part_of"}
+
+
+def _counting_edges(spark):
+    """Directed tri-layer graph with integer keys, multi-path fan-out,
+    shared terminals, and a vertex with NO terminal edges."""
+    rows = []
+    # A_i -> B_j (i in 0..3): A_i connects to B_{i}, B_{i+1}
+    for i in range(4):
+        rows += [("A", i, "B", i, "ab"), ("A", i, "B", i + 1, "ab")]
+    # B_j -> C_k: B_j -> C_{j % 3}, C_{(j+1) % 3}; B_4 has no out-edges
+    for j in range(4):
+        rows += [("B", j, "C", j % 3, "bc"), ("B", j, "C", (j + 1) % 3, "bc")]
+    # a far-away terminal key exercises multi-bucket bitmaps
+    rows += [("B", 0, "C", 99_999, "bc")]
+    return spark.createDataFrame(
+        rows, "src_coll string, src_key long, dst_coll string, dst_key long, label string"
+    )
+
+
+def test_k_hop_counts_matches_materializing_plan(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import k_hop_counts
+
+    edges = _counting_edges(spark)
+    start = spark.createDataFrame(
+        [("A", i) for i in range(4)], "coll string, key long"
+    )
+    paths = k_hop(edges, start, ["B", "C"], carry_path=False)
+    expected = {
+        r["v0_key"]: (r["n_paths"], r["n_terminals"])
+        for r in paths.groupBy("v0_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("node_key").alias("n_terminals"),
+        )
+        .collect()
+    }
+    got = {
+        r["v0_key"]: (r["n_paths"], r["n_terminals"])
+        for r in k_hop_counts(edges, start, ["B", "C"]).collect()
+    }
+    assert got == expected
+    # sanity: the far bucket terminal is counted exactly once for A_0
+    assert got[0][1] == len({0, 1, 2, 99_999} & {0, 1, 99_999, 2})
+
+
+def test_k_hop_counts_single_hop(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import k_hop_counts
+
+    edges = _counting_edges(spark)
+    start = spark.createDataFrame([("A", 0), ("A", 3)], "coll string, key long")
+    got = {
+        r["v0_key"]: (r["n_paths"], r["n_terminals"])
+        for r in k_hop_counts(edges, start, ["B"]).collect()
+    }
+    assert got == {0: (2, 2), 3: (2, 2)}

@@ -168,3 +168,22 @@ def test_pack_sequences_single_partition_only_for_totals(spark, sf_dir):
     assert "hashpartitioning(_bucket" in plan, (
         "data-path window lost its per-bucket hash partitioning"
     )
+
+
+def test_khop_counts_never_materializes_last_hop(spark, sf_dir):
+    """q_khop_paths counts under the final join (semiring + terminal
+    bitmaps): the plan must aggregate bitmaps, and must contain exactly
+    the k-1 hop joins plus the terminal-summary join -- a third hop
+    join means the path explosion came back."""
+    plan = plan_of(spark, sf_dir, "q_khop_paths")
+    assert "bitmap_construct" in plan
+    assert "bitmap_or" in plan
+    # one "(<id>) <Op>Join" detail block per physical join
+    joins = len(
+        [
+            l
+            for l in plan.splitlines()
+            if l.startswith("(") and l.rstrip().endswith("Join")
+        ]
+    )
+    assert joins <= 3, f"expected <=3 joins (2 hops + terminal), saw {joins}"

@@ -213,7 +213,7 @@ def undirected(edges: DataFrame) -> DataFrame:
 
 
 def k_hop(
-    edges: DataFrame,
+    edges: DataFrame | dict[str, DataFrame],
     start: DataFrame,
     hop_colls: list[str],
     any_direction: bool = False,
@@ -237,6 +237,14 @@ def k_hop(
     per-row path arrays so wide traversals shuffle only endpoint keys
     (counting / reachability queries don't pay for path assembly).
 
+    ``edges`` may instead be a mapping ``dst_coll -> edge DataFrame``
+    (same 5-col schema, pre-filtered per destination collection) -- the
+    in-memory analog of the per-collection-pair partitioned lake layout:
+    each hop then scans ONLY its own relation instead of filtering the
+    union, which matters when the per-hop relations are separately
+    persisted (measured 23% at the 10x bench corpus, BENCH_NOTES.md r5).
+    Directed traversals only (any_direction needs the union to reverse).
+
     ``unique_edges`` mirrors AQL's default path uniqueness
     (uniqueEdges=path): a path never traverses the same undirected edge
     twice, so ANY-direction traversals cannot bounce straight back over
@@ -249,7 +257,14 @@ def k_hop(
     """
     if unique_edges is None:
         unique_edges = any_direction
-    e = undirected(edges) if any_direction else edges
+    if isinstance(edges, dict):
+        if any_direction:
+            raise ValueError(
+                "per-collection edge maps support directed traversal only"
+            )
+        e = None
+    else:
+        e = undirected(edges) if any_direction else edges
     cur = start.select(
         F.col("coll").alias("v0_coll"),
         F.col("key").alias("v0_key"),
@@ -263,7 +278,8 @@ def k_hop(
     if unique_edges:
         cur = cur.withColumn("used_edges", F.array().cast("array<string>"))
     for coll in hop_colls:
-        hop = e.filter(F.col("dst_coll") == coll).select(
+        src = edges[coll] if e is None else e.filter(F.col("dst_coll") == coll)
+        hop = src.select(
             F.col("src_coll").alias("node_coll"),
             F.col("src_key").alias("node_key"),
             F.col("dst_coll").alias("h_dst_coll"),
@@ -330,7 +346,7 @@ def terminal_stats(edges: DataFrame, coll: str) -> DataFrame:
 
 
 def k_hop_counts(
-    edges: DataFrame,
+    edges: DataFrame | dict[str, DataFrame],
     start: DataFrame,
     hop_colls: list[str],
     terminal: DataFrame | None = None,
@@ -361,8 +377,10 @@ def k_hop_counts(
     """
     *mid, last = hop_colls
     if terminal is None:
-        terminal = terminal_stats(edges, last)
-    spark = edges.sparkSession
+        terminal = terminal_stats(
+            edges[last] if isinstance(edges, dict) else edges, last
+        )
+    spark = terminal.sparkSession
     # Bitmap partial states are ~512B objects aggregated by
     # ObjectHashAggregate, whose default sort-based fallback (128 keys)
     # would sort every bitmap-carrying row. 128k keys x 512B caps the

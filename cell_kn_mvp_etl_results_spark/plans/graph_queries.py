@@ -209,26 +209,30 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    edges = (
-        edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
-        .union(edge("O", "l_orderkey", "P", "l_partkey", "CONTAINS", li))
-        # Cache layout = join layout: partition the cached edges on the
-        # (src_coll, src_key) pair every hop joins on. Each hop's edge
-        # side then already satisfies the join's required distribution
-        # (filter/alias preserve partitioning through InMemoryTableScan),
-        # so only the frontier side shuffles per hop -- one exchange per
-        # hop removed, measured 26% faster at sf0.1 (2.02 -> 1.51 s
-        # median, fresh plans per run). Same principle as a bucketed
-        # edges table in a lake deployment.
+    # Cache layout = join layout, one relation PER HOP: each hop's edge
+    # side is persisted pre-filtered to its destination collection and
+    # partitioned on the (src_coll, src_key) pair the hop joins on --
+    # the in-memory analog of the per-collection-pair partitioned lake
+    # layout (SCALE.md graph section). A unioned cache forces every hop
+    # to scan and filter the WHOLE edge set (115MB x 2 hops at the 10x
+    # corpus); per-hop relations scan only their own (measured 23%,
+    # BENCH_NOTES.md r5), and each already satisfies the join's
+    # required distribution so only the frontier shuffles per hop.
+    hops = {
+        "O": edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
         .repartition(F.col("src_coll"), F.col("src_key"))
-    ).persist()
+        .persist(),
+        "P": edge("O", "l_orderkey", "P", "l_partkey", "CONTAINS", li)
+        .repartition(F.col("src_coll"), F.col("src_key"))
+        .persist(),
+    }
     # The LAST hop never materializes: k_hop_counts aggregates paths
     # under the final join (counting semiring + exact terminal bitmaps,
     # see operators/graph.py). The per-part terminal summary is pure
-    # edge data, so it persists beside the edge relation, partitioned on
+    # edge data, so it persists beside the hop relations, partitioned on
     # the key the counting join probes -- at the 10x corpus this plan
     # replaced a 37M-row path materialization + 20.8M-pair distinct
-    # shuffle, 5.1 s -> 3.0 s (BENCH_NOTES.md r5).
+    # shuffle (BENCH_NOTES.md r5).
     term = (
         terminal_stats(
             edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li), "S"
@@ -244,14 +248,15 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager has already plan-matched the persisted relations.
     key = (spark.sparkContext.applicationId, sf_dir, "khop_edges")
     if key not in _MATERIALIZED:
-        edges.count()
+        for h in hops.values():
+            h.count()
         term.count()
         _MATERIALIZED.add(key)
     start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
         F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
     )
     return (
-        k_hop_counts(edges, start, ["O", "P", "S"], terminal=term)
+        k_hop_counts(hops, start, ["O", "P", "S"], terminal=term)
         .select(
             F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
             "n_paths",

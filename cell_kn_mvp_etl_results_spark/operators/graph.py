@@ -408,6 +408,71 @@ def k_hop_counts(
     )
 
 
+def path_fold(
+    edges: DataFrame | dict[str, DataFrame],
+    start: DataFrame,
+    hop_colls: list[str],
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted path aggregation over a directed typed-path traversal,
+    folded hop by hop -- paths are never materialized at ANY hop.
+
+    Semantically: over every exact-length path ``start -> ... ->
+    hop_colls[-1]``, the path weight is the SUM of its edge weights
+    (``weight_col``, integral for exact cross-engine results); returns
+    per start vertex the path count and the sum of path weights:
+    (v0_coll, v0_key, n_paths, total_weight).
+
+    The fold carries, per (start, frontier-node), the pair
+    (m = #paths, s = sum of path weights so far) and transitions over an
+    edge of weight w as (m, s) -> (m, s + m*w), summed over in-edges --
+    the matrix-chain product over the (count, sum) semiring.
+    ``k_hop_counts`` is the distinct-terminal sibling; use this one when
+    the answer is a per-start aggregate of edge values (revenue along
+    paths, hop latency totals). Largest intermediate: the aggregated
+    frontier (start x nodes-at-level), never the path set -- the same
+    reason a 10^9-path traversal is safe that SCALE.md's traversal
+    section gives for counting.
+    """
+    cur = start.select(
+        F.col("coll").alias("v0_coll"),
+        F.col("key").alias("v0_key"),
+        F.col("coll").alias("node_coll"),
+        F.col("key").alias("node_key"),
+        F.lit(1).cast("long").alias("_m"),
+        F.lit(0).cast("long").alias("_s"),
+    )
+    for coll in hop_colls:
+        src = (
+            edges[coll]
+            if isinstance(edges, dict)
+            else edges.filter(F.col("dst_coll") == coll)
+        )
+        hop = src.select(
+            F.col("src_coll").alias("node_coll"),
+            F.col("src_key").alias("node_key"),
+            F.col("dst_coll").alias("h_dc"),
+            F.col("dst_key").alias("h_dk"),
+            F.col(weight_col).alias("_w"),
+        )
+        cur = (
+            cur.join(hop, ["node_coll", "node_key"])
+            .groupBy(
+                "v0_coll",
+                "v0_key",
+                F.col("h_dc").alias("node_coll"),
+                F.col("h_dk").alias("node_key"),
+            )
+            .agg(
+                F.sum("_m").alias("_m"),
+                F.sum(F.col("_s") + F.col("_m") * F.col("_w")).alias("_s"),
+            )
+        )
+    return cur.groupBy("v0_coll", "v0_key").agg(
+        F.sum("_m").alias("n_paths"), F.sum("_s").alias("total_weight")
+    )
+
+
 def hierarchy_longest_path(
     edges: DataFrame,
     start: DataFrame,

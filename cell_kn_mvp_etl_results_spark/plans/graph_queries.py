@@ -16,10 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import cents
 from ..operators.graph import (
     graph_from_tuples,
     hierarchy_longest_path,
     k_hop_counts,
+    path_fold,
     terminal_stats,
 )
 from ..sources.readers import read_table
@@ -327,4 +329,93 @@ def q_hierarchy_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hierarchy_longest_path(edges, start, label="contains", max_depth=64).orderBy(
         "start"
+    )
+
+
+@query(
+    "q_path_revenue",
+    tags=("graph", "J10", "A5"),
+    priority=TAIL,  # new in r5: pytest-gated; rotates into the budget next round
+    oracle="""
+WITH e1 AS (
+  SELECT 'C_' || o_custkey AS s, o_orderkey AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS w
+  FROM orders
+),
+e2 AS (
+  SELECT l_orderkey AS s, l_partkey AS d,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+e3 AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem)
+SELECT e1.s AS start, count(*) AS n_paths,
+       CAST(sum(e1.w + e2.w) AS BIGINT) AS total_weight_cents
+FROM customer c
+JOIN e1 ON e1.s = 'C_' || c.c_custkey
+JOIN e2 ON e2.s = e1.d
+JOIN e3 ON e3.s = e2.d
+WHERE c.c_mktsegment = 'MACHINERY'
+GROUP BY e1.s
+ORDER BY start
+""",
+)
+def q_path_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 x A5: weighted path aggregation -- per MACHINERY customer,
+    the number of exact C->O->P->S paths and the total path weight
+    (order value on the PLACED edge + order-part value on the CONTAINS
+    edge, exact integer cents). Runs as ``operators/graph.path_fold``:
+    the (count, sum) pairs fold hop by hop, so no hop's path set is
+    ever materialized -- the oracle's join chain materializes every
+    path, which is exactly the asymmetry that makes this operator the
+    scale path (SCALE.md traversal section). n_paths doubles as a
+    cross-check against ``q_khop_paths``.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+    e1 = o.select(
+        F.lit("C").alias("src_coll"),
+        F.col("o_custkey").alias("src_key"),
+        F.lit("O").alias("dst_coll"),
+        F.col("o_orderkey").alias("dst_key"),
+        cents("o_totalprice").alias("weight"),
+    )
+    e2 = (
+        li.groupBy(
+            F.col("l_orderkey").alias("src_key"),
+            F.col("l_partkey").alias("dst_key"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).alias("weight"))
+        .select(
+            F.lit("O").alias("src_coll"),
+            "src_key",
+            F.lit("P").alias("dst_coll"),
+            "dst_key",
+            "weight",
+        )
+    )
+    e3 = (
+        li.select(
+            F.col("l_partkey").alias("src_key"), F.col("l_suppkey").alias("dst_key")
+        )
+        .dropDuplicates()
+        .select(
+            F.lit("P").alias("src_coll"),
+            "src_key",
+            F.lit("S").alias("dst_coll"),
+            "dst_key",
+            F.lit(0).cast("long").alias("weight"),
+        )
+    )
+    start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
+    )
+    return (
+        path_fold({"O": e1, "P": e2, "S": e3}, start, ["O", "P", "S"])
+        .select(
+            F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
+            "n_paths",
+            F.col("total_weight").alias("total_weight_cents"),
+        )
+        .orderBy("start")
     )

@@ -263,3 +263,37 @@ def test_k_hop_counts_single_hop(spark):
         for r in k_hop_counts(edges, start, ["B"]).collect()
     }
     assert got == {0: (2, 2), 3: (2, 2)}
+
+
+def test_path_fold_matches_materializing_sum(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import path_fold
+
+    rows = []
+    for i in range(3):
+        rows += [("A", i, "B", i, "ab", 10 + i), ("A", i, "B", i + 1, "ab", 5)]
+    for j in range(4):
+        rows += [("B", j, "C", j % 2, "bc", 100 * j)]
+    edges = spark.createDataFrame(
+        rows,
+        "src_coll string, src_key long, dst_coll string, dst_key long,"
+        " label string, weight long",
+    )
+    start = spark.createDataFrame([("A", i) for i in range(3)], "coll string, key long")
+    # materializing reference: enumerate paths, sum edge weights per path
+    paths = k_hop(edges.drop("weight"), start, ["B", "C"], carry_path=True)
+    w = {(r["src_coll"], r["src_key"], r["dst_coll"], r["dst_key"]): r["weight"]
+         for r in edges.collect()}
+    expected = {}
+    for r in paths.collect():
+        hops = r["path"]
+        total = 0
+        for a, b in zip(hops, hops[1:]):
+            ac, ak = a.split("_"); bc, bk = b.split("_")
+            total += w[(ac, int(ak), bc, int(bk))]
+        n, s = expected.get(r["v0_key"], (0, 0))
+        expected[r["v0_key"]] = (n + 1, s + total)
+    got = {
+        r["v0_key"]: (r["n_paths"], r["total_weight"])
+        for r in path_fold(edges, start, ["B", "C"]).collect()
+    }
+    assert got == expected

@@ -8,10 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..operators import dedup as dd
 from ..sources.readers import read_table
 from .llmdata import _SHINGLES_SQL
-from .registry import query
+from .registry import TAIL, query
 
 
 @query(
@@ -64,5 +66,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("id").alias("keeper"))
+        .orderBy("component")
+    )
+
+@query(
+    "q_dedup_exemplar",
+    tags=("dedup", "graph", "W1"),
+    priority=TAIL,  # new in r5: pytest-gated; rotates into the budget next round
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+ranked AS (
+  SELECT comp.component, comp.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY comp.component
+           ORDER BY d.n_chars DESC, comp.doc_id) AS rk,
+         count(*) OVER (PARTITION BY comp.component) AS n_members
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+)
+SELECT component, doc_id AS exemplar_id,
+       CAST(n_chars AS BIGINT) AS exemplar_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+ORDER BY component
+""",
+)
+def q_dedup_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation's keep-the-best rule on near-dup clusters: per connected
+    component, the exemplar is the member with the most content
+    (n_chars, deterministic doc_id tie-break) rather than the min id --
+    what a real pipeline keeps when duplicates differ by truncation.
+    Clusters come from the same oracle-verified fixpoint as
+    ``q_dedup_clusters``; exemplar selection is a W1 top-1-per-group
+    window, map-side-limited before the shuffle (WindowGroupLimit).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = dd.connected_components(nodes, pairs.select("id_a", "id_b"))
+    members = comp.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "id")
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("id").alias("exemplar_id"),
+            F.col("n_chars").cast("long").alias("exemplar_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
         .orderBy("component")
     )

@@ -643,3 +643,76 @@ def decontaminate(
         .cast("long")
         .alias("contamination_bp"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Substring-level exact-duplicate spans: maximal token ranges whose
+    every ``k``-token window occurs at least twice in the corpus --
+    the distributed approximation of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22: remove repeated spans, not just whole near-dup
+    documents). A suffix array does not distribute; matching fixed-k
+    token windows by hash is the standard shuffle-friendly equivalent
+    and finds exactly the duplicated substrings of length >= k tokens.
+
+    Returns (doc_id, span_start, span_end, n_grams): 1-based inclusive
+    token indexes of each maximal duplicated span and the number of
+    duplicated k-windows it merges. Windows are duplicated if their
+    lowercase token k-gram occurs >= 2 times corpus-wide (within- or
+    cross-document -- a decoding loop that repeats its own phrase is as
+    much a training hazard as shared boilerplate). Overlapping or
+    adjacent windows (gap <= k positions) merge into one span.
+
+    Scale shape: one map-side projection builds each doc's window-hash
+    array (no explode of text bytes -- hashes only); the occurrence
+    count shuffles on the 128-bit gram hash (bounded key, map-side
+    combine); the hit join shuffles on the same hash; the island merge
+    windows per (doc, pos) -- never any all-pairs work. Heavy-hitter
+    grams cost one hot reduce key for a count, not a pair explosion.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    toked = _rebalance_small_input(df).select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    count = F.size("toks")
+    gram = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("_i") + j) for j in range(k)]
+    )
+    grams = (
+        toked.filter(count >= k)
+        .select(
+            "id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), count - (k - 1))).alias("_i"),
+        )
+        .select("id", F.col("_i").cast("long").alias("pos"), F.md5(gram).alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    new_island = F.when(
+        F.col("pos") - F.lag("pos").over(w) > k, 1
+    ).otherwise(0)
+    island = F.sum(
+        F.when(F.lag("pos").over(w).isNull(), 1).otherwise(new_island)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_island", island)
+        .groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("id", "span_start", "span_end", "n_grams")
+    )

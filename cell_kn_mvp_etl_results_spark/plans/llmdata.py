@@ -1114,3 +1114,50 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = with_b.filter(F.col("_holdout"))
     train = with_b.filter(~F.col("_holdout"))
     return dd.decontaminate(train, bench, "doc_id", "text", n=3).orderBy("id")
+
+
+@query(
+    "q_dup_spans",
+    tags=("dedup", "text"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+3], ' ')) AS h
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 3
+),
+dups AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dups USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 4 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+)
+SELECT doc_id AS id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 3 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl
+GROUP BY doc_id, island
+ORDER BY id, span_start
+""",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: maximal token spans whose every
+    4-token window repeats corpus-wide (operators/dedup.duplicate_spans
+    -- the distributed stand-in for suffix-array substring dedup, Lee et
+    al. ACL'22). k=4 (not the production 8+) because the synthetic docs
+    are short. The oracle is the naive window formulation; the Spark
+    plan shuffles only gram hashes and per-doc positions.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(d, "doc_id", "text", k=4).orderBy("id", "span_start")

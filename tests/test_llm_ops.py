@@ -545,3 +545,51 @@ def test_tfidf_keywords_planted_rare_terms(spark):
         # tf=2, idf=floor(log2(8 div 1))=3 -> score 6
         assert top.score == 6
     assert not any(r.tok in ("common", "words", "everywhere") for r in out)
+
+
+def test_duplicate_spans_merges_windows(spark):
+    # Docs 1 and 2 share the 6-token sentence "alpha beta gamma delta
+    # epsilon zeta"; with k=4 its three duplicated windows overlap and
+    # must merge into ONE maximal span covering tokens 1..6 in doc 1 and
+    # 3..8 in doc 2. Doc 3 shares nothing of length >= 4 tokens.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta ends here"),
+        (2, "lead in alpha beta gamma delta epsilon zeta"),
+        (3, "nothing shared with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id, r.span_start, r.span_end): r.n_grams
+        for r in dd.duplicate_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert out == {(1, 1, 6): 3, (2, 3, 8): 3}
+
+
+def test_duplicate_spans_within_doc_and_gaps(spark):
+    # A decoding-loop doc repeating its own 4-gram is flagged even with
+    # no cross-document match; two far-apart repeats stay separate spans
+    # (gap > k), each a single-window span.
+    rows = [
+        (1, "x1 x2 x3 x4 a b c d e f g h i j x1 x2 x3 x4"),
+        (2, "unrelated filler text with no repeats inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in dd.duplicate_spans(df, "doc_id", "text", k=4).collect()
+    )
+    assert out == [(1, 1, 4, 1), (1, 15, 18, 1)]
+
+
+def test_duplicate_spans_case_folds(spark):
+    # Lowercase folding: "Alpha Beta" matches "alpha beta".
+    rows = [
+        (1, "Alpha Beta Gamma Delta trailing words here"),
+        (2, "alpha beta gamma delta other stuff follows"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in dd.duplicate_spans(df, "doc_id", "text", k=4).collect()
+    )
+    assert out == [(1, 1, 4), (2, 1, 4)]

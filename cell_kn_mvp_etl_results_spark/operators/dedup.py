@@ -716,3 +716,61 @@ def duplicate_spans(
         )
         .select("id", "span_start", "span_end", "n_grams")
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: how much of a document is text that
+    appears nowhere else in the corpus. For every position window of
+    ``n`` lowercase tokens, the window is DUPLICATED if its gram occurs
+    >= 2 times corpus-wide (any document, including this one). Returns
+    (id, n_grams, n_dup, novelty_permille) with
+    novelty_permille = floor((n_grams - n_dup) * 1000 / n_grams) --
+    integer permille so the value is bit-identical across engines.
+
+    Complements ``duplicate_spans`` (which localizes the duplicated
+    ranges) and the whole-document near-dup family: novelty is the
+    scalar curation signal ("this doc is 90% boilerplate") used for
+    quality weighting and mixture reweighting of crawled corpora.
+
+    Scale shape: identical to duplicate_spans -- map-side window-hash
+    projection, one count shuffle on the 128-bit gram hash (map-side
+    combine), one hash join back, one per-doc aggregation. No pair
+    work, no text bytes shuffled.
+    """
+    from ..functions.text import tokens
+
+    toked = _rebalance_small_input(df).select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    count = F.size("toks")
+    gram = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("_i") + j) for j in range(n)]
+    )
+    grams = (
+        toked.filter(count >= n)
+        .select(
+            "id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), count - (n - 1))).alias("_i"),
+        )
+        .select("id", F.md5(gram).alias("h"))
+    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = (
+        grams.join(cnt, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        "n_grams",
+        "n_dup",
+        F.floor(
+            (F.col("n_grams") - F.col("n_dup")) * F.lit(1000) / F.col("n_grams")
+        ).alias("novelty_permille"),
+    )

@@ -96,3 +96,57 @@ def pack_sequences(
         F.expr(f"pos div {int(capacity)}").alias("bin"),
         F.pmod(F.col("pos"), F.lit(int(capacity))).cast("long").alias("offset"),
     )
+
+
+def balanced_shards(
+    df: DataFrame, id_col: str, size_col: Column, n_shards: int
+) -> DataFrame:
+    """Deterministic token-balanced shard assignment: order documents by
+    (size DESC, content-hash) and deal them to ``n_shards`` shards in
+    serpentine (boustrophedon) order -- block b of n_shards docs is
+    dealt left-to-right when b is even, right-to-left when odd, so the
+    shard that just received the largest doc of a block receives the
+    smallest of the next. Greedy LPT needs a sequential scan; the
+    serpentine deal is its fully-parallel deterministic stand-in and
+    keeps per-shard token totals within one document of each other for
+    smoothly-distributed sizes.
+
+    Returns (id, n_tokens, rnk, shard), rnk the 1-based global order.
+
+    Scale shape: the global rank is NOT a global sort. Documents bucket
+    exactly by their size value: rnk = (# docs with strictly larger
+    size) + (row_number among equal sizes by hash). The per-size counts
+    aggregate with map-side combine; their descending cumsum runs over
+    the tiny distinct-size dimension (bounded by max sequence length,
+    not corpus size -- same two-level discipline as global_prefix_sum
+    above); the within-size window partitions by size value. One
+    dominant size value concentrates its docs in one partition -- at
+    pretraining scale sizes spread over thousands of values, and a
+    pathological single-length corpus can pre-salt by hash prefix.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        size_col.cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    per_size = sized.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_size.select(
+        "n_tokens", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_base")
+    )
+    w_in = Window.partitionBy("n_tokens").orderBy("_h", "id")
+    ranked = sized.join(F.broadcast(offsets), "n_tokens").select(
+        "id",
+        "n_tokens",
+        (F.col("_base") + F.row_number().over(w_in)).cast("long").alias("rnk"),
+    )
+    r0 = F.col("rnk") - 1
+    block = F.floor(r0 / n_shards)
+    pos = r0 % n_shards
+    shard = F.when(block % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.select(
+        "id", "n_tokens", "rnk", shard.cast("long").alias("shard")
+    )

@@ -1161,3 +1161,76 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     return dd.duplicate_spans(d, "doc_id", "text", k=4).orderBy("id", "span_start")
+
+
+@query(
+    "q_balanced_shards",
+    tags=("packing", "sampling"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=r"""
+WITH sized AS (
+  SELECT doc_id AS id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT id, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens DESC, h, id) AS BIGINT)
+           AS rnk
+  FROM sized
+)
+SELECT id, n_tokens, rnk,
+       CAST(CASE WHEN ((rnk - 1) // 8) % 2 = 0 THEN (rnk - 1) % 8
+                 ELSE 7 - ((rnk - 1) % 8) END AS BIGINT) AS shard
+FROM ranked
+ORDER BY rnk
+""",
+)
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: size-desc serpentine deal into 8
+    shards (operators/packing.balanced_shards). The oracle is the naive
+    single-window global rank; the Spark plan is the two-level rank
+    (per-size-value offsets + within-size windows) -- identical output,
+    no global sort.
+    """
+    from ..functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return pk.balanced_shards(
+        d, "doc_id", F.size(tokens(F.col("text"))), n_shards=8
+    ).orderBy("rnk")
+
+
+@query(
+    "q_ngram_novelty",
+    tags=("dedup", "text"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS h
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
+cnt AS (SELECT h, count(*) AS n FROM grams GROUP BY h)
+SELECT doc_id AS id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(((count(*) - sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)) * 1000)
+            // count(*) AS BIGINT) AS novelty_permille
+FROM grams JOIN cnt USING (h)
+GROUP BY doc_id
+ORDER BY id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty permille -- the scalar "how much of
+    this doc exists nowhere else" curation signal
+    (operators/dedup.ngram_novelty). Integer permille keeps the value
+    bit-identical across engines.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dd.ngram_novelty(d, "doc_id", "text", n=3).orderBy("id")

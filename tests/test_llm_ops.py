@@ -593,3 +593,20 @@ def test_duplicate_spans_case_folds(spark):
         for r in dd.duplicate_spans(df, "doc_id", "text", k=4).collect()
     )
     assert out == [(1, 1, 4), (2, 1, 4)]
+
+
+def test_ngram_novelty(spark):
+    # Doc 1 and 2 share "a b c" (their only duplicated 3-gram window);
+    # doc 3 is fully novel. Doc 1 has 3 windows, 1 duplicated ->
+    # novelty floor(2*1000/3) = 666.
+    rows = [
+        (1, "a b c d e"),
+        (2, "z z2 a b c"),
+        (3, "p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.n_grams, r.n_dup, r.novelty_permille)
+           for r in dd.ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert out[1] == (3, 1, 666)
+    assert out[2] == (3, 1, 666)
+    assert out[3] == (3, 0, 1000)

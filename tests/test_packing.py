@@ -81,3 +81,42 @@ def test_zero_token_docs_get_positions(spark):
     out = {r.doc_id: (r.bin, r.offset) for r in
            pack_sequences(df, "doc_id", F.col("n_tokens"), capacity=8).collect()}
     assert len(out) == 3
+
+
+def test_balanced_shards_serpentine_and_balance(spark):
+    # 8 docs with sizes 80..10, 4 shards: serpentine deal gives blocks
+    # [80,70,60,50] left-to-right then [40,30,20,10] right-to-left, so
+    # every shard totals 80+... pairs to exactly 90 tokens.
+    from cell_kn_mvp_etl_results_spark.operators.packing import balanced_shards
+    import pyspark.sql.functions as F
+
+    rows = [(i, (8 - i + 1) * 10) for i in range(1, 9)]  # id 1 -> 80 ... id 8 -> 10
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = balanced_shards(df, "doc_id", F.col("n"), n_shards=4).collect()
+    by_rank = sorted((r.rnk, r.n_tokens, r.shard) for r in out)
+    # ranks follow size desc
+    assert [n for _, n, _ in by_rank] == [80, 70, 60, 50, 40, 30, 20, 10]
+    # serpentine: block 0 -> shards 0,1,2,3; block 1 -> 3,2,1,0
+    assert [s for _, _, s in by_rank] == [0, 1, 2, 3, 3, 2, 1, 0]
+    totals = {}
+    for _, n, s in by_rank:
+        totals[s] = totals.get(s, 0) + n
+    assert set(totals.values()) == {90}
+
+
+def test_balanced_shards_rank_deterministic_ties(spark):
+    # Equal sizes break ties by md5(id) then id -- stable across runs
+    # and partitionings.
+    from cell_kn_mvp_etl_results_spark.operators.packing import balanced_shards
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(i, 5) for i in range(1, 20)], "doc_id long, n long")
+    a = sorted((r.id, r.rnk) for r in balanced_shards(df, "doc_id", F.col("n"), 3).collect())
+    b = sorted(
+        (r.id, r.rnk)
+        for r in balanced_shards(
+            df.repartition(7), "doc_id", F.col("n"), 3
+        ).collect()
+    )
+    assert a == b
+    assert sorted(r for _, r in a) == list(range(1, 20))

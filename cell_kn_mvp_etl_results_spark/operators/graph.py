@@ -542,3 +542,71 @@ def hierarchy_longest_path(
         .filter(F.col("rn") == 1)
         .select("start", "depth", "path")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list --
+    the cluster-density signal on a near-dup pair graph (triangle-rich
+    components are template families, not chance collisions).
+
+    Degree-ordered edge orientation (Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW'11): each edge is
+    directed from its lower-(degree, id) endpoint to the higher, and a
+    triangle is found exactly once, at its lowest-ordered vertex. This
+    bounds per-vertex wedge generation by O(m^1.5) total regardless of
+    degree skew -- a celebrity vertex of degree d contributes wedges
+    only for its (few) higher-ordered neighbors, never d^2 pairs. The
+    triangle SET is orientation-independent, so a naive id-ordered SQL
+    formulation (the oracle) returns identical per-vertex counts.
+
+    Input edges may carry duplicates or both directions; they are
+    canonicalized (min, max) and deduped first. Returns
+    (id, n_triangles) for vertices in at least one triangle.
+
+    Shuffles: edge dedup, degree agg, two hash joins on vertex keys,
+    final per-vertex count -- all on bounded keys, no all-pairs work.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from lower (deg, id) to higher (deg, id).
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    d1 = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    # Wedges at the lowest-ordered vertex: src -> x, src -> y with
+    # (deg, id) of x below y; close with the directed edge x -> y.
+    e1 = d1.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
+    e2 = d1.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    wedge = e1.join(e2, "src").filter(
+        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    )
+    closing = d1.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedge.join(closing, ["x", "y"]).select("src", "x", "y")
+    pv = (
+        tri.select(F.col("src").alias("id"))
+        .unionAll(tri.select(F.col("x").alias("id")))
+        .unionAll(tri.select(F.col("y").alias("id")))
+    )
+    return pv.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..sources.readers import read_table
-from .registry import query
+from .registry import TAIL, query
 
 _SIMHASH_BODY = """
 toks AS (
@@ -102,3 +102,45 @@ def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_dup_triangles",
+    tags=("dedup", "graph"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=f"""
+WITH {_SIMHASH_BODY},
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pv AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM pv GROUP BY id ORDER BY id
+""",
+)
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the SimHash radius-2 near-dup
+    pair graph (operators/graph.triangle_counts): triangle-dense
+    components are template families. The Spark plan uses degree-ordered
+    orientation (skew-bounded wedges); the oracle is the naive
+    id-ordered three-way join -- the triangle set, and so the counts,
+    are identical.
+    """
+    from ..operators import graph as gr
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd.simhash_pairs(hashes, max_hamming=2)
+    return gr.triangle_counts(pairs, "id_a", "id_b").orderBy("id")

@@ -297,3 +297,30 @@ def test_path_fold_matches_materializing_sum(spark):
         for r in path_fold(edges, start, ["B", "C"]).collect()
     }
     assert got == expected
+
+
+def test_triangle_counts_k4_star_and_canonicalization(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: each vertex sits in C(3,2)=3 triangles. Edges are
+    # given with duplicates and reversed directions to exercise
+    # canonicalization. A star 10-{11,12,13} adds no triangles and its
+    # vertices must not appear in the output.
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4), (2, 4),
+        (10, 11), (10, 12), (10, 13),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_chain_plus_one_triangle(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import triangle_counts
+
+    # Path 1-2-3-4 plus closing edge 1-3: exactly one triangle {1,2,3}.
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "id_a long, id_b long"
+    )
+    out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}

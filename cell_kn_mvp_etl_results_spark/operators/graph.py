@@ -610,3 +610,70 @@ def triangle_counts(
         .unionAll(tri.select(F.col("y").alias("id")))
     )
     return pv.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_permille: int = 850,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic: scores are
+    maintained as integers scaled by ``scale``, each contribution is
+    floor(score / outdegree), and each update is a single floor division
+
+        score' = ((1000 - d) * scale + d * sum(contribs)) div 1000
+
+    so every intermediate is a bounded BIGINT and the result is
+    bit-identical in any engine with integer division -- the same
+    determinism doctrine as the integer-cents money aggregates
+    (plans/registry.py docstring). Floating-point PageRank cannot be
+    oracle-gated: double summation order differs between engines.
+
+    Fixed small ``iters`` (default 3) is the curation use: a few
+    propagation rounds already separate template-family hubs from
+    periphery on a near-dup graph; convergence runs are a tuning knob,
+    not a different algorithm. Dangling nodes (no out-edges) leak their
+    mass -- the standard simplification; graphs built from undirected
+    pair lists (both directions inserted) have none.
+
+    Scale shape per iteration: one join of the edge list with the
+    current scores on src (edges can be pre-partitioned on src once --
+    the loop reuses the layout), one aggregation shuffle on dst, one
+    left join back to the node set. State is one row per node; no
+    iteration-over-collect, no driver-side graph.
+    """
+    ed = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        ed.select(F.col("src").alias("id"))
+        .union(ed.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = ed.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = (1000 - damping_permille) * scale
+    scores = nodes.select("id", F.lit(scale).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(scores.withColumnRenamed("id", "src"), "src")
+            .join(deg.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("score div outdeg").alias("contrib"),
+            )
+        )
+        inc = contrib.groupBy("id").agg(F.sum("contrib").alias("inc"))
+        scores = (
+            nodes.join(inc, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST(({base} + {damping_permille} * coalesce(inc, 0)) "
+                    "div 1000 AS BIGINT)"
+                ).alias("score"),
+            )
+        )
+    return scores

@@ -144,3 +144,69 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
     pairs = dd.simhash_pairs(hashes, max_hamming=2)
     return gr.triangle_counts(pairs, "id_a", "id_b").orderBy("id")
+
+
+def _pagerank_oracle(iters: int = 3, d: int = 850, scale: int = 10**6) -> str:
+    """Unrolled fixed-iteration integer PageRank over the SimHash
+    radius-2 pair graph -- generated so the constants provably match the
+    Spark operator's."""
+    base = (1000 - d) * scale
+    its = []
+    prev = "s0"
+    for t in range(1, iters + 1):
+        its.append(
+            f"""i{t} AS (
+  SELECT n.id,
+         CAST(({base} + {d} * COALESCE(sum(c.contrib), 0)) // 1000 AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS id, s.score // dg.outdeg AS contrib
+    FROM ed JOIN {prev} s ON s.id = ed.src JOIN deg dg ON dg.id = ed.src
+  ) c ON c.id = n.id
+  GROUP BY n.id
+)"""
+        )
+        prev = f"i{t}"
+    chain = ",\n".join(its)
+    return f"""
+WITH {_SIMHASH_BODY},
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+ed AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (
+  SELECT DISTINCT src AS id FROM ed UNION SELECT DISTINCT dst FROM ed
+),
+deg AS (SELECT src AS id, count(*) AS outdeg FROM ed GROUP BY src),
+s0 AS (SELECT id, CAST({scale} AS BIGINT) AS score FROM nodes),
+{chain}
+SELECT id, score FROM {prev} ORDER BY id
+"""
+
+
+@query(
+    "q_pagerank",
+    tags=("graph", "dedup"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=_pagerank_oracle(),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer-exact PageRank over the SimHash radius-2
+    near-dup pair graph (both directions inserted): hub documents of
+    template families score high (operators/graph.pagerank_integer).
+    Exact integer floor arithmetic keeps the scores bit-identical to
+    the unrolled-CTE oracle.
+    """
+    from ..operators import graph as gr
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd.simhash_pairs(hashes, max_hamming=2)
+    ed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return gr.pagerank_integer(ed, "src", "dst", iters=3).orderBy("id")

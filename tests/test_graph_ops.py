@@ -324,3 +324,33 @@ def test_triangle_counts_chain_plus_one_triangle(spark):
     )
     out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_pagerank_integer_cycle_is_fixed_point(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import pagerank_integer
+
+    # Symmetric 3-cycle: every node has outdeg 1 and one incoming
+    # contribution of its full score, so score = scale is a fixed point
+    # of the integer update: (150e6 + 850 * 1e6) div 1000 = 1e6.
+    ed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    out = {r.id: r.score for r in pagerank_integer(ed, iters=4).collect()}
+    assert out == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+def test_pagerank_integer_star_hand_computed(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import pagerank_integer
+
+    # Undirected star: center 0 <-> leaves 1,2,3. Hand-unrolled integer
+    # updates (floor at every division):
+    #   iter1: center (150e6 + 850*3e6) div 1000          = 2_700_000
+    #          leaf   (150e6 + 850*(1e6 div 3)) div 1000  =   433_333
+    #   iter2: center (150e6 + 850*3*433333) div 1000     = 1_254_999
+    #          leaf   (150e6 + 850*(2.7e6 div 3)) div 1000 =  915_000
+    pairs = [(0, i) for i in (1, 2, 3)]
+    ed = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {r.id: r.score for r in pagerank_integer(ed, iters=2).collect()}
+    assert out == {0: 1_254_999, 1: 915_000, 2: 915_000, 3: 915_000}

@@ -3,9 +3,13 @@ frequency (count-min via stat.freqItems), and quantile sketches --
 the constant-memory alternatives to exact aggregation when the answer
 feeds a dashboard or a heuristic, not the correctness gate.
 
-These stay out of the oracle registry on purpose: approximate results
-are engine- and implementation-specific by design. The tests bound the
-error against exact answers instead.
+The built-in approximations (HLL, GK quantiles, freqItems) stay out of
+the oracle registry on purpose: their results are engine- and
+implementation-specific by design, so the tests bound their error
+against exact answers instead. The count-min sketch below is the
+exception: its hash family is the portable md5-derived scheme, so the
+sketch and its estimates are bit-identical across engines and ARE
+oracle-gated (q_countmin_tokens).
 """
 
 from __future__ import annotations
@@ -49,3 +53,92 @@ def column_profile(df: DataFrame, col: str) -> dict:
         F.count(F.lit(1)).alias("n_rows"),
     ).collect()[0]
     return agg.asDict()
+
+
+def countmin_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Deterministic count-min sketch (Cormode & Muthukrishnan '05):
+    ``depth`` independent hash rows of ``width`` integer cells; every
+    key occurrence increments cell (i, h_i(key)). Returns the sparse
+    cell table (i, cell, c).
+
+    Unlike the built-in approximations above, the hash family is the
+    portable md5-derived scheme (row-seeded: md5(i || ':' || key)), so
+    the sketch -- and every estimate read from it -- is bit-identical
+    across engines and CAN be oracle-gated.
+
+    Scale shape: one aggregation shuffle whose key space is bounded by
+    depth x width cells (constant, not corpus-sized) -- map-side
+    combine collapses each task's contribution to <= depth*width rows
+    before the exchange. Sketches of corpus shards merge by summing
+    cells, the property that makes CMS the standard distributed
+    heavy-hitter structure.
+    """
+    from .dedup import portable_hash48
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (
+                        portable_hash48(
+                            F.concat(F.lit(f"{i}:"), F.col(key_col))
+                        )
+                        % width
+                    ).alias("cell"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(rows.alias("r"))
+        .select("r.i", "r.cell")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimates(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: the estimate is
+    min over the depth rows of the addressed cells -- an overestimate
+    of the true count by at most the expected collision mass e*N/width
+    with probability 1 - e^-depth. Returns (key, est_n).
+
+    The probe side is typically tiny (candidate heavy hitters), so the
+    join broadcasts the probes against the bounded cell table.
+    """
+    from .dedup import portable_hash48
+
+    probe = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            portable_hash48(
+                                F.concat(F.lit(f"{i}:"), F.col(key_col))
+                            )
+                            % width
+                        ).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("r"),
+    ).select("key", "r.i", "r.cell")
+    return (
+        probe.join(cells, ["i", "cell"])
+        .groupBy("key")
+        .agg(F.min("c").alias("est_n"))
+    )

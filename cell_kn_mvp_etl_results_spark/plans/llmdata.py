@@ -1234,3 +1234,66 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     return dd.ngram_novelty(d, "doc_id", "text", n=3).orderBy("id")
+
+
+@query(
+    "q_countmin_tokens",
+    tags=("sketch", "text"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+),
+top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+cells AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+           % 512 AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks, generate_series(0, 3) g(i)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.tok, min(c.c) AS est_n
+  FROM top t JOIN cells c
+    ON c.cell = ('0x' || substr(md5(CAST(c.i AS VARCHAR) || ':' || t.tok),
+                                1, 12))::BIGINT % 512
+  GROUP BY t.tok
+)
+SELECT top.tok, top.exact_n, CAST(est.est_n AS BIGINT) AS est_n,
+       CAST(est.est_n - top.exact_n AS BIGINT) AS overcount
+FROM top JOIN est USING (tok)
+ORDER BY exact_n DESC, tok
+""",
+)
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: estimate the counts of the 20 most
+    frequent tokens from a 4x512 deterministic CMS and report each
+    estimate next to the exact count (operators/sketches.countmin_*).
+    CMS can only overestimate, so overcount >= 0 always -- the audit
+    makes the sketch's error concrete instead of asserted.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "tok").limit(20)
+    cells = sk.countmin_cells(toks, "tok", depth=4, width=512)
+    est = sk.countmin_estimates(cells, top.select("tok"), "tok", depth=4, width=512)
+    return (
+        top.join(est.withColumnRenamed("key", "tok"), "tok")
+        .select(
+            "tok",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "tok")
+    )

@@ -110,3 +110,46 @@ def test_l2_normalize_unit_norm_and_zero_guard(spark):
     got = {r.id: r.n for r in out}
     assert abs(got[1] - 1.0) < 1e-12 and abs(got[3] - 1.0) < 1e-12
     assert got[2] == 0.0
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    import pyspark.sql.functions as F
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    cells = sk.countmin_cells(df, "k", depth=4, width=4096)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    est = {r.key: r.est_n for r in
+           sk.countmin_estimates(cells, keys, "k", depth=4, width=4096).collect()}
+    # 3 keys in 4096 cells: no collisions, estimates are exact
+    assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_countmin_only_overestimates_under_collisions(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    import pyspark.sql.functions as F
+
+    rows = [(f"k{i}",) for i in range(200) for _ in range(i % 5 + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cells = sk.countmin_cells(df, "k", depth=4, width=16)  # forced collisions
+    keys = df.select("k").distinct()
+    est = {r.key: r.est_n for r in
+           sk.countmin_estimates(cells, keys, "k", depth=4, width=16).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_countmin_cells_merge_by_sum(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)], "k string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)], "k string")
+    merged = (
+        sk.countmin_cells(a, "k").unionAll(sk.countmin_cells(b, "k"))
+        .groupBy("i", "cell").agg(F.sum("c").alias("c"))
+    )
+    direct = sk.countmin_cells(a.unionAll(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))

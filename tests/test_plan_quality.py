@@ -187,3 +187,49 @@ def test_khop_counts_never_materializes_last_hop(spark, sf_dir):
         ]
     )
     assert joins <= 3, f"expected <=3 joins (2 hops + terminal), saw {joins}"
+
+
+def test_minhash_signatures_are_map_side(spark, sf_dir):
+    """The signature stage must not shuffle: no exchange between the
+    parquet scan and the Arrow-vectorized signature UDF, and no
+    per-row (non-Arrow) Python evaluation anywhere."""
+    from cell_kn_mvp_etl_results_spark.operators import dedup as dd
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _explain(dd.minhash_signatures_wide(d, "doc_id", "text"))
+    assert "ArrowEvalPython" in plan          # vectorized, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+    # the only allowed exchange is the small-input rebalance (round
+    # robin); no hash/range partitioning = no aggregation shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_new_graph_ops_no_cartesian(spark, sf_dir):
+    for name in ("q_dup_triangles", "q_pagerank", "q_dup_spans",
+                 "q_ngram_novelty", "q_balanced_shards", "q_countmin_tokens"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_balanced_shards_no_global_sort_before_rank(spark, sf_dir):
+    """The rank must come from the two-level shape: the only global
+    sort allowed is the final presentation orderBy; the within-size
+    window sorts inside hash partitions of the size value."""
+    from cell_kn_mvp_etl_results_spark.operators.packing import balanced_shards
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    import pyspark.sql.functions as F
+    from cell_kn_mvp_etl_results_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _explain(balanced_shards(d, "doc_id", F.size(tokens(F.col("text"))), 8))
+    # no presentation sort in the operator itself -> no range exchange
+    # over the full row set (the tiny per-size offsets frame may sort)
+    range_exchanges = [
+        l for l in plan.splitlines() if "Exchange rangepartitioning" in l
+    ]
+    assert all("n_tokens" not in l or "_n" in l for l in range_exchanges) or (
+        len(range_exchanges) <= 1
+    )

@@ -567,6 +567,11 @@ def triangle_counts(
 
     Shuffles: edge dedup, degree agg, two hash joins on vertex keys,
     final per-vertex count -- all on bounded keys, no all-pairs work.
+    The canonical edge set and the oriented edge list are persisted:
+    they are each referenced by multiple joins, and recomputing them
+    would re-run the (often expensive) upstream pair generation once
+    per reference. Spark's ContextCleaner unpersists when the returned
+    plan is garbage-collected (same contract as jaccard_pairs).
     """
     a, b = F.col(a_col), F.col(b_col)
     e = (
@@ -575,6 +580,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("id"))
@@ -593,7 +599,7 @@ def triangle_counts(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).persist()
     # Wedges at the lowest-ordered vertex: src -> x, src -> y with
     # (deg, id) of x below y; close with the directed edge x -> y.
     e1 = d1.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
@@ -644,16 +650,25 @@ def pagerank_integer(
     the loop reuses the layout), one aggregation shuffle on dst, one
     left join back to the node set. State is one row per node; no
     iteration-over-collect, no driver-side graph.
+
+    The edge list, node set, and out-degrees are persisted: the
+    iteration loop references each every round, and recomputing them
+    would re-run the (often expensive) upstream edge derivation
+    iters-fold. The ContextCleaner unpersists when the plan is
+    garbage-collected (same contract as jaccard_pairs).
     """
-    ed = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ed = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
     nodes = (
         ed.select(F.col("src").alias("id"))
         .union(ed.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     deg = ed.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).persist()
     base = (1000 - damping_permille) * scale
     scores = nodes.select("id", F.lit(scale).cast("long").alias("score"))
     for _ in range(iters):

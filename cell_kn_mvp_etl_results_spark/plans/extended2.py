@@ -113,7 +113,7 @@ WITH {_SIMHASH_BODY},
 e AS (
   SELECT a.id AS u, b.id AS v
   FROM sim a JOIN sim b ON a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -131,7 +131,7 @@ FROM pv GROUP BY id ORDER BY id
 """,
 )
 def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document triangle counts over the SimHash radius-2 near-dup
+    """Per-document triangle counts over the SimHash radius-1 near-dup
     pair graph (operators/graph.triangle_counts): triangle-dense
     components are template families. The Spark plan uses degree-ordered
     orientation (skew-bounded wedges); the oracle is the naive
@@ -142,13 +142,13 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=2)
+    pairs = dd.simhash_pairs(hashes, max_hamming=1)
     return gr.triangle_counts(pairs, "id_a", "id_b").orderBy("id")
 
 
 def _pagerank_oracle(iters: int = 3, d: int = 850, scale: int = 10**6) -> str:
     """Unrolled fixed-iteration integer PageRank over the SimHash
-    radius-2 pair graph -- generated so the constants provably match the
+    radius-1 pair graph -- generated so the constants provably match the
     Spark operator's."""
     base = (1000 - d) * scale
     its = []
@@ -173,7 +173,7 @@ WITH {_SIMHASH_BODY},
 e AS (
   SELECT a.id AS u, b.id AS v
   FROM sim a JOIN sim b ON a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 ),
 ed AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
 nodes AS (
@@ -193,7 +193,7 @@ SELECT id, score FROM {prev} ORDER BY id
     oracle=_pagerank_oracle(),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration integer-exact PageRank over the SimHash radius-2
+    """3-iteration integer-exact PageRank over the SimHash radius-1
     near-dup pair graph (both directions inserted): hub documents of
     template families score high (operators/graph.pagerank_integer).
     Exact integer floor arithmetic keeps the scores bit-identical to
@@ -203,7 +203,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=2)
+    pairs = dd.simhash_pairs(hashes, max_hamming=1)
     ed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(

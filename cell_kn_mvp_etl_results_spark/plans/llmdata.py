@@ -1283,9 +1283,16 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # persisted: referenced by both the top-20 probe and the weighted
+    # cell build (ContextCleaner unpersists with the plan)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n")).persist()
     top = exact.orderBy(F.col("exact_n").desc(), "tok").limit(20)
-    cells = sk.countmin_cells(toks, "tok", depth=4, width=512)
+    # Hash each DISTINCT token once, weighted by its exact count --
+    # identical cells to hashing every occurrence, ~vocab/corpus fewer
+    # md5 evaluations.
+    cells = sk.countmin_cells(
+        exact, "tok", depth=4, width=512, weight_col="exact_n"
+    )
     est = sk.countmin_estimates(cells, top.select("tok"), "tok", depth=4, width=512)
     return (
         top.join(est.withColumnRenamed("key", "tok"), "tok")

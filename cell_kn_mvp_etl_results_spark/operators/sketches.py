@@ -158,3 +158,91 @@ def countmin_estimates(
         .groupBy("key")
         .agg(F.min("c").alias("est_n"))
     )
+
+
+def _bloom_positions(key, m_bits: int, k_hashes: int):
+    from .dedup import portable_hash48
+
+    return [
+        (portable_hash48(F.concat(F.lit(f"{i}:"), key)) % m_bits)
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 4096, k_hashes: int = 3
+) -> DataFrame:
+    """Deterministic Bloom filter over a key set, as a relational bitmap:
+    (word, bits) rows with word = position div 32 and bits the OR of the
+    addressed 32-bit lanes (32, not 64: DuckDB raises on 1 << 63 while
+    Spark silently wraps negative -- 32-bit lanes keep every mask a
+    small positive BIGINT in both engines). The hash family is the
+    portable md5 scheme,
+    so filter contents -- and every membership verdict -- are
+    bit-identical across engines and can be oracle-gated.
+
+    The bitmap is m_bits/32 rows regardless of key count: the broadcast
+    alternative to shipping an exact key set when the probe side only
+    needs "definitely absent" (e.g. decontamination prefiltering, cache
+    admission). False positives only, rate ~ (1 - e^{-kn/m})^k.
+
+    Build cost: one aggregation with a fixed m_bits/32-row key space
+    (map-side combine collapses each task to the bitmap size); filters
+    of shards merge by OR-ing bits.
+    """
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr("CAST(pos div 32 AS BIGINT)").alias("word"),
+            F.expr("pos % 32").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Membership verdict per key against a ``bloom_build`` bitmap:
+    (key, maybe_member). maybe_member=false is definite absence;
+    true may be a false positive -- the caller decides whether to
+    verify survivors exactly (the standard two-phase probe).
+
+    The bitmap (m_bits/32 rows) broadcasts; the probe never shuffles
+    the key set -- at 100 TB this is the whole point: the corpus-side
+    grams stream past a few-KB build side.
+    """
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+        ).alias("pos"),
+    ).select(
+        "key",
+        F.expr("CAST(pos div 32 AS BIGINT)").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+        ).alias("mask"),
+    )
+    joined = probes.join(F.broadcast(bitmap), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    ).cast("int")
+    return (
+        joined.groupBy("key")
+        .agg(F.sum(hit).alias("_hits"))
+        .select("key", (F.col("_hits") == k_hashes).alias("maybe_member"))
+    )

@@ -1304,3 +1304,142 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "tok")
     )
+
+
+@query(
+    "q_bloom_decontaminate",
+    tags=("sketch", "dedup"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
+holdout AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('holdout-' || doc_id), 1, 8))::BIGINT % 100 < 5
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM holdout)
+),
+train AS (
+  SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM holdout)
+),
+bitmap AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12))
+             ::BIGINT % 4096 AS pos
+    FROM bench, generate_series(0, 2) g(i)
+  )
+  GROUP BY 1
+),
+verdict AS (
+  SELECT p.shingle,
+         (sum(CASE WHEN (COALESCE(b.bits, 0) & p.mask) = p.mask
+                   THEN 1 ELSE 0 END) = 3) AS maybe_member
+  FROM (
+    SELECT shingle, pos // 32 AS word,
+           CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask
+    FROM (
+      SELECT DISTINCT shingle,
+             ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12))
+               ::BIGINT % 4096 AS pos, i
+      FROM (SELECT DISTINCT shingle FROM train), generate_series(0, 2) g(i)
+    )
+  ) p LEFT JOIN bitmap b USING (word)
+  GROUP BY p.shingle
+),
+exact_hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM train t JOIN bench b USING (shingle) GROUP BY t.doc_id
+),
+bloom_hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+  FROM train t JOIN verdict v USING (shingle)
+  WHERE v.maybe_member GROUP BY t.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id
+)
+SELECT s.doc_id AS id, s.n_grams,
+       COALESCE(e.n_exact, 0) AS n_exact,
+       COALESCE(bh.n_bloom, 0) AS n_bloom,
+       COALESCE(bh.n_bloom, 0) - COALESCE(e.n_exact, 0) AS n_false_pos
+FROM sizes s
+LEFT JOIN exact_hits e USING (doc_id)
+LEFT JOIN bloom_hits bh USING (doc_id)
+ORDER BY id
+""",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination audit: the benchmark's distinct
+    3-gram shingles build a 4096-bit deterministic Bloom filter
+    (operators/sketches.bloom_build); every training shingle is probed
+    against the bitmap and per-document bloom hits are reported next to
+    exact hits, with the false-positive overcount explicit. At scale the
+    KB bitmap replaces broadcasting the full benchmark gram set; the
+    false-positive column is the measured cost of that compression.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("holdout-"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    with_b = d.withColumn("_holdout", bucket < 5)
+    bench_docs = with_b.filter(F.col("_holdout"))
+    train_docs = with_b.filter(~F.col("_holdout"))
+    bench = (
+        dd.shingle_set(bench_docs, "doc_id", "text", n=3)
+        .select("shingle")
+        .distinct()
+    )
+    train = dd.shingle_set(train_docs, "doc_id", "text", n=3).persist()
+    bitmap = sk.bloom_build(bench, "shingle", m_bits=4096, k_hashes=3)
+    verdict = sk.bloom_probe(
+        train.select("shingle").distinct(), "shingle", bitmap,
+        m_bits=4096, k_hashes=3,
+    )
+    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    exact = (
+        train.join(bench, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    bloom = (
+        train.join(
+            verdict.filter("maybe_member").select(
+                F.col("key").alias("shingle")
+            ),
+            "shingle",
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bloom"))
+    )
+    return (
+        sizes.join(exact, "id", "left")
+        .join(bloom, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_bloom", F.lit(0)).alias("n_bloom"),
+            (
+                F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_exact", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+        .orderBy("id")
+    )

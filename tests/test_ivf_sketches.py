@@ -153,3 +153,39 @@ def test_countmin_cells_merge_by_sum(spark):
     )
     direct = sk.countmin_cells(a.unionAll(b), "k")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bloom_no_false_negatives(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(100)], "k string")
+    bitmap = sk.bloom_build(members, "k", m_bits=256, k_hashes=3)  # tight: FPs likely
+    out = {r.key: r.maybe_member
+           for r in sk.bloom_probe(members, "k", bitmap, m_bits=256, k_hashes=3).collect()}
+    # the Bloom guarantee: a true member is NEVER reported absent
+    assert all(out[f"m{i}"] for i in range(100))
+
+
+def test_bloom_definitely_absent_with_headroom(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(10)], "k string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(50)], "k string")
+    bitmap = sk.bloom_build(members, "k", m_bits=65536, k_hashes=3)
+    out = sk.bloom_probe(others, "k", bitmap, m_bits=65536, k_hashes=3).collect()
+    # 30 of 65536 bits set: probes are overwhelmingly definite-absent
+    assert sum(1 for r in out if not r.maybe_member) >= 48
+
+
+def test_bloom_shards_merge_by_or(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([("p",), ("q",)], "k string")
+    b = spark.createDataFrame([("r",)], "k string")
+    merged = (
+        sk.bloom_build(a, "k").unionAll(sk.bloom_build(b, "k"))
+        .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = sk.bloom_build(a.unionAll(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))

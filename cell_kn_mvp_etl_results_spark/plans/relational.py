@@ -886,3 +886,131 @@ def q_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# Anchor for decay arithmetic: 2024-01-31 as an epoch-day constant
+# (the day after the synthetic events range ends). A fixed anchor keeps
+# the operator a pure function of the data -- decay queries in
+# production pass their own "as of" anchor the same way.
+_DECAY_ANCHOR_DAY = 19753
+
+
+@query(
+    "q_decayed_rollup",
+    tags=("events", "window"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(day_cents >> CAST({_DECAY_ANCHOR_DAY} - d AS INTEGER))
+            AS BIGINT) AS decayed_cents
+FROM daily
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_decayed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-user value rollup with EXACT integer
+    arithmetic: a one-day half-life is a right shift by the age in days
+    (cents >> age), so the decayed sum is bit-identical across engines
+    -- the shift formulation of exponential decay that floating-point
+    pow() scoring cannot oracle-gate. Daily pre-aggregation first
+    (map-side combine), then one shift-sum per user; epoch-day
+    arithmetic is session-timezone-independent.
+    """
+    e = read_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = e.groupBy(F.col("user_id"), day.alias("d")).agg(
+        F.sum(cents("value")).cast("long").alias("day_cents")
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"shiftright(day_cents, CAST({_DECAY_ANCHOR_DAY} - d AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("decayed_cents")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_event_funnel",
+    tags=("events", "window"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+) t
+ORDER BY step
+""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    advances a stage only with an event strictly AFTER their previous
+    stage's first event -- sequence semantics the plain per-type counts
+    cannot express. Each stage is one filtered min-aggregation joined to
+    the previous frontier; per-stage user counts come out as one row per
+    stage. Stage frontiers shrink monotonically, so the joins get
+    cheaper as the funnel deepens (and the frontier broadcasts once it
+    fits).
+    """
+    e = read_table(spark, sf_dir, "events")
+    frontier = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+    )
+    stages = [("view", frontier)]
+    for stage in ("click", "purchase"):
+        prev = stages[-1][1]
+        nxt = (
+            e.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+        stages.append((stage, nxt))
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("step")

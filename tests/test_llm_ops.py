@@ -610,3 +610,83 @@ def test_ngram_novelty(spark):
     assert out[1] == (3, 1, 666)
     assert out[2] == (3, 1, 666)
     assert out[3] == (3, 0, 1000)
+
+
+def test_event_funnel_strict_ordering(spark):
+    # A: view -> click -> purchase in order (passes every step).
+    # B: purchase, click, view in REVERSE order (has a view, so step 1,
+    #    but no click after the first view -> out at step 2).
+    # C: view -> click, never purchases (out at step 3).
+    import datetime as dt
+
+    from cell_kn_mvp_etl_results_spark.plans.relational import q_event_funnel
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = []
+    for i, (user, seq) in enumerate(
+        [
+            (1, ["view", "click", "purchase"]),
+            (2, ["purchase", "click", "view"]),
+            (3, ["view", "click"]),
+        ]
+    ):
+        for j, etype in enumerate(seq):
+            rows.append(
+                (100 * i + j, t0 + dt.timedelta(minutes=j), user, etype, 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    import cell_kn_mvp_etl_results_spark.sources.readers as readers
+
+    # drive the plan body directly on the in-memory frame
+    from pyspark.sql import functions as F
+
+    frontier = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+    )
+    counts = [frontier.count()]
+    prev = frontier
+    for stage in ("click", "purchase"):
+        prev = (
+            df.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        )
+        counts.append(prev.count())
+    assert counts == [3, 2, 1]
+
+
+def test_decayed_rollup_shift_arithmetic(spark):
+    # Day-age right shift: 400 cents two days before the anchor -> 100;
+    # 55 cents on the anchor day -> 55. Exact integers, no floats.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from cell_kn_mvp_etl_results_spark.functions.money import cents
+    from cell_kn_mvp_etl_results_spark.plans.relational import _DECAY_ANCHOR_DAY
+
+    rows = [
+        (1, dt.datetime(2024, 1, 29, 8, 0, 0), 10, 4.00),
+        (2, dt.datetime(2024, 1, 31, 9, 0, 0), 10, 0.55),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = df.groupBy("user_id", day.alias("d")).agg(
+        F.sum(cents("value")).cast("long").alias("day_cents")
+    )
+    out = (
+        daily.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"shiftright(day_cents, CAST({_DECAY_ANCHOR_DAY} - d AS INT))"
+                )
+            ).cast("long").alias("decayed_cents")
+        )
+        .collect()
+    )
+    assert {(r.user_id, r.decayed_cents) for r in out} == {(10, 155)}

@@ -216,3 +216,80 @@ def test_prefix_sum_is_a_permutation_prefix(spark, sizes, digits):
         assert r.pos == acc
         acc += r.n_tokens
     assert acc == sum(sizes)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=40
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, raw_edges):
+    """Degree-ordered counting == brute-force enumeration on random
+    graphs (self-loops and duplicates tolerated by canonicalization)."""
+    from itertools import combinations
+
+    from cell_kn_mvp_etl_results_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(raw_edges, "id_a long, id_b long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+
+    adj = set()
+    for a, b in raw_edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in adj for x in e})
+    expect: dict[int, int] = {}
+    for u, v, w in combinations(nodes, 3):
+        if (u, v) in adj and (v, w) in adj and (u, w) in adj:
+            for x in (u, v, w):
+                expect[x] = expect.get(x, 0) + 1
+    assert got == expect
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(1, 30), st.integers(0, 50)), min_size=1, max_size=25))
+def test_balanced_shards_is_permutation_and_partition_invariant(spark, rows):
+    from cell_kn_mvp_etl_results_spark.operators.packing import balanced_shards
+
+    rows = [(i, n) for i, (_, n) in enumerate(rows)]  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    a = sorted(
+        (r.id, r.rnk, r.shard)
+        for r in balanced_shards(df, "doc_id", F.col("n"), 4).collect()
+    )
+    b = sorted(
+        (r.id, r.rnk, r.shard)
+        for r in balanced_shards(
+            df.repartition(5), "doc_id", F.col("n"), 4
+        ).collect()
+    )
+    assert a == b  # deterministic under partitioning
+    ranks = sorted(r for _, r, _ in a)
+    assert ranks == list(range(1, len(rows) + 1))  # rank is a permutation
+    assert all(0 <= s < 4 for _, _, s in a)
+
+
+@SET
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_duplicate_spans_shape_invariants(spark, docs):
+    """Spans are >= k tokens long, sorted, non-overlapping per doc, and
+    invariant under repartitioning."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = sorted(
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in dd.duplicate_spans(df, "doc_id", "text", k=2).collect()
+    )
+    out2 = sorted(
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in dd.duplicate_spans(
+            df.repartition(3), "doc_id", "text", k=2
+        ).collect()
+    )
+    assert out == out2
+    last_end: dict[int, int] = {}
+    for doc, s, e, n in out:
+        assert e - s + 1 >= 2 and n >= 1
+        if doc in last_end:
+            assert s > last_end[doc] + 2  # merged if within gap <= k
+        last_end[doc] = e

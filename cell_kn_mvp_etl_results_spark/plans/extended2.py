@@ -115,11 +115,22 @@ e AS (
   FROM sim a JOIN sim b ON a.id < b.id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 ),
+deg AS (
+  SELECT id, count(*) AS n FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY id
+),
+ecap AS (
+  SELECT e.u, e.v FROM e
+  JOIN deg da ON da.id = e.u
+  JOIN deg db ON db.id = e.v
+  WHERE da.n <= 100 AND db.n <= 100
+),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
-  FROM e e1
-  JOIN e e2 ON e2.u = e1.v
-  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+  FROM ecap e1
+  JOIN ecap e2 ON e2.u = e1.v
+  JOIN ecap e3 ON e3.u = e1.u AND e3.v = e2.v
 ),
 pv AS (
   SELECT a AS id FROM tri
@@ -133,9 +144,12 @@ FROM pv GROUP BY id ORDER BY id
 def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the SimHash radius-1 near-dup
     pair graph (operators/graph.triangle_counts): triangle-dense
-    components are template families. The Spark plan uses degree-ordered
-    orientation (skew-bounded wedges); the oracle is the naive
-    id-ordered three-way join -- the triangle set, and so the counts,
+    components are template families. max_degree=100 drops clique hubs
+    (no-op at the sf0.01 gate, whose max degree is 71; required at
+    scale, where 3575-degree hubs make the uncapped count explode).
+    The Spark plan uses degree-ordered orientation (skew-bounded
+    wedges); the oracle is the naive id-ordered three-way join over the
+    identically capped edge set -- the triangle set, and so the counts,
     are identical.
     """
     from ..operators import graph as gr
@@ -143,7 +157,9 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
     pairs = dd.simhash_pairs(hashes, max_hamming=1)
-    return gr.triangle_counts(pairs, "id_a", "id_b").orderBy("id")
+    return gr.triangle_counts(
+        pairs, "id_a", "id_b", max_degree=100
+    ).orderBy("id")
 
 
 def _pagerank_oracle(iters: int = 3, d: int = 850, scale: int = 10**6) -> str:

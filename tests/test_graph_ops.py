@@ -354,3 +354,20 @@ def test_pagerank_integer_star_hand_computed(spark):
     )
     out = {r.id: r.score for r in pagerank_integer(ed, iters=2).collect()}
     assert out == {0: 1_254_999, 1: 915_000, 2: 915_000, 3: 915_000}
+
+
+def test_triangle_counts_max_degree_drops_hub_cliques(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import triangle_counts
+
+    # K5 clique on 1..5 (every vertex degree 4) + separate triangle
+    # 10-11-12 (degree 2). Cap 3 removes every clique vertex but keeps
+    # the sparse triangle intact.
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(
+        k5 + [(10, 11), (11, 12), (10, 12)], "id_a long, id_b long"
+    )
+    full = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    capped = {r.id: r.n_triangles
+              for r in triangle_counts(df, max_degree=3).collect()}
+    assert full[1] == 6 and full[10] == 1          # C(4,2)=6 per K5 vertex
+    assert capped == {10: 1, 11: 1, 12: 1}         # clique gone, triangle kept

@@ -1014,3 +1014,66 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("step")
+
+
+@query(
+    "q_cohort_retention",
+    tags=("events", "window"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (86400000000 * 7) AS w
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(w) AS cohort_w FROM activity GROUP BY user_id
+),
+ret AS (
+  SELECT c.cohort_w, a.w - c.cohort_w AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM activity a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_w, n_users AS cohort_size FROM ret WHERE week_offset = 0
+)
+SELECT r.cohort_w, r.week_offset, r.n_users,
+       CAST(r.n_users * 1000 // s.cohort_size AS BIGINT) AS retained_permille
+FROM ret r JOIN sizes s USING (cohort_w)
+ORDER BY cohort_w, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active epoch-week,
+    counted per week offset, with integer-permille retention against
+    the cohort size. The offset-0 row IS the cohort size (a user is
+    active in their first week by construction), so no separate sizing
+    scan. Epoch-week arithmetic is session-timezone-independent; all
+    outputs exact integers. Shuffles: one distinct on (user, week), one
+    min-agg, one join on user, one count agg -- all on narrow keys.
+    """
+    e = read_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div (86400000000 * 7)")
+    activity = e.select("user_id", week.alias("w")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    ret = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = ret.filter(F.col("week_offset") == 0).select(
+        "cohort_w", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        ret.join(sizes, "cohort_w")
+        .select(
+            "cohort_w",
+            "week_offset",
+            "n_users",
+            F.expr("CAST(n_users * 1000 div cohort_size AS BIGINT)").alias(
+                "retained_permille"
+            ),
+        )
+        .orderBy("cohort_w", "week_offset")
+    )

@@ -690,3 +690,38 @@ def test_decayed_rollup_shift_arithmetic(spark):
         .collect()
     )
     assert {(r.user_id, r.decayed_cents) for r in out} == {(10, 155)}
+
+
+def test_cohort_retention_churn(spark):
+    # Cohort A (week 0): users 1,2,3 -- user 3 churns after week 0,
+    # users 1,2 return in week 1, only user 1 in week 2.
+    # Cohort B (week 1): user 4, returns week 2.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 4, 12, 0)  # within epoch-week W
+    rows = []
+    eid = 0
+    def ev(user, week):
+        nonlocal eid
+        eid += 1
+        return (eid, base + dt.timedelta(weeks=week), user, "view", 1.0, "{}")
+    rows += [ev(1, 0), ev(2, 0), ev(3, 0), ev(1, 1), ev(2, 1), ev(1, 2)]
+    rows += [ev(4, 1), ev(4, 2)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    week = F.expr("unix_micros(ts) div (86400000000 * 7)")
+    activity = df.select("user_id", week.alias("w")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    ret = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("off"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    w0 = min(r.cohort_w for r in ret)
+    got = {(r.cohort_w - w0, r.off): r.n for r in ret}
+    assert got == {(0, 0): 3, (0, 1): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}

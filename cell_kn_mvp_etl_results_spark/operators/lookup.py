@@ -188,3 +188,82 @@ def normalize_annotation_term(
         # reference gate: name unchanged by upper() -> gene symbol
         F.when(gene == F.upper(gene), F.concat(F.lit("GS_"), gene)),
     ).otherwise(F.lit(None))
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """All id pairs whose keys are within Levenshtein distance 1 --
+    spelling-variant entity resolution (the reference normalizes entity
+    ids by hand-maintained patch tables, ``LoaderUtilities.py:716-719``;
+    this finds the near-miss keys those tables are built from).
+
+    FastSS deletion-neighborhood join (Bocek et al., 2007): every key
+    emits its full form plus each single-deletion variant; two keys are
+    within distance 1 iff they share a variant (substitution: same
+    deletion position; insert/delete: one's deletion equals the other's
+    full form; equality: full forms match). Candidates from the variant
+    equi-join are verified with the exact Levenshtein distance, so the
+    output is exact -- the neighborhood join only bounds the candidate
+    space, never the answer.
+
+    Scale shape: |key|+1 variant rows per key, shuffled on the variant
+    string (bounded key), then an equi-join -- never an all-pairs edit
+    distance. ``max_posting`` anti-joins out degenerate variants shared
+    by more than the cap (e.g. a ubiquitous prefix after one deletion)
+    -- the same stop-key discipline as the Jaccard posting cap.
+
+    Returns (id_a, id_b, key_a, key_b, dist), id_a < id_b, dist <= 1.
+    """
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    variants = keyed.select(
+        "id",
+        "key",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("key")),
+                    lambda i: F.when(i == 0, F.col("key")).otherwise(
+                        F.concat(
+                            F.substring(F.col("key"), 1, i - 1),
+                            F.substring(
+                                F.col("key"),
+                                (i + 1).cast("int"),
+                                F.length("key") - i,
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    if max_posting is not None:
+        hot = (
+            variants.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_posting)
+            .select("variant")
+        )
+        variants = variants.join(F.broadcast(hot), "variant", "left_anti")
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("key").alias("key_a"), "variant"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("key").alias("key_b"), "variant"
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        F.levenshtein("key_a", "key_b").alias("dist"),
+    ).filter(F.col("dist") <= 1)

@@ -1077,3 +1077,46 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_w", "week_offset")
     )
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    tags=("lookup", "dedup"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle="""
+WITH k AS (SELECT s_suppkey AS id, s_name AS key FROM supplier),
+v AS (
+  SELECT DISTINCT id, key,
+         CASE WHEN i = 0 THEN key
+              ELSE substr(key, 1, i - 1) || substr(key, i + 1) END AS variant
+  FROM k, generate_series(0, 64) g(i)
+  WHERE i <= len(key)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(key_a, key_b) <= 1
+ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-name pairs within Levenshtein distance 1 via the FastSS
+    deletion-neighborhood join (operators/lookup.fuzzy_key_pairs) --
+    spelling-variant entity resolution without an all-pairs edit
+    distance. The oracle spells out the same neighborhood construction;
+    both engines verify candidates with exact levenshtein().
+    """
+    from ..operators.lookup import fuzzy_key_pairs
+
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        fuzzy_key_pairs(s, "s_suppkey", "s_name")
+        .select(
+            "id_a", "id_b", "key_a", "key_b", F.col("dist").cast("int").alias("dist")
+        )
+        .orderBy("id_a", "id_b")
+    )

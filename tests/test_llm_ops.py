@@ -725,3 +725,32 @@ def test_cohort_retention_churn(spark):
     w0 = min(r.cohort_w for r in ret)
     got = {(r.cohort_w - w0, r.off): r.n for r in ret}
     assert got == {(0, 0): 3, (0, 1): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_fuzzy_key_pairs_exact_radius(spark):
+    from cell_kn_mvp_etl_results_spark.operators.lookup import fuzzy_key_pairs
+
+    rows = [
+        (1, "kinase"),
+        (2, "kinose"),   # substitution -> dist 1
+        (3, "kinases"),  # insertion -> dist 1 from kinase, 2 from kinose
+        (4, "kinase"),   # exact dup -> dist 0
+        (5, "protein"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_key_pairs(df, "id", "name").collect()}
+    assert out == {(1, 2): 1, (1, 3): 1, (1, 4): 0, (2, 4): 1, (3, 4): 1}
+
+
+def test_fuzzy_key_pairs_posting_cap_drops_stop_variants(spark):
+    from cell_kn_mvp_etl_results_spark.operators.lookup import fuzzy_key_pairs
+
+    # 30 two-char keys all sharing deletion variant "x": uncapped finds
+    # the distance-<=1 pairs; a cap of 5 drops that variant, and since
+    # "x?"-style keys share ONLY the hot variants, pairs vanish.
+    rows = [(i, "x" + chr(ord("a") + i)) for i in range(26)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    full = fuzzy_key_pairs(df, "id", "name", max_posting=None).count()
+    capped = fuzzy_key_pairs(df, "id", "name", max_posting=5).count()
+    assert full == 325 and capped == 0

@@ -204,3 +204,50 @@ def read_training_shards(
     if shards is not None:
         df = df.filter(F.col("shard").isin(*shards))
     return df
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    order_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into files sized
+    for scan efficiency. The small-files problem is the dominant
+    operational failure of incremental lake writes (every streaming
+    micro-batch and every per-batch checkpoint append creates files;
+    thousands of KB-files make NameNode/listing and scan startup the
+    bottleneck, not I/O). Returns the number of output files.
+
+    File count = ceil(input_bytes / target_file_bytes) from the actual
+    on-disk footprint (no driver-side data reads). With ``order_by``
+    the rewrite range-partitions on those columns first -- compaction
+    is the natural moment to also lay data out for pruning (cf. the
+    Z-order writer in operators/zorder.py for multi-column layouts);
+    otherwise a round-robin repartition balances bytes evenly.
+
+    The rewrite is a distributed copy: scan -> exchange -> write, no
+    collect. Write to a NEW path and swap atomically at the metastore/
+    manifest layer -- in-place rewrites of live tables are how readers
+    observe partial states.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if order_by:
+        df = df.repartitionByRange(n_files, *order_by)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return n_files

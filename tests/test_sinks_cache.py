@@ -174,3 +174,57 @@ def test_training_shards_orc_roundtrip(spark, tmp_path):
         map(tuple, df.collect())
     )
     assert back.select("shard").distinct().count() == 4
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from cell_kn_mvp_etl_results_spark.sources.sinks import compact_table
+    import os
+
+    src = str(tmp_path / "fragmented")
+    # 64 tiny files -- the incremental-append pathology
+    spark.range(10_000).repartition(64).write.parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_table(spark, src, out, target_file_bytes=1 << 30)
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n == 1 and n_out == 1
+    # content preserved exactly
+    assert (
+        sorted(r.id for r in spark.read.parquet(out).collect())
+        == list(range(10_000))
+    )
+
+
+def test_compact_table_range_layout_prunes(spark, tmp_path):
+    from cell_kn_mvp_etl_results_spark.sources.sinks import compact_table
+    import os
+
+    src = str(tmp_path / "frag2")
+    spark.range(100_000).withColumnRenamed("id", "k").repartition(32).write.parquet(src)
+    out = str(tmp_path / "ranged")
+    # force multiple output files, range-laid-out on k
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    n = compact_table(spark, src, out, target_file_bytes=total // 4 + 1,
+                      order_by=["k"])
+    assert n >= 2
+    # range layout -> per-file k-ranges are disjoint (what lets the
+    # parquet reader prune whole files on a tight filter)
+    import pyspark.sql.functions as F
+
+    spans = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".parquet"):
+            r = (
+                spark.read.parquet(os.path.join(out, f))
+                .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+                .collect()[0]
+            )
+            spans.append((r.lo, r.hi))
+    spans.sort()
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    assert spark.read.parquet(out).filter("k < 100").count() == 100

@@ -208,7 +208,10 @@ def test_minhash_signatures_are_map_side(spark, sf_dir):
 
 def test_new_graph_ops_no_cartesian(spark, sf_dir):
     for name in ("q_dup_triangles", "q_pagerank", "q_dup_spans",
-                 "q_ngram_novelty", "q_balanced_shards", "q_countmin_tokens"):
+                 "q_ngram_novelty", "q_balanced_shards", "q_countmin_tokens",
+                 "q_bloom_decontaminate", "q_decayed_rollup",
+                 "q_event_funnel", "q_cohort_retention",
+                 "q_fuzzy_name_pairs"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

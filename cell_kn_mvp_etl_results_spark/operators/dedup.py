@@ -774,3 +774,81 @@ def ngram_novelty(
             (F.col("n_grams") - F.col("n_dup")) * F.lit(1000) / F.col("n_grams")
         ).alias("novelty_permille"),
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (Chaudhuri et
+    al. ICDE'06; Bayardo et al. WWW'07): provably finds every pair with
+    Jaccard >= threshold while joining only on each document's prefix
+    -- its |S| - ceil(t*|S|) + 1 rarest shingles under a global
+    (frequency, shingle) order. Pigeonhole: a qualifying pair's
+    intersection is at least ceil(t*|S|) elements, too large to hide
+    entirely in either suffix, so the prefixes must share a shingle.
+
+    Unlike ``jaccard_pairs``' ``max_posting`` cap (which can lose pairs
+    whose every shared shingle is boilerplate), prefix filtering is
+    LOSSLESS at its threshold: frequent shingles fall late in the
+    global order and drop out of prefixes naturally, shrinking the
+    candidate join by exactly the amount the threshold justifies. The
+    cost model flips with t: high thresholds (near-dup mining) make
+    prefixes -- and the candidate space -- tiny; t -> 0 degenerates to
+    the full inverted index, where the posting cap is the right tool.
+
+    Candidates are verified exactly against full shingle sets
+    (array_intersect), so reported similarities are exact. Returns
+    (id_a, id_b, inter, union_sz, jaccard), id_a < id_b.
+
+    Scale shape: one freq aggregation on the shingle (bounded key), a
+    per-doc sort of its own shingles (map-side after one groupBy), the
+    candidate join on prefix shingles only, and the broadcast-friendly
+    verify. No global rank: the (freq, shingle) pair IS the order key,
+    so nothing corpus-wide ever sorts.
+    """
+    sh = shingle_set(df, id_col, text_col, n).persist()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("ord"))
+    )
+    sz = F.size("ord")
+    p = (sz - F.ceil(sz * F.lit(threshold)) + 1).cast("int")
+    prefix = ordered.select(
+        "id",
+        F.explode(
+            F.transform(F.slice("ord", F.lit(1), p), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("shset")
+    )
+    sets_a = sets.select(F.col("id").alias("id_a"), F.col("shset").alias("set_a"))
+    sets_b = sets.select(F.col("id").alias("id_b"), F.col("shset").alias("set_b"))
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+        )
+        .withColumn(
+            "union_sz",
+            (F.size("set_a") + F.size("set_b")).cast("long") - F.col("inter"),
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
+    )

@@ -1443,3 +1443,56 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "q_jaccard_prefix",
+    tags=("dedup",),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+ord AS (
+  SELECT doc_id, list(shingle ORDER BY f, shingle) AS o, count(*) AS sz
+  FROM sh JOIN freq USING (shingle) GROUP BY doc_id
+),
+pre AS (
+  SELECT doc_id,
+         unnest(o[1 : CAST(sz - ceil(0.5 * sz) + 1 AS BIGINT)]) AS shingle
+  FROM ord
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - i.i AS BIGINT) AS union_sz,
+       i.i / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join at threshold 0.5
+    (operators/dedup.jaccard_pairs_prefix): lossless near-dup pair
+    mining whose candidate join touches only each document's rarest
+    shingles -- the algorithmic upgrade over the posting cap for
+    high-threshold similarity. Both engines verify candidates against
+    full shingle sets, so similarities are exact.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")

@@ -293,3 +293,27 @@ def test_duplicate_spans_shape_invariants(spark, docs):
         if doc in last_end:
             assert s > last_end[doc] + 2  # merged if within gap <= k
         last_end[doc] = e
+
+
+@SET
+@given(st.lists(texts, min_size=2, max_size=8))
+def test_prefix_filter_is_lossless(spark, docs):
+    """Prefix filtering must find EXACTLY the pairs the full inverted
+    index finds at the same threshold -- the lossless guarantee that
+    distinguishes it from the posting cap."""
+    docs = [d + " p q r" for d in docs] + [docs[0] + " p q r"]  # force a dup
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        full = {
+            (r.id_a, r.id_b, r.inter, r.union_sz)
+            for r in dd.jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=t, max_posting=None
+            ).collect()
+        }
+        pre = {
+            (r.id_a, r.id_b, r.inter, r.union_sz)
+            for r in dd.jaccard_pairs_prefix(
+                df, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        assert pre == full, f"threshold {t}"

@@ -32,6 +32,27 @@ from .registry import TAIL, query
 # the materializing count() job.
 _MATERIALIZED: set = set()
 
+# Steady-state memo of the BUILT hop/terminal DataFrames themselves:
+# re-deriving them per call costs ~0.35 s of driver-side analysis +
+# CacheManager plan normalization (measured at sf0.1) even when every
+# byte is already cached. Keyed by the source files' fingerprints so a
+# regenerated table invalidates the entry (same contract as the
+# read_table persist cache). Holding the references intentionally pins
+# the persisted relations for the application's lifetime -- that IS the
+# steady-state serving posture.
+_HOP_FRAMES: dict = {}
+
+
+def _khop_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    from ..sources.readers import _fingerprint
+
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fingerprint(f"{sf_dir}/orders.parquet"),
+        _fingerprint(f"{sf_dir}/lineitem.parquet"),
+    )
+
 
 def order_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 analog: per order emit relation triples, literal-attribute
@@ -220,6 +241,21 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus); per-hop relations scan only their own (measured 23%,
     # BENCH_NOTES.md r5), and each already satisfies the join's
     # required distribution so only the frontier shuffles per hop.
+    cache_key = _khop_cache_key(spark, sf_dir)
+    if cache_key in _HOP_FRAMES:
+        hops, term = _HOP_FRAMES[cache_key]
+        start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+            F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
+        )
+        return (
+            k_hop_counts(hops, start, ["O", "P", "S"], terminal=term)
+            .select(
+                F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
+                "n_paths",
+                "n_terminals",
+            )
+            .orderBy("start")
+        )
     hops = {
         "O": edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
         .repartition(F.col("src_coll"), F.col("src_key"))
@@ -254,6 +290,7 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             h.count()
         term.count()
         _MATERIALIZED.add(key)
+    _HOP_FRAMES[cache_key] = (hops, term)
     start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
         F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
     )

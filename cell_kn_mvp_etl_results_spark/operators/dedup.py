@@ -672,6 +672,8 @@ def duplicate_spans(
     windows per (doc, pos) -- never any all-pairs work. Heavy-hitter
     grams cost one hot reduce key for a count, not a pair explosion.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
     from ..functions.text import tokens
@@ -810,6 +812,10 @@ def jaccard_pairs_prefix(
     verify. No global rank: the (freq, shingle) pair IS the order key,
     so nothing corpus-wide ever sorts.
     """
+    if not 0 < threshold <= 1:
+        # threshold -> 0 makes every prefix the whole set (the filter
+        # buys nothing and the caller wanted jaccard_pairs instead)
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = shingle_set(df, id_col, text_col, n).persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ordered = (

@@ -674,6 +674,12 @@ def pagerank_integer(
     iters-fold. The ContextCleaner unpersists when the plan is
     garbage-collected (same contract as jaccard_pairs).
     """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if not 0 <= damping_permille <= 1000:
+        raise ValueError(
+            f"damping_permille must be in [0, 1000], got {damping_permille}"
+        )
     ed = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()

@@ -124,6 +124,8 @@ def balanced_shards(
     pretraining scale sizes spread over thousands of values, and a
     pathological single-length corpus can pre-salt by hash prefix.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = F.md5(F.col(id_col).cast("string"))
     sized = df.select(
         F.col(id_col).alias("id"),

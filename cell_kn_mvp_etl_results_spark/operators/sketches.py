@@ -84,6 +84,8 @@ def countmin_cells(
     (depth md5s per distinct key, not per occurrence; identical cells,
     measured ~4x faster on a 2M-occurrence / 50k-vocab corpus).
     """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
     from .dedup import portable_hash48
 
     rows = F.explode(
@@ -190,6 +192,10 @@ def bloom_build(
     (map-side combine collapses each task to the bitmap size); filters
     of shards merge by OR-ing bits.
     """
+    if m_bits < 32 or k_hashes < 1:
+        raise ValueError(
+            f"need m_bits >= 32 and k_hashes >= 1, got {m_bits}/{k_hashes}"
+        )
     pos = F.explode(
         F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
     ).alias("pos")

@@ -701,6 +701,19 @@ def duplicate_spans(
         .select("h")
     )
     hits = grams.join(dup, "h").select("id", "pos")
+    return merge_position_islands(hits, k)
+
+
+def merge_position_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Merge flagged k-token window positions (id, pos) into maximal
+    spans: windows whose starts are within ``k`` positions overlap or
+    touch, so they fuse into one (gaps-and-islands by windowed lag +
+    running sum). Returns (id, span_start, span_end, n_grams) with
+    1-based inclusive token indexes. Shared by duplicate_spans and
+    contaminated_spans -- any positional flagging source merges the
+    same way."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     new_island = F.when(
         F.col("pos") - F.lag("pos").over(w) > k, 1
@@ -718,6 +731,63 @@ def duplicate_spans(
         )
         .select("id", "span_start", "span_end", "n_grams")
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Span-level decontamination: the maximal token ranges of each
+    TRAINING document whose every ``k``-token window also occurs in the
+    BENCHMARK corpus -- i.e. WHERE the contamination sits, not just how
+    much (``decontaminate`` reports per-doc counts; the production
+    action is masking or cutting the overlapping span, which needs
+    positions). Returns (id, span_start, span_end, n_grams) per
+    contaminated training doc.
+
+    Scale shape: the benchmark's distinct window hashes are tiny next
+    to the corpus (eval suites are MBs against TBs) and broadcast into
+    the hit join; the corpus side contributes one map-side window-hash
+    projection and is never shuffled until the per-doc island merge of
+    the (rare) hits.
+    """
+    from ..functions.text import tokens
+
+    bid = bench_id_col or id_col
+    btxt = bench_text_col or text_col
+
+    def window_hashes(df: DataFrame, idc: str, txtc: str) -> DataFrame:
+        toked = _rebalance_small_input(df).select(
+            F.col(idc).alias("id"), tokens(F.lower(F.col(txtc))).alias("toks")
+        )
+        count = F.size("toks")
+        gram = F.concat_ws(
+            " ", *[F.element_at("toks", F.col("_i") + j) for j in range(k)]
+        )
+        return (
+            toked.filter(count >= k)
+            .select(
+                "id",
+                "toks",
+                F.explode(F.sequence(F.lit(1), count - (k - 1))).alias("_i"),
+            )
+            .select(
+                "id", F.col("_i").cast("long").alias("pos"), F.md5(gram).alias("h")
+            )
+        )
+
+    bench_h = window_hashes(bench, bid, btxt).select("h").distinct()
+    hits = (
+        window_hashes(train, id_col, text_col)
+        .join(F.broadcast(bench_h), "h")
+        .select("id", "pos")
+    )
+    return merge_position_islands(hits, k)
 
 
 def ngram_novelty(

@@ -1496,3 +1496,74 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs_prefix(
         d, "doc_id", "text", n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_contaminated_spans",
+    tags=("dedup", "sketch"),
+    priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+holdout AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('holdout-' || doc_id), 1, 8))::BIGINT % 100 < 5
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+2], ' ')) AS h
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
+bench AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id IN (SELECT doc_id FROM holdout)
+),
+hits AS (
+  SELECT doc_id, pos FROM grams JOIN bench USING (h)
+  WHERE doc_id NOT IN (SELECT doc_id FROM holdout)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 3 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+)
+SELECT doc_id AS id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl
+GROUP BY doc_id, island
+ORDER BY id, span_start
+""",
+)
+def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination against the held-out benchmark split
+    (operators/dedup.contaminated_spans, k=3): the exact token ranges
+    of each training document that overlap the benchmark -- what a
+    masking/cutting decontamination pass actually edits. Benchmark
+    window hashes broadcast; the corpus is never shuffled before the
+    rare-hit island merge.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("holdout-"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    with_b = d.withColumn("_holdout", bucket < 5)
+    bench = with_b.filter(F.col("_holdout"))
+    train = with_b.filter(~F.col("_holdout"))
+    return dd.contaminated_spans(
+        train, bench, "doc_id", "text", k=3
+    ).orderBy("id", "span_start")

@@ -754,3 +754,45 @@ def test_fuzzy_key_pairs_posting_cap_drops_stop_variants(spark):
     full = fuzzy_key_pairs(df, "id", "name", max_posting=None).count()
     capped = fuzzy_key_pairs(df, "id", "name", max_posting=5).count()
     assert full == 325 and capped == 0
+
+
+def test_contaminated_spans_locates_benchmark_overlap(spark):
+    # Train doc 1 contains the benchmark phrase "alpha beta gamma
+    # delta" at tokens 3..6; doc 2 is clean. k=4 -> one span per
+    # contaminated doc, exactly at the phrase.
+    train = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta closing words here"),
+            (2, "totally unrelated clean training content with no overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = [
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in dd.contaminated_spans(train, bench, "doc_id", "text", k=4).collect()
+    ]
+    assert out == [(1, 3, 6, 1)]
+
+
+def test_contaminated_and_duplicate_spans_share_merge_semantics(spark):
+    # duplicate_spans of (train + bench) restricted to train hits of
+    # bench-only grams equals contaminated_spans when the bench doc is
+    # the only duplicate source.
+    train = spark.createDataFrame(
+        [(1, "x1 x2 p q r s x3 x4")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "p q r s")], "doc_id long, text string")
+    via_contam = {
+        (r.id, r.span_start, r.span_end)
+        for r in dd.contaminated_spans(train, bench, "doc_id", "text", k=4).collect()
+    }
+    both = train.unionAll(bench)
+    via_dup = {
+        (r.id, r.span_start, r.span_end)
+        for r in dd.duplicate_spans(both, "doc_id", "text", k=4).collect()
+        if r.id == 1
+    }
+    assert via_contam == via_dup == {(1, 3, 6)}

@@ -10,6 +10,8 @@ join ordering, predicate pushdown, and partial aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -18,6 +20,23 @@ from ..functions.money import avg_money, cents, money, qty_long
 from ..functions.text import char_ngrams, hyphenate, stable_uuid, tokens
 from ..sources.readers import read_table
 from .registry import TAIL, query
+
+
+def _path_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a table's parquet (file or part-file directory)
+    for deterministic plan-shape gating -- a catalog-stats stand-in that
+    needs no Spark job and no sampling."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 # ---------------------------------------------------------------------------
 # Aggregations (A5/A7-style) -- TPC-H Q1-shaped pricing summary.
@@ -331,10 +350,24 @@ ORDER BY revenue DESC, nation
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way join chain + agg (TPC-H Q5 shape; exercises the J10
     k-hop typed-path pattern relationally: customer->orders->lineitem->
-    supplier with a same-nation co-location predicate). nation/region/
-    supplier/customer are broadcast dims, so the only shuffles are the
-    orders<->lineitem join (on the key both sides can be bucketed by at
-    scale) and the tiny final agg.
+    supplier with a same-nation co-location predicate).
+
+    Two plan shapes, gated on the orders table's on-disk size (same
+    deterministic data-size gating as ``similarity.cosine_topk``):
+
+    * **Broadcast-map** (orders parquet <= 512 MB): orders joins the
+      broadcast customer/nation/region dims map-side into a narrow
+      (o_orderkey, cust_nation, n_name) relation -- the region +
+      date filters shrink it to ~40% of orders first -- and THAT is
+      broadcast to the lineitem probe. The fact table is never
+      shuffled: the whole query is one codegen pass over lineitem
+      plus a 6-row agg. Measured (30x corpus, warm cache,
+      median-of-3): 3.17 s -> 2.01 s; sf0.1: 0.50 -> 0.39 s.
+    * **Shuffle** (above the gate, i.e. cluster scale where a
+      per-executor copy of orders no longer fits): the classic shape
+      -- the only shuffles are the orders<->lineitem equi-join (on
+      the key both sides can be bucketed by at scale) and the tiny
+      final agg; all dims still broadcast.
     """
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(
@@ -345,16 +378,36 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     disc_bp = F.lit(100) - cents("l_discount")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+    if _path_bytes(sf_dir, "orders") <= 512 << 20:
+        n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
+        omap = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                F.col("o_orderkey"),
+                F.col("c_nationkey").alias("cust_nation"),
+                "n_name",
+            )
+        )
+        joined = li.join(F.broadcast(omap), li.l_orderkey == omap.o_orderkey).join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("cust_nation")),
+        )
+    else:
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(
+                F.broadcast(s),
+                (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+            )
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
         .agg(
             (F.sum(cents("l_extendedprice") * disc_bp) / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),

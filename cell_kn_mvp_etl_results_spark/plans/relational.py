@@ -444,6 +444,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dates are emitted as formatted strings so both engines hash the same
     value regardless of timestamp carrier type. The limit is pushed into
     a TakeOrderedAndProject -- no global sort materialization.
+
+    Same size-gated plan split as ``q_local_supplier_volume``: below the
+    gate, orders pre-joins the broadcast BUILDING-segment customers
+    map-side (shrinking to ~1/5 of orders) and the narrow result is
+    broadcast to the shipdate-filtered lineitem probe -- no fact
+    shuffle. Measured at the 30x corpus: 1.22 -> 0.86 s. Above the
+    gate, the classic equi-join shape.
     """
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, sf_dir, "orders").filter(
@@ -453,10 +460,17 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
     disc_bp = F.lit(100) - cents("l_discount")
+    if _path_bytes(sf_dir, "orders") <= 512 << 20:
+        omap = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        joined = li.join(F.broadcast(omap), li.l_orderkey == omap.o_orderkey)
+    else:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+            F.broadcast(c), o.o_custkey == c.c_custkey
+        )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(cents("l_extendedprice") * disc_bp) / F.lit(10000.0)).alias("revenue"))
         .select(
             "l_orderkey",

@@ -253,6 +253,29 @@ def test_k_hop_counts_matches_materializing_plan(spark):
     assert got[0][1] == len({0, 1, 2, 99_999} & {0, 1, 99_999, 2})
 
 
+def test_k_hop_counts_compress_frontier_equivalent(spark):
+    """compress_frontier only changes the plan, never the result --
+    including on a multigraph where frontier multiplicity > 1 (two
+    parallel A->B paths through distinct B rows is covered by the
+    counting fixture's fan-out)."""
+    from cell_kn_mvp_etl_results_spark.operators.graph import k_hop_counts
+
+    edges = _counting_edges(spark)
+    start = spark.createDataFrame(
+        [("A", i) for i in range(4)], "coll string, key long"
+    )
+    on = sorted(map(tuple, k_hop_counts(edges, start, ["B", "C"]).collect()))
+    off = sorted(
+        map(
+            tuple,
+            k_hop_counts(
+                edges, start, ["B", "C"], compress_frontier=False
+            ).collect(),
+        )
+    )
+    assert on == off
+
+
 def test_k_hop_counts_single_hop(spark):
     from cell_kn_mvp_etl_results_spark.operators.graph import k_hop_counts
 

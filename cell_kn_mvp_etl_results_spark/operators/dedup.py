@@ -222,6 +222,90 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric shingle containment c(A->B) = |A n B| / |A|: the
+    fraction of A's n-gram shingles that also appear in B. Catches
+    SUBSET duplicates -- a short document embedded verbatim in a longer
+    one scores containment ~1 while its symmetric Jaccard can sit far
+    below any dedup threshold (|A n B| / |A u B| shrinks with the size
+    gap), so Jaccard-only pipelines systematically keep quote-plus-
+    commentary copies. Standard web-curation companion to Jaccard
+    (the same inverted-index candidate generation serves both).
+
+    Pairs are emitted once with id_a < id_b and BOTH directions'
+    values; ``containment`` is the max of the two, filtered at
+    ``threshold``. ``max_posting`` is the identical scale guard as
+    ``jaccard_pairs``: hot shingles are excluded from CANDIDATE
+    generation only, counts stay exact.
+
+    Returns (id_a, id_b, inter, c_ab, c_ba, containment).
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    sh = shingle_set(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    if max_posting is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_posting)
+            .select("shingle")
+        )
+        a = a.join(hot, "shingle", "left_anti")
+        b = b.join(hot, "shingle", "left_anti")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sets = sh.groupBy("id").agg(
+            F.sort_array(F.collect_set("shingle")).alias("shset")
+        )
+        inter = (
+            cand.join(
+                sets.select(F.col("id").alias("id_a"), F.col("shset").alias("set_a")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("id").alias("id_b"), F.col("shset").alias("set_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("inter"),
+            )
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("c_ab", F.col("inter") / F.col("sz_a"))
+        .withColumn("c_ba", F.col("inter") / F.col("sz_b"))
+        .withColumn("containment", F.greatest("c_ab", "c_ba"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "c_ab", "c_ba", "containment")
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,

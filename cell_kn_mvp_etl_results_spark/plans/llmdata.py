@@ -93,6 +93,40 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_containment",
+    tags=("dedup",),
+    priority=TAIL,  # r5-new; r6 rotation promotes (registry.py plan)
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       inter / sa.sz AS c_ab,
+       inter / sb.sz AS c_ba,
+       greatest(inter / sa.sz, inter / sb.sz) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(inter / sa.sz, inter / sb.sz) >= 0.2
+ORDER BY id_a, id_b
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A n B|/|A|: subset-duplicate
+    pairs a symmetric Jaccard threshold misses (short doc embedded in a
+    long one). Same inverted-index candidates + posting cap as
+    q_dedup_jaccard; see operators/dedup.containment_pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(d, "doc_id", "text", n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _minhash_oracle(num_perm: int = 32, bands: int = 8) -> str:
     perms_values = ",\n    ".join(f"({i}, {a}, {b})" for i, a, b in dd.minhash_perms(num_perm))
     rows = num_perm // bands

@@ -178,6 +178,39 @@ def test_jaccard_capped_equals_uncapped_under_cap(spark):
     assert capped == uncapped
 
 
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment ~1.0
+    while Jaccard sits below a typical 0.5 dedup threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(8))
+    d = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+    rows = dd.containment_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.c_ab == 1.0  # every shingle of the short doc is in the long one
+    assert r.containment == 1.0
+    jac = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the same pair at 0.5
+
+
+def test_containment_capped_equals_uncapped_under_cap(spark):
+    d = docs(spark)
+    key = lambda r: (r.id_a, r.id_b, r.inter, r.c_ab, r.c_ba)  # noqa: E731
+    capped = {key(r) for r in dd.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, max_posting=1000).collect()}
+    uncapped = {key(r) for r in dd.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, max_posting=None).collect()}
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_containment_rejects_bad_threshold(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.containment_pairs(docs(spark), "doc_id", "text", threshold=1.5)
+
+
 def test_jaccard_max_posting_prunes_boilerplate(spark):
     """Docs sharing ONLY a boilerplate shingle lose their pair when the
     cap drops it; docs sharing cold shingles keep exact jaccard values."""

@@ -67,12 +67,15 @@ TAIL = 900
 # rows with an r4 row), none of them bench headliners. After r5 every
 # query registered through r4 has >=1 green driver row across r1-r5.
 #
-# r6 rotation plan: promote the 9 queries ADDED in r5 (q_dup_spans,
-# q_ngram_novelty, q_balanced_shards, q_dup_triangles, q_pagerank,
-# q_countmin_tokens, q_bloom_decontaminate, q_decayed_rollup,
-# q_event_funnel -- each currently priority=TAIL, oracle-checked by the
-# pytest parity suite) plus the longest-unrotated veterans; demote r5
-# gates holding the deepest green history.
+# r6 rotation plan: promote the 16 never-gated queries ADDED in r5
+# (q_dup_spans, q_ngram_novelty, q_balanced_shards, q_dup_triangles,
+# q_pagerank, q_countmin_tokens, q_bloom_decontaminate,
+# q_decayed_rollup, q_event_funnel, q_cohort_retention,
+# q_fuzzy_name_pairs, q_jaccard_prefix, q_contaminated_spans,
+# q_dedup_containment, q_dedup_exemplar, q_path_revenue -- each
+# currently priority=TAIL, oracle-checked by the pytest parity suite)
+# plus the longest-unrotated veterans; demote r5 gates holding the
+# deepest green history.
 _R5_PROMOTED = (
     # never-gated (first driver row)
     "q_rolling_window",

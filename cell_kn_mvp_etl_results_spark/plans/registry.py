@@ -67,43 +67,42 @@ TAIL = 900
 # rows with an r4 row), none of them bench headliners. After r5 every
 # query registered through r4 has >=1 green driver row across r1-r5.
 #
-# r6 rotation plan: promote the 16 never-gated queries ADDED in r5
-# (q_dup_spans, q_ngram_novelty, q_balanced_shards, q_dup_triangles,
-# q_pagerank, q_countmin_tokens, q_bloom_decontaminate,
-# q_decayed_rollup, q_event_funnel, q_cohort_retention,
-# q_fuzzy_name_pairs, q_jaccard_prefix, q_contaminated_spans,
-# q_dedup_containment, q_dedup_exemplar, q_path_revenue -- each
-# currently priority=TAIL, oracle-checked by the pytest parity suite)
-# plus the longest-unrotated veterans; demote r5 gates holding the
-# deepest green history.
-_R5_PROMOTED = (
-    # never-gated (first driver row)
-    "q_rolling_window",
-    "q_collocations",
-    "q_embedding_normalize",
-    "q_zorder_key",
-    "q_tfidf_keywords",
-    "q_adaptive_quality",
-    "q_curation_funnel",
-    # veterans demoted in r4, re-promoted per the rotation plan
-    "q_min_size_filter",
-    "q_equi_join",
-    "q_anti_join",
-    "q_semi_join",
-    "q_lookup_first_of_many",
-    "q_json_props",
-    "q_union_distinct",
-    "q_except_all",
-    "q_stable_uuid",
-    "q_distinct_tokens",
-    "q_ngram_index",
-    "q_attr_pivot",
-    "q_pivot",
-    "q_lang_id",
-    "q_token_stats_by_source",
-)
-_R5_DEMOTED = (
-    # 4 green rows r1-r4
+# ROTATION (round 6): executed per the plan left in r5. The in-budget
+# set is stated EXHAUSTIVELY (exactly GATE_BUDGET names) instead of as
+# promote/demote deltas, so the gate set is auditable at a glance.
+# Composition:
+#   * the 16 queries ADDED in r5 that have never had a driver row
+#     (pytest-parity only through r5);
+#   * the 22 veterans demoted for r5 -- their latest row is r4, the
+#     stalest in the registry (everything else holds an r5 row);
+#   * the 6 bench headliners (their plans are graded for perf every
+#     round and the khop / broadcast-gate plans change in r6, so they
+#     must stay correctness-gated);
+#   * 6 queries whose plans or oracles are touched by r6 work or that
+#     hold only 2-3 rows: q_khop1/q_khop5 (khop edge-relation change),
+#     q_pack_sequences / q_interval_join / q_boilerplate /
+#     q_corpus_logfreq (2 rows each, r4+r5).
+# Demoted to TAIL: the remaining 38, every one holding a green r5 row.
+# After r6 every registered query has >=1 green driver row.
+_R6_GATED = (
+    # --- 16 never-gated r5 additions (first driver row) ---
+    "q_dup_spans",
+    "q_ngram_novelty",
+    "q_balanced_shards",
+    "q_dup_triangles",
+    "q_pagerank",
+    "q_countmin_tokens",
+    "q_bloom_decontaminate",
+    "q_decayed_rollup",
+    "q_event_funnel",
+    "q_cohort_retention",
+    "q_fuzzy_name_pairs",
+    "q_jaccard_prefix",
+    "q_contaminated_spans",
+    "q_dedup_containment",
+    "q_dedup_exemplar",
+    "q_path_revenue",
+    # --- 22 veterans whose latest row is r4 (stalest) ---
     "q_compound_predicate",
     "q_tuple_generation",
     "q_graph_vertices",
@@ -119,7 +118,6 @@ _R5_DEMOTED = (
     "q_simhash_pairs",
     "q_subgraph_extract",
     "q_dedup_clusters",
-    # 3 green rows incl. an r4 row
     "q_hyphenate",
     "q_token_classes",
     "q_khop_any_unique",
@@ -127,15 +125,27 @@ _R5_DEMOTED = (
     "q_winnow_fingerprint",
     "q_repetition",
     "q_sample_stratified",
+    # --- 6 bench headliners ---
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_khop_paths",
+    "q_dedup_minhash_lsh",
+    "q_cosine_topk",
+    # --- 6 touched-in-r6 / shallow-history ---
+    "q_khop1",
+    "q_khop5",
+    "q_pack_sequences",
+    "q_interval_join",
+    "q_boilerplate",
+    "q_corpus_logfreq",
 )
+assert len(_R6_GATED) == GATE_BUDGET, len(_R6_GATED)
+assert len(set(_R6_GATED)) == GATE_BUDGET
 
 
 def _effective_priority(s: "QuerySpec") -> int:
-    if s.name in _R5_PROMOTED:
-        return 10
-    if s.name in _R5_DEMOTED:
-        return TAIL
-    return s.priority
+    return 10 if s.name in _R6_GATED else TAIL
 
 
 def query(
@@ -167,6 +177,9 @@ def query(
 
 
 def _ordered() -> list[QuerySpec]:
+    unknown = set(_R6_GATED) - set(REGISTRY)
+    if unknown:  # a typo here would silently burn gate slots
+        raise ValueError(f"rotation names not registered: {sorted(unknown)}")
     return sorted(
         REGISTRY.values(), key=lambda s: (_effective_priority(s), s.seq)
     )

@@ -446,33 +446,49 @@ def minhash_lsh_pairs(
             .select("band", "bucket")
         )
         buckets = buckets.join(F.broadcast(big), ["band", "bucket"], "left_anti")
-    # Pair generation INSIDE the bucket array: one shuffle groups each
-    # surviving bucket's ids (bounded by max_bucket), and the ordered
-    # pairs are emitted by an in-array double transform -- no bucket
-    # self-join, no id_a < id_b post-filter (array_sort guarantees
-    # order). Replaces two join shuffles with one aggregation shuffle.
-    grouped = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ids")),
-                lambda j: F.struct(
-                    F.element_at("ids", i).alias("id_a"),
-                    F.element_at("ids", j).alias("id_b"),
-                ),
-            ),
+        # Pair generation INSIDE the bucket array: one shuffle groups
+        # each surviving bucket's ids (bounded by max_bucket), and the
+        # ordered pairs are emitted by an in-array double transform --
+        # no bucket self-join, no id_a < id_b post-filter (array_sort
+        # guarantees order). Replaces two join shuffles with one
+        # aggregation shuffle. Safe ONLY under the cap: the aggregation
+        # state is <= max_bucket ids per bucket.
+        grouped = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
-    )
-    cand = (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ids") - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("ids")),
+                    lambda j: F.struct(
+                        F.element_at("ids", i).alias("id_a"),
+                        F.element_at("ids", j).alias("id_b"),
+                    ),
+                ),
+            )
+        )
+        cand = (
+            grouped.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+    else:
+        # Uncapped: KEEP the streaming bucket self-join. Without a cap
+        # a degenerate bucket would concentrate its whole id set (and
+        # all C(n,2) pair structs) into ONE aggregation state -- the
+        # join shape streams pairs through the shuffle instead, so a
+        # hot bucket costs time, never one task's memory.
+        a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
+        b = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     # Estimated similarity: one join per side, then an elementwise
     # array compare -- no per-permutation row join.
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))

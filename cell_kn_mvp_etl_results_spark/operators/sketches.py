@@ -131,6 +131,13 @@ def countmin_estimates(
     of the true count by at most the expected collision mass e*N/width
     with probability 1 - e^-depth. Returns (key, est_n).
 
+    The cell table is SPARSE (cells with zero mass have no row), so the
+    probe LEFT-joins and an absent cell counts as 0: a key never added
+    to the sketch estimates 0 (CMS answers the true min over its depth
+    cells), and every probed key appears in the output. An inner join
+    would silently overstate such keys (min over non-empty cells only)
+    or drop them entirely.
+
     The probe side is typically tiny (candidate heavy hitters), so the
     join broadcasts the probes against the bounded cell table.
     """
@@ -156,9 +163,11 @@ def countmin_estimates(
         ).alias("r"),
     ).select("key", "r.i", "r.cell")
     return (
-        probe.join(cells, ["i", "cell"])
+        probe.join(cells, ["i", "cell"], "left")
         .groupBy("key")
-        .agg(F.min("c").alias("est_n"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est_n")
+        )
     )
 
 

@@ -1291,12 +1291,18 @@ cells AS (
   FROM toks, generate_series(0, 3) g(i)
   GROUP BY 1, 2
 ),
+probe AS (
+  SELECT t.tok, g.i,
+         ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || t.tok), 1, 12))
+           ::BIGINT % 512 AS cell
+  FROM top t, generate_series(0, 3) g(i)
+),
 est AS (
-  SELECT t.tok, min(c.c) AS est_n
-  FROM top t JOIN cells c
-    ON c.cell = ('0x' || substr(md5(CAST(c.i AS VARCHAR) || ':' || t.tok),
-                                1, 12))::BIGINT % 512
-  GROUP BY t.tok
+  -- LEFT join + COALESCE 0: a probed key addressing an empty (absent)
+  -- cell counts that cell as zero, matching countmin_estimates
+  SELECT p.tok, min(COALESCE(c.c, 0)) AS est_n
+  FROM probe p LEFT JOIN cells c ON c.i = p.i AND c.cell = p.cell
+  GROUP BY p.tok
 )
 SELECT top.tok, top.exact_n, CAST(est.est_n AS BIGINT) AS est_n,
        CAST(est.est_n - top.exact_n AS BIGINT) AS overcount

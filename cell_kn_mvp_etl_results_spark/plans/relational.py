@@ -975,7 +975,9 @@ WITH daily AS (
   GROUP BY 1, 2
 )
 SELECT user_id,
-       CAST(sum(day_cents >> CAST({_DECAY_ANCHOR_DAY} - d AS INTEGER))
+       CAST(sum(day_cents >>
+                CAST(least(63, greatest(0, {_DECAY_ANCHOR_DAY} - d))
+                     AS INTEGER))
             AS BIGINT) AS decayed_cents
 FROM daily
 GROUP BY user_id
@@ -990,6 +992,13 @@ def q_decayed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pow() scoring cannot oracle-gate. Daily pre-aggregation first
     (map-side combine), then one shift-sum per user; epoch-day
     arithmetic is session-timezone-independent.
+
+    The shift amount is clamped to [0, 63] in BOTH engines: Spark's
+    shiftright masks the shift mod 64 (Java semantics) while DuckDB's
+    >> does not, so an out-of-range age (an event older than 63 days,
+    or after the anchor) would otherwise diverge silently. Age > 63
+    means fully decayed (>> 63 == 0 for any sane cents value); a
+    post-anchor event is treated as age 0.
     """
     e = read_table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000")
@@ -1001,7 +1010,8 @@ def q_decayed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.expr(
-                    f"shiftright(day_cents, CAST({_DECAY_ANCHOR_DAY} - d AS INT))"
+                    "shiftright(day_cents, CAST(least(63, greatest(0, "
+                    f"{_DECAY_ANCHOR_DAY} - d)) AS INT))"
                 )
             )
             .cast("long")

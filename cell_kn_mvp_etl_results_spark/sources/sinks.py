@@ -206,6 +206,21 @@ def read_training_shards(
     return df
 
 
+def _hadoop_path_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API, so the
+    answer is correct for ANY supported scheme (file://, hdfs://,
+    s3a://, ...), not just the driver's local disk. Footer-only
+    metadata: getContentSummary is a namenode/listing call, no data
+    read. Returns 0 for a missing path (callers decide how loud to
+    be)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -231,18 +246,22 @@ def compact_table(
     collect. Write to a NEW path and swap atomically at the metastore/
     manifest layer -- in-place rewrites of live tables are how readers
     observe partial states.
+
+    Sizing goes through the Hadoop FileSystem API, NOT os.walk: the
+    paths this targets are usually hdfs://... or s3a://..., where a
+    local directory walk silently reports 0 bytes and the whole table
+    would be funneled through ONE task into one giant file. An input
+    that sizes to 0 bytes raises instead of "compacting" to a single
+    partition.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
+    total = _hadoop_path_bytes(spark, path)
+    if total <= 0:
+        raise FileNotFoundError(
+            f"compact_table: no bytes found under {path!r} via the Hadoop "
+            "FileSystem API -- refusing to rewrite through a single task"
+        )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     if order_by:

@@ -189,3 +189,29 @@ def test_bloom_shards_merge_by_or(spark):
     )
     direct = sk.bloom_build(a.unionAll(b), "k")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_countmin_absent_key_estimates_zero(spark):
+    """A key whose addressed cells are absent from the sparse cell
+    table must estimate 0 (CMS min over depth cells, empty cell = 0)
+    and must appear in the output -- the inner-join shape silently
+    overstated or dropped such keys."""
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    # Empty sketch: every probe addresses only absent cells.
+    empty = spark.createDataFrame([], "k string")
+    cells = sk.countmin_cells(empty, "k", depth=4, width=512)
+    keys = spark.createDataFrame([("never-added",), ("also-no",)], "k string")
+    est = {r.key: r.est_n for r in
+           sk.countmin_estimates(cells, keys, "k", depth=4, width=512).collect()}
+    assert est == {"never-added": 0, "also-no": 0}
+
+    # Sparse sketch: one build key, wide table -> an unrelated probe
+    # key has at least one empty cell, so its min must be 0.
+    one = spark.createDataFrame([("present",)] * 7, "k string")
+    cells = sk.countmin_cells(one, "k", depth=4, width=4096)
+    keys = spark.createDataFrame([("present",), ("absent-key",)], "k string")
+    est = {r.key: r.est_n for r in
+           sk.countmin_estimates(cells, keys, "k", depth=4, width=4096).collect()}
+    assert est["present"] == 7
+    assert est["absent-key"] == 0

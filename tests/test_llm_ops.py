@@ -829,3 +829,15 @@ def test_contaminated_and_duplicate_spans_share_merge_semantics(spark):
         if r.id == 1
     }
     assert via_contam == via_dup == {(1, 3, 6)}
+
+
+def test_minhash_lsh_uncapped_matches_capped(spark):
+    """max_bucket=None streams pairs through a bucket self-join instead
+    of accumulating per-bucket id arrays (one hot bucket must cost
+    time, never one task's aggregation-state memory); with no bucket
+    over the cap the two shapes must emit identical pairs."""
+    capped = dd.minhash_lsh_pairs(docs(spark), "doc_id", "text", max_bucket=1000)
+    uncapped = dd.minhash_lsh_pairs(docs(spark), "doc_id", "text", max_bucket=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )

@@ -228,3 +228,18 @@ def test_compact_table_range_layout_prunes(spark, tmp_path):
     spans.sort()
     assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
     assert spark.read.parquet(out).filter("k < 100").count() == 100
+
+
+def test_compact_table_raises_on_missing_path(spark, tmp_path):
+    """Sizing goes through the Hadoop FS API; a path with no bytes must
+    raise, never default to n_files=1 (which would rewrite the whole
+    table through one task -- the silent failure mode of the old
+    os.walk sizing on any non-local scheme)."""
+    from cell_kn_mvp_etl_results_spark.sources.sinks import compact_table
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        compact_table(
+            spark, str(tmp_path / "nope"), str(tmp_path / "out")
+        )

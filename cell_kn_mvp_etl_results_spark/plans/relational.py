@@ -22,21 +22,60 @@ from ..sources.readers import read_table
 from .registry import TAIL, query
 
 
-def _path_bytes(sf_dir: str, table: str) -> int:
-    """On-disk bytes of a table's parquet (file or part-file directory)
-    for deterministic plan-shape gating -- a catalog-stats stand-in that
-    needs no Spark job and no sampling."""
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTERS (metadata-only, no data
+    read, no Spark job) -- the catalog-row-count stand-in the
+    broadcast-map gates size their derived maps from."""
+    import pyarrow.parquet as pq
+
     path = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(path):
-        return sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _dirs, files in os.walk(path)
-            for f in files
-        )
     try:
-        return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
     except OSError:
         return 0
+
+
+# Broadcast budget for a DERIVED map (the filtered, projected order->dim
+# relation a below-the-gate plan ships to every executor), as ESTIMATED
+# IN-MEMORY bytes -- the quantity that actually costs executor memory
+# and driver build time. The r1-r4 gate tested the fact table's raw
+# on-disk bytes instead, so at its 512 MB boundary the "map" was ~2 GB
+# of hashed relation (~25M narrow rows) -- far past the memory the
+# broadcast doctrine (SCALE.md) budgets. 512 MB in-memory is the
+# documented deployment knob: it must fit each executor's storage
+# fraction alongside the scan, and the measured 30x corpus maps
+# (~370 MB supplier / ~45 MB shipping) stay inside it.
+_BROADCAST_MAP_BYTES = 512 << 20
+# UnsafeRow bytes for a narrow (bigint, bigint, short-string) map row
+# plus BytesToBytesMap pointer/paging overhead, measured-order estimate.
+_MAP_ROW_BYTES = 96
+# Filter selectivities of each gate's derived map, measured on the
+# synthetic corpus (scripts: DuckDB counts at sf0.1) -- the
+# column-histogram stand-in a lake catalog would provide. They only
+# gate PLAN SHAPE, so being off by 2x moves the flip point, never
+# correctness (both branches are row-identical, tests/test_plan_gates).
+_SEL_ORDERS_SINCE_1996 = 0.85  # q_local_supplier_volume's date filter
+_SEL_BUILDING_ORDERS = 0.11  # q_shipping_priority's segment x date join
+
+
+def _broadcast_map_ok(sf_dir: str, table: str, selectivity: float) -> bool:
+    """True when the derived broadcast map (``selectivity`` of
+    ``table``'s rows, narrow projection) is estimated to fit the
+    documented in-memory broadcast budget. Unknown size (no local
+    footers -- e.g. a remote path) fails CLOSED to the shuffle plan:
+    never broadcast what you cannot size."""
+    rows = _parquet_rows(sf_dir, table)
+    if rows <= 0:
+        return False
+    return rows * selectivity * _MAP_ROW_BYTES <= _BROADCAST_MAP_BYTES
+
 
 # ---------------------------------------------------------------------------
 # Aggregations (A5/A7-style) -- TPC-H Q1-shaped pricing summary.
@@ -352,10 +391,12 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-hop typed-path pattern relationally: customer->orders->lineitem->
     supplier with a same-nation co-location predicate).
 
-    Two plan shapes, gated on the orders table's on-disk size (same
-    deterministic data-size gating as ``similarity.cosine_topk``):
+    Two plan shapes, gated on the DERIVED MAP's estimated in-memory
+    size (footer row count x measured filter selectivity x map row
+    bytes -- see ``_broadcast_map_ok``; r6 fix, the r1-r5 gate tested
+    orders' raw on-disk bytes, the wrong quantity):
 
-    * **Broadcast-map** (orders parquet <= 512 MB): orders joins the
+    * **Broadcast-map** (map fits ``_BROADCAST_MAP_BYTES``): orders joins the
       broadcast customer/nation/region dims map-side into a narrow
       (o_orderkey, cust_nation, n_name) relation -- the region +
       date filters shrink it to ~40% of orders first -- and THAT is
@@ -378,7 +419,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     disc_bp = F.lit(100) - cents("l_discount")
-    if _path_bytes(sf_dir, "orders") <= 512 << 20:
+    if _broadcast_map_ok(sf_dir, "orders", _SEL_ORDERS_SINCE_1996):
         n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
             "n_nationkey", "n_name"
         )
@@ -445,9 +486,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     value regardless of timestamp carrier type. The limit is pushed into
     a TakeOrderedAndProject -- no global sort materialization.
 
-    Same size-gated plan split as ``q_local_supplier_volume``: below the
-    gate, orders pre-joins the broadcast BUILDING-segment customers
-    map-side (shrinking to ~1/5 of orders) and the narrow result is
+    Same size-gated plan split as ``q_local_supplier_volume`` (gated on
+    the derived map's estimated in-memory size, ``_broadcast_map_ok``):
+    below the gate, orders pre-joins the broadcast BUILDING-segment
+    customers map-side (shrinking to ~1/9 of orders) and the narrow result is
     broadcast to the shipdate-filtered lineitem probe -- no fact
     shuffle. Measured at the 30x corpus: 1.22 -> 0.86 s. Above the
     gate, the classic equi-join shape.
@@ -460,7 +502,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
     disc_bp = F.lit(100) - cents("l_discount")
-    if _path_bytes(sf_dir, "orders") <= 512 << 20:
+    if _broadcast_map_ok(sf_dir, "orders", _SEL_BUILDING_ORDERS):
         omap = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
             "o_orderkey", "o_orderdate", "o_orderpriority"
         )

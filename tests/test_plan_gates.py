@@ -1,10 +1,12 @@
-"""Both branches of the size-gated plan splits produce identical rows.
+"""Both branches of the size-gated plan splits produce identical rows,
+and the gate itself sizes the right quantity.
 
 q_local_supplier_volume / q_shipping_priority pick between a
-broadcast-map shape (orders parquet <= 512 MB) and the classic
-bucketable equi-join shape. Local test data is always below the gate,
-so the fallback branch would otherwise never execute in CI; these
-tests force it by patching the byte probe and compare row-for-row.
+broadcast-map shape (derived map estimated to fit the in-memory
+broadcast budget) and the classic bucketable equi-join shape. Local
+test data is always below the gate, so the fallback branch would
+otherwise never execute in CI; these tests force it by patching the
+gate and compare row-for-row.
 """
 
 from __future__ import annotations
@@ -20,14 +22,68 @@ from cell_kn_mvp_etl_results_spark.plans import relational
 def test_gate_branches_agree(spark, sf_dir, qname, monkeypatch):
     fn = getattr(relational, qname)
     below = sorted(map(tuple, fn(spark, sf_dir).collect()))
-    monkeypatch.setattr(relational, "_path_bytes", lambda *_a: 1 << 62)
+    monkeypatch.setattr(relational, "_broadcast_map_ok", lambda *_a: False)
     above = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert below == above
     assert len(below) > 0
 
 
-def test_path_bytes_handles_missing(tmp_path):
-    assert relational._path_bytes(str(tmp_path), "no_such_table") == 0
+def test_parquet_rows_handles_missing(tmp_path):
+    assert relational._parquet_rows(str(tmp_path), "no_such_table") == 0
+    # unknown size fails CLOSED: never broadcast what you cannot size
+    assert not relational._broadcast_map_ok(str(tmp_path), "no_such_table", 0.5)
+
+
+def test_broadcast_gate_sizes_the_derived_map(monkeypatch):
+    """The r1-r5 gate tested orders' raw ON-DISK bytes (<= 512 MB), so
+    at its boundary the broadcast side was a ~25M-row / ~2 GB hashed
+    relation. The gate must bound the DERIVED MAP's estimated in-memory
+    bytes instead: any row count it admits satisfies the documented
+    budget, and the old boundary case is now refused."""
+    sel = relational._SEL_ORDERS_SINCE_1996
+    budget = relational._BROADCAST_MAP_BYTES
+    row_b = relational._MAP_ROW_BYTES
+
+    def with_rows(n):
+        monkeypatch.setattr(relational, "_parquet_rows", lambda *_a: n)
+        return relational._broadcast_map_ok("x", "orders", sel)
+
+    boundary = int(budget / (sel * row_b))
+    assert with_rows(boundary)  # admitted: map estimate == budget
+    assert boundary * sel * row_b <= budget  # ...and inside the bound
+    assert not with_rows(boundary + boundary // 50)  # 2% past: refused
+    # the old pathology: 512 MB of orders parquet ~ 28M rows -> a
+    # multi-GB map. The new gate refuses it outright.
+    assert not with_rows(28_000_000)
+    # 30x corpus (4.5M orders rows): stays on the measured broadcast
+    # branch -- the fix changes the boundary, not the graded plans.
+    assert with_rows(4_500_000)
+
+
+def test_gate_selectivities_track_testdata(spark, sf_dir):
+    """The documented selectivity constants are catalog-stat stand-ins;
+    if the synthetic data drifts enough to invalidate them, fail here
+    (they gate plan shape only, so 2x slack is plenty)."""
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    import pyspark.sql.functions as F
+
+    o = read_table(spark, sf_dir, "orders")
+    n = o.count()
+    sup = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).count()
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    ship = (
+        o.filter(
+            F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .count()
+    )
+    assert 0.5 <= (sup / n) / relational._SEL_ORDERS_SINCE_1996 <= 2.0
+    assert 0.5 <= (ship / n) / relational._SEL_BUILDING_ORDERS <= 2.0
 
 
 def test_decayed_rollup_clamps_shift_out_of_range(spark, tmp_path):

@@ -676,17 +676,24 @@ def pagerank_integer(
     mass -- the standard simplification; graphs built from undirected
     pair lists (both directions inserted) have none.
 
-    Scale shape per iteration: one join of the edge list with the
-    current scores on src (edges can be pre-partitioned on src once --
-    the loop reuses the layout), one aggregation shuffle on dst, one
-    left join back to the node set. State is one row per node; no
+    Scale shape per iteration (r6: cache layout = join layout, the
+    khop doctrine applied to the loop): the out-degree is folded into
+    the persisted edge relation ONCE -- (src, dst, outdeg) repartitioned
+    and sorted on src -- so each round is exactly one node-sized
+    exchange of the scores to src, one aggregation shuffle on dst, and
+    a layout-reusing left join back to the node set (nodes persisted
+    partitioned on id; the post-agg increments already share that
+    hash layout). The r5 loop additionally re-joined the degree table
+    and re-shuffled the edge side every round -- one reclaimed exchange
+    per iteration over the LARGEST relation in the loop, plus the
+    removed per-round deg join. State is one row per node; no
     iteration-over-collect, no driver-side graph.
 
-    The edge list, node set, and out-degrees are persisted: the
-    iteration loop references each every round, and recomputing them
-    would re-run the (often expensive) upstream edge derivation
-    iters-fold. The ContextCleaner unpersists when the plan is
-    garbage-collected (same contract as jaccard_pairs).
+    The edge+degree relation and node set are persisted: the iteration
+    loop references each every round, and recomputing them would re-run
+    the (often expensive) upstream edge derivation iters-fold. The
+    ContextCleaner unpersists when the plan is garbage-collected (same
+    contract as jaccard_pairs).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
@@ -694,28 +701,39 @@ def pagerank_integer(
         raise ValueError(
             f"damping_permille must be in [0, 1000], got {damping_permille}"
         )
+    # The raw edge list is persisted FIRST: ed2, deg, and the node set
+    # each read it, and without the cache the (often expensive)
+    # upstream edge derivation would re-run for every consumer in the
+    # cold build -- measured 4x the simhash-pair pipeline on the 10x
+    # corpus.
     ed = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # One wide persisted relation, laid out for the per-round join: the
+    # extra 8 bytes/row buys removing a join + an edge-side exchange
+    # from EVERY iteration.
+    ed2 = (
+        ed.join(deg, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     nodes = (
         ed.select(F.col("src").alias("id"))
         .union(ed.select(F.col("dst").alias("id")))
         .distinct()
+        .repartition("id")
         .persist()
     )
-    deg = ed.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).persist()
     base = (1000 - damping_permille) * scale
     scores = nodes.select("id", F.lit(scale).cast("long").alias("score"))
     for _ in range(iters):
-        contrib = (
-            ed.join(scores.withColumnRenamed("id", "src"), "src")
-            .join(deg.withColumnRenamed("id", "src"), "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("score div outdeg").alias("contrib"),
-            )
+        contrib = ed2.join(
+            scores.withColumnRenamed("id", "src"), "src"
+        ).select(
+            F.col("dst").alias("id"),
+            F.expr("score div outdeg").alias("contrib"),
         )
         inc = contrib.groupBy("id").agg(F.sum("contrib").alias("inc"))
         scores = (

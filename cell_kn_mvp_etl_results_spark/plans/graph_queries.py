@@ -54,6 +54,165 @@ def _khop_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
 
+def _khop_edge(df, src_coll, src_key, dst_coll, dst_key, label):
+    """One deduped typed hop relation. Keys stay as longs through dedup
+    + joins (narrow shuffles); they are stringified only in the final,
+    small projection. Dedup runs on the two key columns BEFORE the
+    constant coll/label columns are attached, so the shuffle carries
+    exactly 16 bytes per edge."""
+    return (
+        df.select(
+            F.col(src_key).alias("src_key"), F.col(dst_key).alias("dst_key")
+        )
+        .dropDuplicates()
+        .select(
+            F.lit(src_coll).alias("src_coll"),
+            "src_key",
+            F.lit(dst_coll).alias("dst_coll"),
+            "dst_key",
+            F.lit(label).alias("label"),
+        )
+    )
+
+
+def khop_edge_relations(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The three typed hop relations of the C->O->P->S battery, keyed by
+    destination collection -- shared by the in-memory cached plan
+    (q_khop_paths) and the bucketed on-disk steady-state build
+    (materialize_khop_bucketed)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return {
+        "O": _khop_edge(o, "C", "o_custkey", "O", "o_orderkey", "PLACED"),
+        "P": _khop_edge(li, "O", "l_orderkey", "P", "l_partkey", "CONTAINS"),
+        "S": _khop_edge(li, "P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY"),
+    }
+
+
+def _khop_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
+    )
+
+
+def materialize_khop_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    num_buckets: int = 32,
+    prefix: str = "khop",
+) -> dict[str, str]:
+    """One-time steady-state build: write each hop relation and the
+    per-part terminal summary as BUCKETED + per-bucket-sorted tables on
+    the traversal's join key (``operators/scale.write_bucketed``
+    doctrine, applied to the khop battery). The dedup shuffles and the
+    layout sort are paid HERE, once, at ingest/compaction time -- every
+    subsequent traversal reads co-located buckets and shuffles only the
+    frontier (plan-asserted in tests/test_scale_ops.py). The
+    repartition before the write hash-matches Spark's bucket function,
+    so each bucket lands in exactly ONE file and the scan reports both
+    partitioning and ordering.
+
+    Returns {collection-or-"term": table name}. This is the deployment
+    posture SCALE.md's graph section argues for; q_khop_paths' persisted
+    cache is the same layout held in memory for a single application.
+    """
+    def drop(table: str) -> None:
+        # Drop BOTH the catalog entry and any orphaned managed location:
+        # with the default in-memory catalog the entry dies with the
+        # session but the warehouse directory survives, and saveAsTable
+        # refuses to reuse it.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+    rels = khop_edge_relations(spark, sf_dir)
+    names: dict[str, str] = {}
+    # Only the KEY columns are stored: each table is one collection
+    # pair, so the coll/label constants are re-attached as literals at
+    # read time (khop_paths_bucketed). Storing them would do more than
+    # waste bytes -- a constant read from parquet is a real column, so
+    # the hop join would carry (node_coll, node_key) keys and the
+    # planner would refuse the single-key bucket layout (it disables
+    # the bucketed scan and re-shuffles the edge side); literals
+    # constant-fold out of the join condition, which is exactly what
+    # keeps the bucketed scan exchange-free.
+    for coll in ("O", "P"):
+        t = f"{prefix}_hop_{coll.lower()}"
+        drop(t)
+        (
+            rels[coll]
+            .select("src_key", "dst_key")
+            .repartition(num_buckets, "src_key")
+            .write.mode("overwrite")
+            .bucketBy(num_buckets, "src_key")
+            .sortBy("src_key")
+            .saveAsTable(t)
+        )
+        names[coll] = t
+    t = f"{prefix}_term_s"
+    drop(t)
+    (
+        terminal_stats(rels["S"], "S")
+        .select("node_key", "_bkt", "_bm", "_deg")
+        .repartition(num_buckets, "node_key")
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, "node_key")
+        .sortBy("node_key")
+        .saveAsTable(t)
+    )
+    names["term"] = t
+    return names
+
+
+def khop_paths_bucketed(
+    spark: SparkSession, sf_dir: str, prefix: str = "khop"
+) -> DataFrame:
+    """``q_khop_paths`` reading the PRE-BUCKETED hop tables written by
+    ``materialize_khop_bucketed`` -- row-identical output (test-pinned),
+    but the edge-relation build (3 dedup shuffles + layout sort) is out
+    of the query entirely: per hop, the bucketed scan satisfies the
+    join's required distribution, so only the frontier exchanges."""
+
+    def hop(table: str, src_coll: str, dst_coll: str, label: str):
+        return spark.table(table).select(
+            F.lit(src_coll).alias("src_coll"),
+            "src_key",
+            F.lit(dst_coll).alias("dst_coll"),
+            "dst_key",
+            F.lit(label).alias("label"),
+        )
+
+    hops = {
+        "O": hop(f"{prefix}_hop_o", "C", "O", "PLACED"),
+        "P": hop(f"{prefix}_hop_p", "O", "P", "CONTAINS"),
+    }
+    term = spark.table(f"{prefix}_term_s").select(
+        F.lit("P").alias("node_coll"), "node_key", "_bkt", "_bm", "_deg"
+    )
+    return (
+        k_hop_counts(
+            hops,
+            _khop_start(spark, sf_dir),
+            ["O", "P", "S"],
+            terminal=term,
+            compress_frontier=False,
+        )
+        .select(
+            F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
+            "n_paths",
+            "n_terminals",
+        )
+        .orderBy("start")
+    )
+
+
 def order_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 analog: per order emit relation triples, literal-attribute
     triples, and an edge-annotation quadruple (the reference emits ~25
@@ -209,48 +368,23 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``AqlQuerySetBuilder.java:136-147``). Each hop is an equi-join on
     the edges relation; collection filters prune before each join.
     """
-    o = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
-    c = read_table(spark, sf_dir, "customer")
-
-    # Keys stay as longs through dedup + joins (narrow shuffles); they
-    # are stringified only in the final, small projection. Dedup runs on
-    # the two key columns BEFORE the constant coll/label columns are
-    # attached, so the shuffle carries exactly 16 bytes per edge.
-    def edge(src_coll, src_key, dst_coll, dst_key, label, df):
-        return (
-            df.select(
-                F.col(src_key).alias("src_key"), F.col(dst_key).alias("dst_key")
-            )
-            .dropDuplicates()
-            .select(
-                F.lit(src_coll).alias("src_coll"),
-                "src_key",
-                F.lit(dst_coll).alias("dst_coll"),
-                "dst_key",
-                F.lit(label).alias("label"),
-            )
-        )
-
     # Cache layout = join layout, one relation PER HOP: each hop's edge
     # side is persisted pre-filtered to its destination collection and
     # partitioned on the (src_coll, src_key) pair the hop joins on --
     # the in-memory analog of the per-collection-pair partitioned lake
-    # layout (SCALE.md graph section). A unioned cache forces every hop
-    # to scan and filter the WHOLE edge set (115MB x 2 hops at the 10x
-    # corpus); per-hop relations scan only their own (measured 23%,
-    # BENCH_NOTES.md r5), and each already satisfies the join's
+    # layout (SCALE.md graph section; ``materialize_khop_bucketed`` is
+    # the same layout written to disk once). A unioned cache forces
+    # every hop to scan and filter the WHOLE edge set (115MB x 2 hops at
+    # the 10x corpus); per-hop relations scan only their own (measured
+    # 23%, BENCH_NOTES.md r5), and each already satisfies the join's
     # required distribution so only the frontier shuffles per hop.
     cache_key = _khop_cache_key(spark, sf_dir)
     if cache_key in _HOP_FRAMES:
         hops, term = _HOP_FRAMES[cache_key]
-        start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
-            F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
-        )
         return (
             k_hop_counts(
-                hops, start, ["O", "P", "S"], terminal=term,
-                compress_frontier=False,
+                hops, _khop_start(spark, sf_dir), ["O", "P", "S"],
+                terminal=term, compress_frontier=False,
             )
             .select(
                 F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
@@ -265,15 +399,13 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- only the frontier sorts per run. The sort is paid once at build
     # (cache layout = join layout, extended to ordering; measured
     # 7.47 -> 6.67 s steady at the 30x corpus).
+    rels = khop_edge_relations(spark, sf_dir)
     hops = {
-        "O": edge("C", "o_custkey", "O", "o_orderkey", "PLACED", o)
+        coll: rels[coll]
         .repartition(F.col("src_coll"), F.col("src_key"))
         .sortWithinPartitions("src_coll", "src_key")
-        .persist(),
-        "P": edge("O", "l_orderkey", "P", "l_partkey", "CONTAINS", li)
-        .repartition(F.col("src_coll"), F.col("src_key"))
-        .sortWithinPartitions("src_coll", "src_key")
-        .persist(),
+        .persist()
+        for coll in ("O", "P")
     }
     # The LAST hop never materializes: k_hop_counts aggregates paths
     # under the final join (counting semiring + exact terminal bitmaps,
@@ -283,9 +415,7 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced a 37M-row path materialization + 20.8M-pair distinct
     # shuffle (BENCH_NOTES.md r5).
     term = (
-        terminal_stats(
-            edge("P", "l_partkey", "S", "l_suppkey", "SUPPLIED_BY", li), "S"
-        )
+        terminal_stats(rels["S"], "S")
         .repartition(F.col("node_coll"), F.col("node_key"))
         .sortWithinPartitions("node_coll", "node_key")
     ).persist()
@@ -304,12 +434,9 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         term.count()
         _MATERIALIZED.add(key)
     _HOP_FRAMES[cache_key] = (hops, term)
-    start = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
-        F.lit("C").alias("coll"), F.col("c_custkey").alias("key")
-    )
     return (
         k_hop_counts(
-            hops, start, ["O", "P", "S"], terminal=term,
+            hops, _khop_start(spark, sf_dir), ["O", "P", "S"], terminal=term,
             # (start, part) frontier multiplicity is ~1.06 in this star
             # schema -- the pre-agg would shuffle the whole frontier to
             # remove 6%; see k_hop_counts docstring.
@@ -322,6 +449,62 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("start")
     )
+
+
+@query(
+    "q_khop_paths_bucketed",
+    tags=("graph", "J10", "scale"),
+    priority=TAIL,  # new in r6: pytest-gated; rotates into the budget next round
+    oracle="""
+WITH e1 AS (SELECT DISTINCT 'C_' || o_custkey AS s, 'O_' || o_orderkey AS d FROM orders),
+e2 AS (SELECT DISTINCT 'O_' || l_orderkey AS s, 'P_' || l_partkey AS d FROM lineitem),
+e3 AS (SELECT DISTINCT 'P_' || l_partkey AS s, 'S_' || l_suppkey AS d FROM lineitem),
+start AS (
+  SELECT 'C_' || c_custkey AS v FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT start.v AS start, count(*) AS n_paths, count(DISTINCT e3.d) AS n_terminals
+FROM start
+JOIN e1 ON e1.s = start.v
+JOIN e2 ON e2.s = e1.d
+JOIN e3 ON e3.s = e2.d
+GROUP BY start.v
+ORDER BY start
+""",
+)
+def q_khop_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_khop_paths`` in its STEADY-STATE DEPLOYMENT posture: the hop
+    relations live on disk as bucketed+sorted tables (the lake layout
+    SCALE.md's graph section argues for), so the edge-relation build --
+    3 dedup shuffles + the layout sort, the dominant cost of a cold
+    traversal -- is ingest-time work, not query work. Row-identical to
+    q_khop_paths (same oracle; also pinned by
+    tests/test_scale_ops.py), and per hop only the frontier exchanges:
+    every bucketed edge/terminal scan already satisfies the join's
+    required distribution (plan-asserted). Measured at the 30x corpus:
+    1.75 s steady / 3.97 s cold vs 6.7 s for the in-query build, with
+    the 19 s one-time build accounted separately (BENCH_NOTES r6).
+
+    First use per (sf_dir, table fingerprints) auto-materializes the
+    tables -- the test/driver convenience path; a deployment runs
+    ``materialize_khop_bucketed`` at ingest/compaction time instead.
+    """
+    import hashlib
+
+    from ..sources.readers import _fingerprint
+
+    fp = hashlib.md5(
+        repr(
+            (
+                sf_dir,
+                _fingerprint(f"{sf_dir}/orders.parquet"),
+                _fingerprint(f"{sf_dir}/lineitem.parquet"),
+            )
+        ).encode()
+    ).hexdigest()[:8]
+    prefix = f"khop_auto_{fp}"
+    if not spark.catalog.tableExists(f"{prefix}_term_s"):
+        materialize_khop_bucketed(spark, sf_dir, prefix=prefix)
+    return khop_paths_bucketed(spark, sf_dir, prefix=prefix)
 
 
 @query(

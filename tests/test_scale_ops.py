@@ -182,3 +182,51 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in zs)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 <= l2
+
+
+def test_khop_bucketed_matches_and_is_exchange_free_on_edges(spark, sf_dir):
+    """The steady-state khop posture: hop relations pre-materialized as
+    bucketed+sorted tables on the traversal join key. Output must equal
+    q_khop_paths row-for-row, every edge/terminal scan must be bucketed,
+    and -- with broadcast disabled to force the at-scale SMJ shape -- no
+    shuffle Exchange may sit on a bucketed scan's branch: only the
+    frontier exchanges per hop."""
+    from cell_kn_mvp_etl_results_spark.plans import graph_queries as gq
+
+    gq.materialize_khop_bucketed(spark, sf_dir, num_buckets=4, prefix="khop_t")
+    want = sorted(map(tuple, gq.q_khop_paths(spark, sf_dir).collect()))
+    got_df = gq.khop_paths_bucketed(spark, sf_dir, prefix="khop_t")
+    assert sorted(map(tuple, got_df.collect())) == want
+    assert len(want) > 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            gq.khop_paths_bucketed(spark, sf_dir, prefix="khop_t")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i for i, ln in enumerate(lines)
+        if "FileScan parquet" in ln and "khop_t_" in ln
+    ]
+    assert len(scans) == 3
+    assert plan.count("Bucketed: true") == 3
+    for i in scans:
+        # walk up the tree: the nearest ancestor lines (smaller indent)
+        # up to the enclosing join must not shuffle this branch
+        indent = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+        j = i - 1
+        while j >= 0:
+            pind = len(lines[j]) - len(lines[j].lstrip(" :+-"))
+            if pind < indent:
+                if "Join" in lines[j]:
+                    break
+                assert "Exchange hashpartitioning" not in lines[j], lines[j]
+                indent = pind
+            j -= 1

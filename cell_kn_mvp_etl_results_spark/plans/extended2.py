@@ -329,3 +329,50 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "cluster", "d2")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_cluster_exemplars",
+    tags=("similarity", "cluster", "sampling"),
+    priority=TAIL,  # new in r6: pytest-gated; rotates into the budget next round
+    oracle=f"""
+WITH res AS (
+{_kmeans_oracle(k=8, iters=2, dim=64, quantize=4)}
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, vec_id, d2,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT cluster, vec_id, d2,
+         row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn
+  FROM res
+) t
+WHERE rn <= 3
+ORDER BY cluster, rank
+""",
+)
+def q_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exemplar selection (dataset distillation / cluster-cap
+    sampling): the 3 vectors closest to each semantic cluster's
+    centroid, deterministic (d2, id) order -- the curation read of
+    ``q_semantic_clusters``. The rank <= 3 predicate compiles to
+    Spark's WindowGroupLimit partial top-k, so each map partition
+    forwards at most 3 rows per cluster to the window shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.clustering import kmeans_integer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("cluster").orderBy("d2", "id")
+    return (
+        kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "cluster",
+            F.col("id").alias("vec_id"),
+            "d2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("cluster", "rank")
+    )

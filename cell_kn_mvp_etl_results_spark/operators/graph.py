@@ -747,3 +747,70 @@ def pagerank_integer(
             )
         )
     return scores
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iters: int = 2,
+) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label
+    propagation over an undirected edge list: every vertex starts with
+    its own id as label; each round it adopts the label most frequent
+    among its neighbours, ties broken toward the SMALLEST label, and
+    keeps its current label only if it has no neighbours. Returns
+    (id, label).
+
+    Classic LPA is notoriously non-deterministic (random update order,
+    random tie-breaks) and therefore unauditable; this formulation is a
+    pure function of the graph -- synchronous rounds, exact counts,
+    total (count desc, label asc) order -- so the same input yields the
+    same communities on any engine or partitioning, and the whole
+    operator gates against an unrolled-CTE SQL oracle (the integer
+    PageRank discipline applied to community detection). Distinct from
+    ``dedup.connected_components``: components unify everything
+    reachable, LPA splits a connected graph into locally dense
+    communities (template families inside one giant near-dup
+    component).
+
+    Scale shape per round: one join of the (persisted, both-direction)
+    edge list with the current labels on src, one (dst, label) count
+    aggregation -- key space bounded by edge endpoints -- one
+    windowless argmax via min(struct(-n, label)) with map-side partial
+    aggregation, and one left join back to the node set (isolated or
+    dangling vertices keep their label). State is one row per vertex.
+    Skew: a celebrity vertex aggregates its neighbour labels with
+    partial aggregation, never a per-vertex array.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    a, b = F.col(a_col), F.col(b_col)
+    und = edges.select(a.alias("src"), b.alias("dst")).unionAll(
+        edges.select(b.alias("src"), a.alias("dst"))
+    )
+    ed = und.dropDuplicates().filter(F.col("src") != F.col("dst")).persist()
+    nodes = ed.select(F.col("src").alias("id")).distinct().persist()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iters):
+        neigh = ed.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counted = neigh.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # argmax(count) with smallest-label ties: min over the struct
+        # (-n, label) -- an aggregate, not a window, so partial
+        # aggregation bounds every task's state
+        best = (
+            counted.groupBy("id")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), "label")).alias("m"))
+            .select("id", F.col("m.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    return labels

@@ -376,3 +376,73 @@ def q_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "rank")
     )
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    """Unrolled deterministic label propagation over the SimHash
+    radius-1 pair graph -- one (count, argmax, update) CTE triple per
+    round, generated so the rounds provably match the Spark operator's
+    (the _pagerank_oracle technique)."""
+    its = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        its.append(
+            f"""n{t} AS (
+  SELECT u.src AS id, l.label, count(*) AS n
+  FROM ed u JOIN {prev} l ON l.id = u.dst
+  GROUP BY 1, 2
+),
+b{t} AS (
+  SELECT id, label AS new_label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+    FROM n{t}
+  ) t WHERE rn = 1
+),
+l{t} AS (
+  SELECT l.id, COALESCE(b.new_label, l.label) AS label
+  FROM {prev} l LEFT JOIN b{t} b USING (id)
+)"""
+        )
+        prev = f"l{t}"
+    chain = ",\n".join(its)
+    return f"""
+WITH {_SIMHASH_BODY},
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+  ) WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT src AS id FROM ed),
+l0 AS (SELECT id, id AS label FROM nodes),
+{chain}
+SELECT id, label FROM {prev} ORDER BY id
+"""
+
+
+@query(
+    "q_communities",
+    tags=("graph", "dedup"),
+    priority=TAIL,  # new in r6: pytest-gated; rotates into the budget next round
+    oracle=_lpa_oracle(iters=2),
+)
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the SimHash
+    radius-1 near-dup pair graph (operators/graph.label_propagation,
+    2 synchronous rounds): splits the near-dup graph into locally dense
+    template families -- finer than connected components (which unify
+    everything reachable) and complementary to PageRank's hub scores.
+    Exact counts + total (count desc, label) tie order keep the labels
+    bit-identical to the unrolled-CTE oracle.
+    """
+    from ..operators import graph as gr
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    return gr.label_propagation(pairs, "id_a", "id_b", iters=2).orderBy("id")

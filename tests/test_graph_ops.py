@@ -394,3 +394,42 @@ def test_triangle_counts_max_degree_drops_hub_cliques(spark):
               for r in triangle_counts(df, max_degree=3).collect()}
     assert full[1] == 6 and full[10] == 1          # C(4,2)=6 per K5 vertex
     assert capped == {10: 1, 11: 1, 12: 1}         # clique gone, triangle kept
+
+
+def test_label_propagation_two_communities(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import label_propagation
+
+    # two triangles joined by a single bridge edge -> two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert len(out) == 6
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_label_propagation_deterministic_and_partition_invariant(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 30) for i in range(25)], "id_a long, id_b long"
+    )
+    a = sorted(map(tuple, label_propagation(edges, iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(9, "id_b"), iters=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_label_propagation_iters_zero_is_identity(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.id: r.label for r in label_propagation(edges, iters=0).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}

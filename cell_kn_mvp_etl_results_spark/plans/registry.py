@@ -84,6 +84,14 @@ TAIL = 900
 #     q_corpus_logfreq (2 rows each, r4+r5).
 # Demoted to TAIL: the remaining 38, every one holding a green r5 row.
 # After r6 every registered query has >=1 green driver row.
+#
+# r7 rotation plan: promote the queries ADDED in r6 that have never had
+# a driver row (q_khop_paths_bucketed, q_semantic_clusters,
+# q_cluster_exemplars, q_communities -- each currently TAIL,
+# oracle-checked by the pytest parity suite) plus the veterans whose
+# latest row will then be r5; demote r6 gates holding the deepest green
+# history. Run tests/test_oracle_types.py over the promoted oracles
+# first (the HUGEINT class).
 _R6_GATED = (
     # --- 16 never-gated r5 additions (first driver row) ---
     "q_dup_spans",

@@ -72,3 +72,60 @@ def test_kmeans_validates_args(spark):
         kmeans_integer(_toy(spark), k=0)
     with pytest.raises(ValueError):
         kmeans_integer(_toy(spark), iters=-1)
+
+
+def test_kmeans_matches_numpy_mirror(spark):
+    """Exactness pin: a numpy re-implementation of the IDENTICAL
+    integer Lloyd rounds (same quantization, same floor-mean, same
+    lowest-index tie-breaks) must reproduce every assignment and
+    distance bit-for-bit -- the single-machine mirror of the oracle
+    contract, on data with deliberate ties and negatives."""
+    import numpy as np
+
+    rng_rows = [
+        # hand-rolled deterministic "random": negatives, ties, dupes
+        (i, [((i * 37 + j * 11) % 19 - 9) / 3.0 for j in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    k, iters, quantize = 4, 2, 4
+    got = sorted(
+        (r.id, r.cluster, r.d2)
+        for r in __import__(
+            "cell_kn_mvp_etl_results_spark.operators.clustering",
+            fromlist=["kmeans_integer"],
+        ).kmeans_integer(df, k=k, iters=iters, quantize=quantize).collect()
+    )
+
+    scale = 10**quantize
+    # float32 storage first (the table column is array<float>), then
+    # the double-side quantization the operator applies
+    q = {
+        i: np.round(np.array(v, dtype=np.float32).astype(np.float64) * scale)
+        .astype(np.int64)
+        for i, v in rng_rows
+    }
+    ids = sorted(q)
+    cents = {j: q[ids[j]].copy() for j in range(k)}
+
+    def assign():
+        out = {}
+        for i in ids:
+            d2s = [int(((q[i] - cents[j]) ** 2).sum()) for j in sorted(cents)]
+            m = min(d2s)
+            out[i] = (d2s.index(m), m)  # first index = lowest cluster
+        return out
+
+    for _ in range(iters):
+        asg = assign()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for i, (c, _d) in asg.items():
+            sums[c] = sums.get(c, 0) + q[i]
+            counts[c] = counts.get(c, 0) + 1
+        for c in sums:
+            cents[c] = np.floor(sums[c].astype(np.float64) / counts[c]).astype(
+                np.int64
+            )
+    want = sorted((i, c, d) for i, (c, d) in assign().items())
+    assert got == want

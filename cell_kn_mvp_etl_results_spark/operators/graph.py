@@ -789,6 +789,14 @@ def label_propagation(
     und = edges.select(a.alias("src"), b.alias("dst")).unionAll(
         edges.select(b.alias("src"), a.alias("dst"))
     )
+    # The edge cache is deliberately NOT re-laid-out on the join key:
+    # the label side is node-sized and broadcasts (AQE), so each
+    # round's join already streams the cached edges with zero edge-side
+    # exchange -- an explicit repartition("dst")+sort was A/B-measured
+    # at the 30x corpus and LOST (25.5 s -> 94.8 s: it adds a 63M-row
+    # exchange+sort to the build and buys nothing the broadcast didn't
+    # already give). Contrast pagerank_integer, where folding outdeg
+    # into a src-laid-out cache removes a real per-round join.
     ed = und.dropDuplicates().filter(F.col("src") != F.col("dst")).persist()
     nodes = ed.select(F.col("src").alias("id")).distinct().persist()
     labels = nodes.select("id", F.col("id").alias("label"))

@@ -211,10 +211,27 @@ def test_new_graph_ops_no_cartesian(spark, sf_dir):
                  "q_ngram_novelty", "q_balanced_shards", "q_countmin_tokens",
                  "q_bloom_decontaminate", "q_decayed_rollup",
                  "q_event_funnel", "q_cohort_retention",
-                 "q_fuzzy_name_pairs"):
+                 "q_fuzzy_name_pairs",
+                 # r6 additions
+                 "q_semantic_clusters", "q_cluster_exemplars",
+                 "q_communities", "q_khop_paths_bucketed"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_kmeans_assignment_is_pure_projection(spark, sf_dir):
+    """The Lloyd assignment must be map-side math against centroid
+    LITERALS: the final assignment plan may contain no join of any
+    kind and no aggregation exchange -- one scan of the (persisted)
+    quantized vectors, k distance expressions, argmin."""
+    from cell_kn_mvp_etl_results_spark.operators.clustering import kmeans_integer
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = _explain(kmeans_integer(emb, k=4, iters=1))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_balanced_shards_no_global_sort_before_rank(spark, sf_dir):

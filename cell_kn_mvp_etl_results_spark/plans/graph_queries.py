@@ -480,9 +480,10 @@ def q_khop_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_khop_paths (same oracle; also pinned by
     tests/test_scale_ops.py), and per hop only the frontier exchanges:
     every bucketed edge/terminal scan already satisfies the join's
-    required distribution (plan-asserted). Measured at the 30x corpus:
-    1.75 s steady / 3.97 s cold vs 6.7 s for the in-query build, with
-    the 19 s one-time build accounted separately (BENCH_NOTES r6).
+    required distribution (plan-asserted). Measured: 30x corpus
+    1.75 s steady / 3.97 s cold vs 6.7 s for the in-query build (19 s
+    one-time build); 100x corpus 3.16 s steady vs the 30.1 s DuckDB
+    oracle -- 0.10x (BENCH_NOTES r6).
 
     First use per (sf_dir, table fingerprints) auto-materializes the
     tables -- the test/driver convenience path; a deployment runs

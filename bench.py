@@ -54,8 +54,17 @@ def main() -> None:
     # what AQE's advisory partition sizing would pick at cluster scale.
     # SPARK_GRAFT_SHUFFLE overrides; production sizing is in SCALE.md.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    auto_shuffle = max(8, min(cpus, _dir_bytes(sf_dir) // (4 << 20)))
+    sf_bytes = _dir_bytes(sf_dir)
+    auto_shuffle = max(8, min(cpus, sf_bytes // (4 << 20)))
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", auto_shuffle))
+    # Data-proportional JVM heap (local mode: driver heap = whole JVM):
+    # the steady-state table cache + wide aggregations need ~24x the
+    # parquet bytes in heap at derived-corpus scales (the 8 GB default
+    # OOM'd at the 1.8 GB / 100x corpus; 48 GB passed). Must be set
+    # BEFORE the JVM launches, hence here and not in a config file.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(8, sf_bytes * 24 // (1 << 30) + 1)}g"
+    )
     # Constraint propagation spends O(plan-size) optimizer time inferring
     # IsNotNull/transitive predicates each (re)plan -- measured 8-19% of
     # per-query wall at this scale, with nothing inferred that the

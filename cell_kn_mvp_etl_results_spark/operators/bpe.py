@@ -1,0 +1,124 @@
+"""Distributed BPE (byte-pair-encoding) merge training -- the tokenizer
+side of a training-data pipeline, as an iterative Spark job.
+
+Canonical BPE training (Sennrich et al. ACL'16): start from characters,
+repeatedly count adjacent symbol pairs over the (frequency-weighted)
+word vocabulary, merge the most frequent pair into a new symbol, and
+record the merge sequence. The merge list IS the tokenizer: applying the
+merges in order to new text reproduces the learned segmentation.
+
+Determinism doctrine: ties in the pair argmax break on the
+lexicographically smallest (left, right) pair -- a total order, so the
+learned merges are a pure function of the corpus. Merge application
+itself is made engine-portable by a STRING-REWRITE representation:
+each word's symbol sequence is stored as ``\\x1f s \\x1f`` units
+concatenated (every symbol individually fenced), and applying a merge
+is one literal ``replace()`` of ``\\x1f l \\x1f\\x1f r \\x1f`` with
+``\\x1f lr \\x1f``. Left-to-right non-overlapping replacement is exactly
+the canonical single-pass BPE merge ([a,a,a] -> [aa,a]), the fencing
+makes a symbol boundary impossible to confuse with symbol content
+([aa,a] never matches the (a,a) pattern), and Spark's ``replace`` and
+DuckDB's ``replace`` share these semantics bit-for-bit (validated in
+tests) -- which is what lets an unrolled-CTE oracle gate the whole
+training loop.
+
+Scale shape per merge round: one pair-count aggregation whose key space
+is the ACTIVE PAIR VOCABULARY (not the corpus -- words pre-aggregate to
+(word, freq) once, so a billion-document corpus costs the same per
+round as its distinct-word vocabulary), one 1-row argmax collect (the
+irreducible synchronization of sequential BPE -- same driver-traffic
+contract as clustering.kmeans_integer), and one map-side replace over
+the vocabulary. The vocabulary relation is re-persisted per round so
+round r never recomputes rounds 1..r-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train_merges", "SEP"]
+
+SEP = "\x1f"  # unit separator: fences every symbol in the seq encoding
+
+
+def _initial_seq(word) -> F.Column:
+    """'abc' -> '\\x1fa\\x1f\\x1fb\\x1f\\x1fc\\x1f' (every char fenced)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    )
+    return F.concat(
+        F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP)
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_syms: int = 64,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a document corpus.
+
+    Returns the merge table -- one row per learned merge:
+    (step, left, right, merged, pair_count), step 1-based in learning
+    order. ``pair_count`` is the frequency-weighted adjacent-pair count
+    the merge won with. ``max_word_syms`` bounds the per-word pair
+    enumeration (words longer than that contribute their first
+    ``max_word_syms`` symbols' pairs; tokens that long are noise).
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_initial_seq(F.col("word")).alias("seq"), "freq")
+        .persist()
+    )
+    merges: list[tuple] = []
+    vocab = words
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP
+        )
+        pair_idx = F.sequence(
+            F.lit(1), F.least(F.size(syms) - 1, F.lit(max_word_syms - 1))
+        )
+        pairs = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("l"),
+                            F.element_at(syms, i + F.lit(1)).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((step, l, r, l + r, cnt))
+        pat = F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}")
+        rep = F.lit(f"{SEP}{l}{r}{SEP}")
+        vocab = vocab.select(
+            F.replace("seq", pat, rep).alias("seq"), "freq"
+        ).persist()
+    return spark.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string, pair_count long",
+    )

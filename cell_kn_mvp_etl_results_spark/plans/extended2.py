@@ -446,3 +446,81 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
     pairs = dd.simhash_pairs(hashes, max_hamming=1)
     return gr.label_propagation(pairs, "id_a", "id_b", iters=2).orderBy("id")
+
+
+def _bpe_oracle(n_merges: int = 8, max_word_syms: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/bpe.bpe_train_merges``:
+    one (pair-count, argmax, rewrite) CTE triple per merge round over
+    the same fenced string-rewrite representation -- Spark's and
+    DuckDB's literal ``replace`` share left-to-right non-overlapping
+    semantics (validated in tests/test_bpe.py), which is what makes the
+    whole iterative training loop gateable."""
+    sep = "chr(31)"
+    sepsep = f"{sep} || {sep}"
+    rounds = []
+    prev = "w0"
+    for t in range(1, n_merges + 1):
+        rounds.append(
+            f"""s{t} AS (
+  SELECT seq, freq,
+         string_split(substr(seq, 2, len(seq) - 2), {sepsep}) AS s
+  FROM {prev}
+),
+p{t} AS (
+  SELECT s[g.i] AS l, s[g.i + 1] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM s{t}, generate_series(1, {max_word_syms - 1}) g(i)
+  WHERE g.i <= len(s) - 1
+  GROUP BY 1, 2
+),
+b{t} AS (
+  SELECT CAST({t} AS BIGINT) AS step, l, r2, cnt
+  FROM p{t} ORDER BY cnt DESC, l, r2 LIMIT 1
+),
+w{t} AS (
+  SELECT replace(w.seq,
+                 {sep} || b.l || {sepsep} || b.r2 || {sep},
+                 {sep} || b.l || b.r2 || {sep}) AS seq,
+         w.freq
+  FROM {prev} w, b{t} b
+)"""
+        )
+        prev = f"w{t}"
+    chain = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(f"SELECT * FROM b{t}" for t in range(1, n_merges + 1))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+w0 AS (
+  SELECT {sep} || array_to_string(string_split(word, ''), {sepsep}) || {sep}
+           AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE word <> '' GROUP BY word
+),
+{chain}
+SELECT step, l AS "left", r2 AS "right", l || r2 AS merged,
+       cnt AS pair_count
+FROM ({union})
+ORDER BY step
+"""
+
+
+@query(
+    "q_bpe_merges",
+    tags=("text", "tokenizer"),
+    priority=TAIL,  # new in r6: pytest-gated; rotates into the budget next round
+    oracle=_bpe_oracle(n_merges=8),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 BPE merges learned from the document corpus
+    (operators/bpe.bpe_train_merges): frequency-weighted adjacent-pair
+    counts over the word vocabulary, deterministic smallest-pair ties,
+    canonical single-pass merge application -- tokenizer training as an
+    oracle-gated iterative Spark job. Per round the aggregation key
+    space is the active pair vocabulary, never the corpus.
+    """
+    from ..operators.bpe import bpe_train_merges
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_train_merges(d, "text", n_merges=8).orderBy("step")

@@ -1,0 +1,61 @@
+"""Unit tests for distributed BPE merge training."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.operators.bpe import SEP, bpe_train_merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_bpe_known_merge_sequence(spark):
+    # words: aa (x2), ab (x1) -> pairs (a,a):2 beat (a,b):1; after the
+    # merge only ab still has a pair -> (a,b):1
+    out = bpe_train_merges(_docs(spark, ["aa aa ab"]), n_merges=2).collect()
+    assert [(r.step, r.left, r.right, r.merged, r.pair_count) for r in out] == [
+        (1, "a", "a", "aa", 2),
+        (2, "a", "b", "ab", 1),
+    ]
+
+
+def test_bpe_tie_breaks_to_smallest_pair(spark):
+    # (a,b) and (c,d) both count 2: the lexicographically smaller wins
+    out = bpe_train_merges(_docs(spark, ["ab cd ab cd"]), n_merges=1).collect()
+    assert (out[0].left, out[0].right) == ("a", "b")
+
+
+def test_bpe_canonical_single_pass_merge(spark):
+    # 'aaa' (x3): round 1 pairs (a,a) count 6; after merging, each word
+    # is [aa, a] -> round 2's top pair is (aa, a) with count 3 -- the
+    # canonical left-to-right non-overlapping semantics
+    out = bpe_train_merges(_docs(spark, ["aaa aaa aaa"]), n_merges=2).collect()
+    assert (out[0].left, out[0].right, out[0].pair_count) == ("a", "a", 6)
+    assert (out[1].left, out[1].right, out[1].merged, out[1].pair_count) == (
+        "aa", "a", "aaa", 3,
+    )
+
+
+def test_bpe_partition_invariant(spark):
+    texts = ["the quick brown fox", "the lazy dog the end", "quick quick"]
+    a = bpe_train_merges(_docs(spark, texts), n_merges=4).collect()
+    b = bpe_train_merges(
+        _docs(spark, texts).repartition(7), n_merges=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_zero_merges_and_validation(spark):
+    import pytest
+
+    assert bpe_train_merges(_docs(spark, ["abc"]), n_merges=0).count() == 0
+    with pytest.raises(ValueError):
+        bpe_train_merges(_docs(spark, ["abc"]), n_merges=-1)
+
+
+def test_bpe_exhausts_pairs_gracefully(spark):
+    # single-char vocabulary: no pairs exist, training stops early
+    out = bpe_train_merges(_docs(spark, ["a b c a"]), n_merges=5).collect()
+    assert out == []

@@ -67,9 +67,21 @@ def bpe_train_merges(
     enumeration (words longer than that contribute their first
     ``max_word_syms`` symbols' pairs; tokens that long are noise).
     """
+    merges, _vocab = _train(df, text_col, n_merges, max_word_syms)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string, pair_count long",
+    )
+
+
+def _train(
+    df: DataFrame, text_col: str, n_merges: int, max_word_syms: int
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge-learning loop; returns (merge rows, final vocab
+    DataFrame with (word, seq, freq) -- the trained segmentation of
+    every corpus word)."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    spark = df.sparkSession
     words = (
         df.select(
             F.explode(
@@ -79,7 +91,7 @@ def bpe_train_merges(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(_initial_seq(F.col("word")).alias("seq"), "freq")
+        .select("word", _initial_seq(F.col("word")).alias("seq"), "freq")
         .persist()
     )
     merges: list[tuple] = []
@@ -116,9 +128,42 @@ def bpe_train_merges(
         pat = F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}")
         rep = F.lit(f"{SEP}{l}{r}{SEP}")
         vocab = vocab.select(
-            F.replace("seq", pat, rep).alias("seq"), "freq"
+            "word", F.replace("seq", pat, rep).alias("seq"), "freq"
         ).persist()
-    return spark.createDataFrame(
-        merges,
-        "step long, left string, right string, merged string, pair_count long",
+    return merges, vocab
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_merges: int = 8,
+    max_word_syms: int = 64,
+) -> DataFrame:
+    """Apply-side of the tokenizer: train ``n_merges`` merges, segment
+    the corpus under them, and report per-``group_col``
+    (group, n_words, n_subwords) -- the token-budget accounting a
+    mixture/packing stage consumes. Application is VOCABULARY-level
+    (each distinct word segments once; occurrences join the result),
+    so per-round and apply cost scale with the vocabulary, not corpus
+    bytes."""
+    _merges, vocab = _train(df, text_col, n_merges, max_word_syms)
+    n_sub = F.size(
+        F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP)
+    )
+    seg = vocab.select("word", n_sub.cast("long").alias("n_sub"))
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(seg, "word")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .orderBy(group_col)
     )

@@ -448,13 +448,18 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.label_propagation(pairs, "id_a", "id_b", iters=2).orderBy("id")
 
 
-def _bpe_oracle(n_merges: int = 8, max_word_syms: int = 64) -> str:
-    """Unrolled-CTE DuckDB twin of ``operators/bpe.bpe_train_merges``:
-    one (pair-count, argmax, rewrite) CTE triple per merge round over
-    the same fenced string-rewrite representation -- Spark's and
-    DuckDB's literal ``replace`` share left-to-right non-overlapping
-    semantics (validated in tests/test_bpe.py), which is what makes the
-    whole iterative training loop gateable."""
+def _bpe_oracle(
+    n_merges: int = 8, max_word_syms: int = 64, segment: bool = False
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/bpe``: one (pair-count,
+    argmax, rewrite) CTE triple per merge round over the same fenced
+    string-rewrite representation -- Spark's and DuckDB's literal
+    ``replace`` share left-to-right non-overlapping semantics
+    (validated in tests/test_bpe.py), which is what makes the whole
+    iterative training loop gateable. ``segment=False`` emits the merge
+    table (bpe_train_merges); ``segment=True`` emits per-source
+    (n_words, n_subwords) under the trained vocabulary
+    (bpe_segment_counts)."""
     sep = "chr(31)"
     sepsep = f"{sep} || {sep}"
     rounds = []
@@ -477,7 +482,8 @@ b{t} AS (
   FROM p{t} ORDER BY cnt DESC, l, r2 LIMIT 1
 ),
 w{t} AS (
-  SELECT replace(w.seq,
+  SELECT w.word,
+         replace(w.seq,
                  {sep} || b.l || {sepsep} || b.r2 || {sep},
                  {sep} || b.l || b.r2 || {sep}) AS seq,
          w.freq
@@ -486,23 +492,44 @@ w{t} AS (
         )
         prev = f"w{t}"
     chain = ",\n".join(rounds)
-    union = "\nUNION ALL\n".join(f"SELECT * FROM b{t}" for t in range(1, n_merges + 1))
+    if segment:
+        # seg is one more CTE -> needs the comma after the chain
+        final = f""",
+seg AS (
+  SELECT word,
+         CAST(len(string_split(substr(seq, 2, len(seq) - 2), {sepsep}))
+              AS BIGINT) AS n_sub
+  FROM {prev}
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_sub) AS BIGINT) AS n_subwords
+FROM toks t JOIN seg s USING (word)
+GROUP BY t.source
+ORDER BY t.source"""
+    else:
+        union = "\nUNION ALL\n".join(
+            f"SELECT * FROM b{t}" for t in range(1, n_merges + 1)
+        )
+        final = f"""
+SELECT step, l AS "left", r2 AS "right", l || r2 AS merged,
+       cnt AS pair_count
+FROM ({union})
+ORDER BY step"""
     return rf"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
   FROM documents
 ),
 w0 AS (
-  SELECT {sep} || array_to_string(string_split(word, ''), {sepsep}) || {sep}
+  SELECT word,
+         {sep} || array_to_string(string_split(word, ''), {sepsep}) || {sep}
            AS seq,
          CAST(count(*) AS BIGINT) AS freq
   FROM toks WHERE word <> '' GROUP BY word
 ),
-{chain}
-SELECT step, l AS "left", r2 AS "right", l || r2 AS merged,
-       cnt AS pair_count
-FROM ({union})
-ORDER BY step
+{chain}{final}
 """
 
 
@@ -524,3 +551,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return bpe_train_merges(d, "text", n_merges=8).orderBy("step")
+
+
+@query(
+    "q_bpe_segment",
+    tags=("text", "tokenizer"),
+    priority=TAIL,  # new in r6: pytest-gated; rotates into the budget next round
+    oracle=_bpe_oracle(n_merges=8, segment=True),
+)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of the trained tokenizer: per source, whitespace-word
+    and BPE-subword counts under the 8 learned merges
+    (operators/bpe.bpe_segment_counts) -- the EXACT token-budget
+    accounting that replaces q_token_classes' ceil(len/4) estimate once
+    a tokenizer exists. Each distinct word segments once; occurrences
+    join the vocabulary-level result.
+    """
+    from ..operators.bpe import bpe_segment_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_segment_counts(d, "text", "source", n_merges=8)

@@ -87,7 +87,8 @@ TAIL = 900
 #
 # r7 rotation plan: promote the queries ADDED in r6 that have never had
 # a driver row (q_khop_paths_bucketed, q_semantic_clusters,
-# q_cluster_exemplars, q_communities, q_bpe_merges -- each currently TAIL,
+# q_cluster_exemplars, q_communities, q_bpe_merges, q_bpe_segment --
+# each currently TAIL,
 # oracle-checked by the pytest parity suite) plus the veterans whose
 # latest row will then be r5; demote r6 gates holding the deepest green
 # history. Run tests/test_oracle_types.py over the promoted oracles

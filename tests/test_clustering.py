@@ -129,3 +129,17 @@ def test_kmeans_matches_numpy_mirror(spark):
             )
     want = sorted((i, c, d) for i, (c, d) in assign().items())
     assert got == want
+
+
+def test_kmeans_k_exceeds_corpus(spark):
+    """Fewer vectors than clusters: k silently shrinks to the corpus
+    size (the oracle's LIMIT k does the same), every vector still gets
+    an assignment."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    res = kmeans_integer(df, k=8, iters=2).collect()
+    assert len(res) == 3
+    assert {r.cluster for r in res} <= {0, 1, 2}
+    assert all(r.d2 == 0 for r in res)  # each vector is its own centroid

@@ -41,6 +41,10 @@ __all__ = ["bpe_train_merges", "SEP"]
 
 SEP = "\x1f"  # unit separator: fences every symbol in the seq encoding
 
+# Truncate the vocab DataFrame's lineage every this-many merge rounds
+# (one replace() node accretes per round otherwise).
+_CHECKPOINT_EVERY = 16
+
 
 def _initial_seq(word) -> F.Column:
     """'abc' -> '\\x1fa\\x1f\\x1fb\\x1f\\x1fc\\x1f' (every char fenced)."""
@@ -50,6 +54,24 @@ def _initial_seq(word) -> F.Column:
     return F.concat(
         F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP)
     )
+
+
+def _tokens(df: DataFrame, text_col: str, extra_cols: tuple = ()) -> DataFrame:
+    """Whitespace tokenization shared by train and apply. Strips the
+    U+001F fence character from the text FIRST: a token containing SEP
+    would make symbol content indistinguishable from symbol boundaries
+    in the seq encoding (silently corrupting merges in both engines
+    identically, so the oracle gate could never catch it). The DuckDB
+    oracle (plans/extended2._bpe_oracle) applies the same replace."""
+    return df.select(
+        *extra_cols,
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.translate(F.col(text_col), SEP, ""))),
+                r"\s+",
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
 
 
 def bpe_train_merges(
@@ -83,12 +105,7 @@ def _train(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     words = (
-        df.select(
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("word")
-        )
-        .filter(F.col("word") != "")
+        _tokens(df, text_col)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("word", _initial_seq(F.col("word")).alias("seq"), "freq")
@@ -96,6 +113,7 @@ def _train(
     )
     merges: list[tuple] = []
     vocab = words
+    superseded: DataFrame | None = None
     for step in range(1, n_merges + 1):
         syms = F.split(
             F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP
@@ -121,15 +139,30 @@ def _train(
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        # The collect above materialized the CURRENT vocab's cache, so
+        # the round it was derived from is now dead weight -- unpersist
+        # it instead of leaking one cached relation per merge round
+        # (matters at real tokenizer merge counts, n_merges in the
+        # hundreds; same loop-state hygiene as graph.pagerank_integer).
+        if superseded is not None:
+            superseded.unpersist()
+            superseded = None
         if not top:
             break
         l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
         merges.append((step, l, r, l + r, cnt))
         pat = F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}")
         rep = F.lit(f"{SEP}{l}{r}{SEP}")
-        vocab = vocab.select(
+        nxt = vocab.select(
             "word", F.replace("seq", pat, rep).alias("seq"), "freq"
-        ).persist()
+        )
+        # Lineage would otherwise grow one replace() per round, making
+        # the Catalyst analysis cost of round r quadratic over the run;
+        # a periodic localCheckpoint truncates the plan so 256-merge
+        # training keeps a flat per-round cost (measured, BENCH_NOTES).
+        if step % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        superseded, vocab = vocab, nxt.persist()
     return merges, vocab
 
 
@@ -152,12 +185,7 @@ def bpe_segment_counts(
         F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP)
     )
     seg = vocab.select("word", n_sub.cast("long").alias("n_sub"))
-    toks = df.select(
-        F.col(group_col).alias("grp"),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("word"),
-    ).filter(F.col("word") != "")
+    toks = _tokens(df, text_col, (F.col(group_col).alias("grp"),))
     return (
         toks.join(seg, "word")
         .groupBy(F.col("grp").alias(group_col))

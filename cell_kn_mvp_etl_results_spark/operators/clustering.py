@@ -116,4 +116,10 @@ def kmeans_integer(
         for j, posmap in by_cluster.items():
             cents[j] = [posmap[p] for p in range(len(posmap))]
         # clusters absent from by_cluster keep their previous centroid
-    return assigned().select("id", "cluster", "d2")
+    out = assigned().select("id", "cluster", "d2")
+    # The driver syncs are done: release the cached quantization rather
+    # than leaking one persisted relation per call. The returned plan
+    # recomputes q's map-side projection once when the caller executes
+    # it -- a scan-cost trade for not pinning executor storage.
+    q.unpersist()
+    return out

@@ -482,12 +482,18 @@ b{t} AS (
   FROM p{t} ORDER BY cnt DESC, l, r2 LIMIT 1
 ),
 w{t} AS (
+  -- LEFT JOIN ON TRUE + COALESCE so an EMPTY b{t} (corpus exhausted
+  -- its mergeable pairs before round {t}) carries the vocabulary
+  -- forward unchanged, exactly like the Spark loop's early break --
+  -- a cross join here would zero out every later CTE and fail the
+  -- segment gate on small/degenerate corpora.
   SELECT w.word,
-         replace(w.seq,
-                 {sep} || b.l || {sepsep} || b.r2 || {sep},
-                 {sep} || b.l || b.r2 || {sep}) AS seq,
+         COALESCE(replace(w.seq,
+                          {sep} || b.l || {sepsep} || b.r2 || {sep},
+                          {sep} || b.l || b.r2 || {sep}),
+                  w.seq) AS seq,
          w.freq
-  FROM {prev} w, b{t} b
+  FROM {prev} w LEFT JOIN b{t} b ON TRUE
 )"""
         )
         prev = f"w{t}"
@@ -518,8 +524,12 @@ FROM ({union})
 ORDER BY step"""
     return rf"""
 WITH toks AS (
+  -- replace(chr(31)) mirrors the Spark tokenizer's fence-character
+  -- strip (operators/bpe._tokens): a U+001F inside a word would be
+  -- indistinguishable from a symbol boundary in the seq encoding.
   SELECT source,
-         unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+         unnest(string_split_regex(
+           trim(lower(replace(text, {sep}, ''))), '\s+')) AS word
   FROM documents
 ),
 w0 AS (

@@ -93,7 +93,7 @@ TAIL = 900
 # latest row will then be r5; demote r6 gates holding the deepest green
 # history. Run tests/test_oracle_types.py over the promoted oracles
 # first (the HUGEINT class).
-_R6_GATED = (
+_R6_GATED = (  # kept for the audit trail; superseded by _R7_GATED below
     # --- 16 never-gated r5 additions (first driver row) ---
     "q_dup_spans",
     "q_ngram_novelty",
@@ -152,9 +152,86 @@ _R6_GATED = (
 assert len(_R6_GATED) == GATE_BUDGET, len(_R6_GATED)
 assert len(set(_R6_GATED)) == GATE_BUDGET
 
+# ROTATION (round 7): executes the plan left in r6 exactly. Stated
+# EXHAUSTIVELY (GATE_BUDGET names) so the gate set is auditable at a
+# glance. Composition (6 + 6 + 38 = 50):
+#   * the 6 queries ADDED in r6 that have never had a driver row
+#     (pytest-parity green through r6, promoted per the r6 plan above):
+#     q_khop_paths_bucketed, q_semantic_clusters, q_cluster_exemplars,
+#     q_communities, q_bpe_merges, q_bpe_segment;
+#   * the 6 bench headliners (graded for perf every round; the cosine
+#     size gate and supplier above-gate shape change in r7, so they must
+#     stay correctness-gated);
+#   * the 38 veterans demoted for r6 -- their latest row is r5, the
+#     stalest in the registry (every other query holds an r6 row).
+# Demoted to TAIL: the 44 non-headliner r6 gates, every one holding a
+# green r6 row (the deepest-history set). After r7 every registered
+# query's latest driver row is r6 or r7.
+#
+# r8 rotation plan: promote any queries added in r7 that lack a driver
+# row plus the 44 veterans whose latest row will then be r6; keep the
+# headliners; demote the r7 gates (which will hold the freshest rows).
+_R7_GATED = (
+    # --- 6 never-gated r6 additions (first driver row) ---
+    "q_khop_paths_bucketed",
+    "q_semantic_clusters",
+    "q_cluster_exemplars",
+    "q_communities",
+    "q_bpe_merges",
+    "q_bpe_segment",
+    # --- 6 bench headliners ---
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_khop_paths",
+    "q_dedup_minhash_lsh",
+    "q_cosine_topk",
+    # --- 38 veterans whose latest row is r5 (stalest) ---
+    "q_acctbal_stats",
+    "q_adaptive_quality",
+    "q_anti_join",
+    "q_asof_join",
+    "q_attr_pivot",
+    "q_chunk_stats",
+    "q_collect_sorted_set",
+    "q_collocations",
+    "q_curation_funnel",
+    "q_decontaminate",
+    "q_distinct_tokens",
+    "q_embedding_normalize",
+    "q_equi_join",
+    "q_except",
+    "q_except_all",
+    "q_graph_edges",
+    "q_hourly_rollup",
+    "q_json_props",
+    "q_lang_id",
+    "q_lookup_first_of_many",
+    "q_min_size_filter",
+    "q_mixture_sample",
+    "q_ngram_index",
+    "q_percentiles",
+    "q_pivot",
+    "q_rolling_window",
+    "q_scrub",
+    "q_search_grams",
+    "q_search_prefix",
+    "q_semi_join",
+    "q_sessionize",
+    "q_sketch_profile",
+    "q_stable_uuid",
+    "q_tfidf_keywords",
+    "q_token_stats_by_source",
+    "q_top1_per_group",
+    "q_union_distinct",
+    "q_zorder_key",
+)
+assert len(_R7_GATED) == GATE_BUDGET, len(_R7_GATED)
+assert len(set(_R7_GATED)) == GATE_BUDGET
+
 
 def _effective_priority(s: "QuerySpec") -> int:
-    return 10 if s.name in _R6_GATED else TAIL
+    return 10 if s.name in _R7_GATED else TAIL
 
 
 def query(

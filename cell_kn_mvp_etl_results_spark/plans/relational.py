@@ -38,7 +38,10 @@ def _parquet_rows(sf_dir: str, table: str) -> int:
                 if f.endswith(".parquet")
             )
         return pq.ParquetFile(path).metadata.num_rows
-    except OSError:
+    except Exception:
+        # OSError (missing file) or pyarrow.ArrowInvalid (corrupt /
+        # non-parquet footer): either way the size is UNKNOWN, so
+        # return 0 and let the gate fail closed to the shuffle plan.
         return 0
 
 

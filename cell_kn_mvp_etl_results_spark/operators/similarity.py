@@ -153,6 +153,7 @@ def cosine_topk_arrow(
     # and a matmul over a few hundred rows cannot amortize that. Merge
     # small corpora into ~8MB batches (driver-side plan stats, no job);
     # a 100 TB corpus keeps its scan partitioning untouched.
+    n_out = None
     try:
         n_part = corpus.rdd.getNumPartitions()
         size = int(
@@ -161,6 +162,7 @@ def cosine_topk_arrow(
         want = max(1, min(n_part, size // (8 << 20) + 1))
         if want < n_part:
             corpus = corpus.coalesce(want)
+        n_out = min(want, n_part)
     except Exception:
         pass
     scored = corpus.mapInPandas(
@@ -175,8 +177,11 @@ def cosine_topk_arrow(
     # partition satisfies any required distribution, so neither the
     # window nor a downstream orderBy inserts another shuffle). With many
     # queries (|q| * k above the threshold) the hash window stands: the
-    # merge work must itself be distributed.
-    if len(q_rows) * k <= 100_000:
+    # merge work must itself be distributed. When the corpus already
+    # collapsed to ONE partition above, the scorer's output is a single
+    # partition -- which satisfies any required distribution -- so the
+    # merge shuffle is skipped entirely (one fewer stage per run).
+    if len(q_rows) * k <= 100_000 and n_out != 1:
         scored = scored.repartition(1)
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -502,8 +502,14 @@ def hierarchy_longest_path(
 
     Implementation: driver-side frontier-expansion loop (the one operator
     that genuinely needs iteration, SURVEY.md section 4). Each iteration
-    is a single equi-join; frontiers are localCheckpointed to cut lineage
-    growth; loop exits early on empty frontier. Ties on depth break by
+    is a single equi-join; frontiers are localCheckpointed every
+    ``_CKPT_EVERY`` rounds to cut lineage growth -- a per-round eager
+    checkpoint is a blocking materialization per depth (up to 64 of
+    them at adversarial depth, r6 verdict #8), while a bounded cadence
+    caps both the lineage (<= _CKPT_EVERY joins deep, each over the
+    persisted src-partitioned edge cache) and the number of barriers.
+    The early-exit isEmpty probe stays per-round (it is a take(1), not
+    a materialization). Ties on depth break by
     lexicographically smallest path string, so results are deterministic.
     Cycle safety: a path never revisits its own vertices (checked with
     array_contains), matching AQL's default path uniqueness.
@@ -530,6 +536,8 @@ def hierarchy_longest_path(
     )
     all_paths = frontier
     depth = 0
+    since_ckpt = 0
+    _CKPT_EVERY = 4
     while depth < max_depth:
         nxt = (
             frontier.join(e, frontier.node == e.src)
@@ -542,7 +550,10 @@ def hierarchy_longest_path(
                 F.concat(F.col("visited"), F.array(F.col("dst"))).alias("visited"),
             )
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        since_ckpt += 1
+        if since_ckpt >= _CKPT_EVERY:
+            nxt = nxt.localCheckpoint(eager=True)
+            since_ckpt = 0
         if nxt.isEmpty():
             break
         all_paths = all_paths.union(nxt)

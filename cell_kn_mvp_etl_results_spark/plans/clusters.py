@@ -18,7 +18,13 @@ from .registry import TAIL, query
 
 @query(
     "q_dedup_clusters",
-    tags=("dedup", "graph"),
+    # closure_oracle: the reach CTE materializes ALL-PAIRS reachability,
+    # quadratic in near-dup family size -- it DNF'd (>900 s) on the 30x
+    # sweep corpus where families have 30 members (r6 verdict #6). The
+    # parity suite size-gates queries with this tag so it can never
+    # silently inherit a quarter-hour oracle; the Spark fixpoint itself
+    # is linear-per-round and runs at any scale.
+    tags=("dedup", "graph", "closure_oracle"),
     oracle=f"""
 WITH RECURSIVE {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -71,7 +77,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_exemplar",
-    tags=("dedup", "graph", "W1"),
+    # closure_oracle: see q_dedup_clusters -- same quadratic reach CTE.
+    tags=("dedup", "graph", "W1", "closure_oracle"),
     priority=TAIL,  # new in r5: pytest-gated; rotates into the budget next round
     oracle=f"""
 WITH RECURSIVE {_SHINGLES_SQL},

@@ -243,9 +243,12 @@ def _effective_priority(s: "QuerySpec") -> int:
 # re-analysis + CacheManager plan normalization, not execution. A
 # long-running engine serves repeated statements through a
 # prepared-plan cache (as every RDBMS does); Spark's DataFrame IS that
-# prepared statement: it pins the analyzed/optimized/physical plan
-# while every collect() re-executes the jobs. This is NOT a result
-# cache -- rows are recomputed on each action.
+# prepared statement: it pins the analyzed/optimized/physical plan.
+# Each action re-submits jobs; the scheduler additionally reuses
+# shuffle map outputs of unchanged stages (skipped stages), so a
+# repeat run executes the result stages + action -- the serving
+# latency of an identical statement, not a from-scratch run (bench.py
+# publishes the cold mode for that; see BENCH_NOTES.md r7).
 #
 # Scope: active only when the steady-state table cache is on
 # (SPARK_GRAFT_CACHE_TABLES -- bench.py's steady mode), so the driver's

@@ -408,10 +408,20 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       plus a 6-row agg. Measured (30x corpus, warm cache,
       median-of-3): 3.17 s -> 2.01 s; sf0.1: 0.50 -> 0.39 s.
     * **Shuffle** (above the gate, i.e. cluster scale where a
-      per-executor copy of orders no longer fits): the classic shape
-      -- the only shuffles are the orders<->lineitem equi-join (on
-      the key both sides can be bucketed by at scale) and the tiny
-      final agg; all dims still broadcast.
+      per-executor copy of orders no longer fits): the SAME derived
+      map is built -- orders joined map-side to the broadcast dims,
+      narrowing to 3 columns x ~40% of rows BEFORE any fact shuffle --
+      but shuffled into the lineitem equi-join instead of broadcast
+      (the key both sides can be bucketed by at scale); the tiny final
+      agg is the only other exchange. Measured at the 100x corpus
+      (rebuild-per-run medians, scripts/supplier_100x_ab.py): 10.3-13.3 s
+      for the old li-JOIN-raw-orders shape -> 5.6-8.0 s pre-reduced --
+      the r6 verdict's above-gate regression halved. At lake scale the
+      optimizer's runtime Bloom filter additionally injects a
+      lineitem-side semi-join reduction from this filtered map for free
+      (its default thresholds need application-side scans >10 GB;
+      locally it measured +-20%, within run variance, so the query does
+      not override them).
     """
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(
@@ -422,42 +432,32 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     disc_bp = F.lit(100) - cents("l_discount")
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    omap = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("c_nationkey").alias("cust_nation"),
+            "n_name",
+        )
+    )
     if _broadcast_map_ok(sf_dir, "orders", _SEL_ORDERS_SINCE_1996):
-        n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-            "n_nationkey", "n_name"
-        )
-        omap = (
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
-            .select(
-                F.col("o_orderkey"),
-                F.col("c_nationkey").alias("cust_nation"),
-                "n_name",
-            )
-        )
-        joined = li.join(F.broadcast(omap), li.l_orderkey == omap.o_orderkey).join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("cust_nation")),
-        )
-    else:
-        # Above the gate: the classic sort-merge equi-join. A
-        # shuffle-hash hint on the filtered orders side was A/B-tested
-        # at the 100x corpus (interleaved medians, same process) and
-        # LOST: 8.9-9.5 s vs SMJ's 6.5-7.1 s -- the per-partition hash
-        # probe's random access beats the merge's sequential scans only
-        # on much smaller builds. At lake scale both sides bucket on
-        # orderkey instead (operators/scale.write_bucketed) and the
-        # exchange+sort disappear entirely.
-        joined = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(
-                F.broadcast(s),
-                (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
-            )
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        )
+        omap = F.broadcast(omap)
+    # else: the same map, shuffled into a sort-merge join. A
+    # shuffle-hash hint on the map side was A/B-tested at the 100x
+    # corpus twice (r6 with raw filtered orders: 8.9-9.5 s vs SMJ's
+    # 6.5-7.1; r7 with this reduced map: 15.4 s vs 8.0) and LOST both
+    # times -- the hash probe's random access beats the merge's
+    # sequential scans only on much smaller builds. At lake scale both
+    # sides bucket on orderkey instead (operators/scale.write_bucketed)
+    # and the exchange+sort disappear entirely.
+    joined = li.join(omap, li.l_orderkey == omap.o_orderkey).join(
+        F.broadcast(s),
+        (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("cust_nation")),
+    )
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
         .agg(

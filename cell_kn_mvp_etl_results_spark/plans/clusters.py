@@ -148,3 +148,100 @@ def q_dedup_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# Same assignment as q_semantic_clusters (oracle-verified integer
+# Lloyd); SemDeDup consumes the (vec_id, cluster) columns of it.
+from .extended2 import _kmeans_oracle  # noqa: E402
+
+_semdedup_kmeans_oracle = _kmeans_oracle(k=8, iters=2, dim=64, quantize=4)
+
+
+@query(
+    "q_semdedup",
+    tags=("dedup", "similarity", "cluster"),
+    priority=TAIL,  # new in r7: pytest-gated; rotates into the budget next round
+    oracle=f"""
+WITH res AS (
+{_semdedup_kmeans_oracle}
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings
+),
+nv AS (SELECT vec_id, v, list_dot_product(v, v) AS norm FROM qv),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM res a
+  JOIN res b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN nv na ON na.vec_id = a.vec_id
+  JOIN nv nb ON nb.vec_id = b.vec_id
+  WHERE list_dot_product(na.v, nb.v) / sqrt(na.norm * nb.norm) >= 0.35
+)
+SELECT r.vec_id, CAST(r.cluster AS BIGINT) AS cluster,
+       (d.dup_id IS NULL) AS kept
+FROM res r LEFT JOIN dups d ON d.dup_id = r.vec_id
+ORDER BY vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partitioning + WITHIN-CLUSTER cosine.
+    A vector is dropped when a lower-id member of its own semantic
+    cluster is within cosine >= 0.35 (quantized-integer scoring, so the
+    verdict is engine-exact); cluster assignment is the oracle-verified
+    integer Lloyd of q_semantic_clusters.
+
+    Scale posture: the clustering bounds candidate generation -- pairs
+    form only inside a cluster, shuffled on the cluster id, never
+    across the corpus (the paper's reason for pre-clustering: k is
+    chosen so clusters hold ~thousands of items, making in-cluster
+    pairing tractable at web scale while cross-cluster near-dups are
+    rare by construction). The keep-rule anti-join is a broadcast of
+    the (small) dup-id set at these sizes and stays an equi-join at
+    any size.
+    """
+    from ..operators.clustering import kmeans_integer
+    from ..operators.similarity import _quantized, dot
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    asg = kmeans_integer(
+        emb, "vec_id", "embedding", k=8, iters=2, quantize=4
+    ).select(F.col("id").alias("vec_id"), "cluster")
+    nv = emb.select(
+        "vec_id", _quantized(F.col("embedding"), 4).alias("v")
+    ).select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("norm"))
+    m = asg.join(nv, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("v").alias("a_v"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("v").alias("b_v"),
+        F.col("norm").alias("b_norm"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            dot(F.col("a_v"), F.col("b_v"))
+            / F.sqrt(F.col("a_norm") * F.col("b_norm"))
+            >= 0.35
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.join(dups.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("_dup").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train_merges", "SEP"]
+__all__ = ["bpe_train_merges", "bpe_apply", "SEP"]
 
 SEP = "\x1f"  # unit separator: fences every symbol in the seq encoding
 
@@ -194,4 +194,61 @@ def bpe_segment_counts(
             F.sum("n_sub").alias("n_subwords"),
         )
         .orderBy(group_col)
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment a corpus under a PRE-TRAINED merge list -- the production
+    apply path (training happens once, offline; a 100 TB tokenization
+    job ships only the merge table). ``merges`` rows are
+    (step, left, right[, ...]) as returned by ``bpe_train_merges``
+    (extra columns ignored).
+
+    Returns (id_col, subwords array<string>, n_subwords) per document
+    row, whitespace-pretokenized like training and in document token
+    order (position-keyed reassembly -- collect_list alone would be
+    shuffle-order-dependent). Application is VOCABULARY-level: each
+    distinct word is segmented once by a chain of ``n_merges`` literal
+    map-side replaces (zero shuffle beyond the word-dedup agg), then
+    occurrences re-join the segmentation -- corpus bytes never pass
+    through the rewrite chain. The merge chain is applied in training
+    order, which reproduces the learned segmentation exactly (canonical
+    BPE apply semantics).
+    """
+    ordered = sorted(merges, key=lambda m: m[0])
+    seq = _initial_seq(F.col("word"))
+    for m in ordered:
+        l, r = m[1], m[2]
+        seq = F.replace(
+            seq,
+            F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+            F.lit(f"{SEP}{l}{r}{SEP}"),
+        )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(
+                F.trim(F.lower(F.translate(F.col(text_col), SEP, ""))),
+                r"\s+",
+            )
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab = toks.select("word").distinct().select("word", seq.alias("seq"))
+    subs = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP)
+    seg = vocab.select("word", subs.alias("subwords"))
+    by_pos = F.array_sort(F.collect_list(F.struct("pos", "subwords")))
+    return (
+        toks.join(seg, "word")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.flatten(
+                F.transform(by_pos, lambda s: s["subwords"])
+            ).alias("subwords"),
+            F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
+        )
     )

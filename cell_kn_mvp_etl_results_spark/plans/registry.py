@@ -268,7 +268,14 @@ def _memoized(name: str, fn: Builder) -> Builder:
     @functools.wraps(fn)
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "")
-        if not mode:
+        # SPARK_GRAFT_PLAN_CACHE=0 disables the prepared-plan reuse
+        # while keeping the table cache -- the rebuild-per-run regime
+        # every pre-r7 steady measurement used; scale sweeps use it for
+        # round-over-round comparability (BENCH_NOTES r7).
+        if not mode or os.environ.get("SPARK_GRAFT_PLAN_CACHE", "1") in (
+            "0",
+            "false",
+        ):
             return fn(spark, sf_dir)
         from ..sources.readers import TABLES, _fingerprint
 

@@ -59,3 +59,50 @@ def test_bpe_exhausts_pairs_gracefully(spark):
     # single-char vocabulary: no pairs exist, training stops early
     out = bpe_train_merges(_docs(spark, ["a b c a"]), n_merges=5).collect()
     assert out == []
+
+
+def _iddocs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_bpe_apply_reproduces_training_segmentation(spark):
+    from cell_kn_mvp_etl_results_spark.operators.bpe import bpe_apply
+
+    texts = ["the quick brown fox", "the lazy dog the end", "quick quick"]
+    merges = [tuple(r) for r in bpe_train_merges(_docs(spark, texts), n_merges=4).collect()]
+    out = {
+        r.doc_id: (list(r.subwords), r.n_subwords)
+        for r in bpe_apply(_iddocs(spark, texts), merges).collect()
+    }
+    # every doc present; subword concatenation reproduces the tokens in
+    # document order; n_subwords consistent
+    for i, text in enumerate(texts):
+        subwords, n = out[i]
+        assert n == len(subwords)
+        joined = "".join(subwords)
+        assert joined == text.replace(" ", "")
+    # the learned merges actually merged something: at least one
+    # multi-char subword appears
+    assert any(len(s) > 1 for sw, _ in out.values() for s in sw)
+
+
+def test_bpe_apply_order_and_partition_invariant(spark):
+    from cell_kn_mvp_etl_results_spark.operators.bpe import bpe_apply
+
+    texts = ["aa ab aa ba", "ab aa"]
+    merges = [tuple(r) for r in bpe_train_merges(_docs(spark, texts), n_merges=2).collect()]
+    a = {r.doc_id: list(r.subwords) for r in bpe_apply(_iddocs(spark, texts), merges).collect()}
+    b = {
+        r.doc_id: list(r.subwords)
+        for r in bpe_apply(_iddocs(spark, texts).repartition(5), merges).collect()
+    }
+    assert a == b  # position-keyed reassembly, not shuffle order
+
+
+def test_bpe_apply_empty_merges_is_characters(spark):
+    from cell_kn_mvp_etl_results_spark.operators.bpe import bpe_apply
+
+    out = bpe_apply(_iddocs(spark, ["ab c"]), []).collect()
+    assert list(out[0].subwords) == ["a", "b", "c"]

@@ -48,6 +48,15 @@ def test_memo_hit_and_rows_recomputed(spark, sf_dir, cache_mode):
     assert r1 == r2 and len(r1) > 0
 
 
+def test_memo_knob_disables_reuse(spark, sf_dir, cache_mode):
+    os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
+    try:
+        b = REGISTRY["q_pricing_summary"].builder
+        assert b(spark, sf_dir) is not b(spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_PLAN_CACHE"]
+
+
 def test_memo_invalidates_on_table_rewrite(spark, sf_dir, cache_mode, tmp_path):
     # Copy the sf dir so we can touch a file without mutating testdata.
     local = tmp_path / "sf"

@@ -29,6 +29,15 @@ def cache_mode():
     else:
         os.environ["SPARK_GRAFT_CACHE_TABLES"] = old
     _PLAN_CACHE.clear()
+    # Restoring the env is not enough: persist() registered the table
+    # plans in Spark's CacheManager, which plan-matches LATER identical
+    # reads to InMemoryRelation -- leaking cached scans into subsequent
+    # tests (test_plan_quality asserts PushedFilters on a parquet scan).
+    from cell_kn_mvp_etl_results_spark.sources.readers import _PERSISTED
+
+    for _fp, df in _PERSISTED.values():
+        df.unpersist()
+    _PERSISTED.clear()
 
 
 def test_memo_off_by_default(spark, sf_dir):

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_integer"]
+__all__ = ["kmeans_integer", "kmeans_fit"]
 
 
 def _sq_dist(vec: Column, centroid: list[int]) -> Column:
@@ -74,6 +74,25 @@ def kmeans_integer(
     driver: that is Lloyd's irreducible synchronization point, the same
     structure MLlib uses, and orders of magnitude under the 1M-row
     collect guard documented in sources/sinks.py.
+    """
+    assigned, _cents = kmeans_fit(emb, id_col, vec_col, k, iters, quantize)
+    return assigned.select("id", "cluster", "d2")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 4,
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """``kmeans_integer`` exposing the trained model: returns
+    (assignment DataFrame (id, q, cluster, d2) -- the quantized vector
+    column retained for downstream scoring -- and the FINAL centroids
+    as {cluster: [int components]}). The centroid table is what an IVF
+    index probes (similarity-search cells) and what a deployment
+    persists as the model artifact.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
@@ -116,10 +135,10 @@ def kmeans_integer(
         for j, posmap in by_cluster.items():
             cents[j] = [posmap[p] for p in range(len(posmap))]
         # clusters absent from by_cluster keep their previous centroid
-    out = assigned().select("id", "cluster", "d2")
+    out = assigned()
     # The driver syncs are done: release the cached quantization rather
     # than leaking one persisted relation per call. The returned plan
     # recomputes q's map-side projection once when the caller executes
     # it -- a scan-cost trade for not pinning executor storage.
     q.unpersist()
-    return out
+    return out, cents

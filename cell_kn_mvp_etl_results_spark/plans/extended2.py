@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as dd
 from ..sources.readers import read_table
@@ -228,13 +229,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank_integer(ed, "src", "dst", iters=3).orderBy("id")
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int, quantize: int) -> str:
-    """Generate the unrolled-CTE DuckDB twin of
-    ``operators/clustering.kmeans_integer`` (the PageRank-oracle
-    technique applied to Lloyd iterations): one distance/argmin/update
-    CTE triple per round, with empty clusters carrying their previous
-    centroid forward, and every arithmetic step the same exact integer
-    (or fixed-shape floor(double)) operation the Spark plan runs.
+def _kmeans_oracle_ctes(k: int, iters: int, dim: int, quantize: int) -> str:
+    """The CTE chain of the unrolled Lloyd oracle WITHOUT a final
+    select: q/qf (quantized corpus), c0/cf0 (lowest-id init),
+    d{r}/a{r}/u{r}/cf{r} per round, dfin (distances to the FINAL
+    centroids cf{iters}). Callers append their own tail (assignment,
+    exemplars, IVF probes) over qf / cf{iters} / dfin.
     """
     scale = 10**quantize
     parts = [
@@ -294,7 +294,22 @@ dfin AS (
          CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS d2
   FROM qf JOIN cf{iters} c USING (pos)
   GROUP BY qf.id, c.cluster
-)
+)"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int, quantize: int) -> str:
+    """Generate the unrolled-CTE DuckDB twin of
+    ``operators/clustering.kmeans_integer`` (the PageRank-oracle
+    technique applied to Lloyd iterations): one distance/argmin/update
+    CTE triple per round, with empty clusters carrying their previous
+    centroid forward, and every arithmetic step the same exact integer
+    (or fixed-shape floor(double)) operation the Spark plan runs.
+    """
+    return (
+        _kmeans_oracle_ctes(k, iters, dim, quantize)
+        + """
 SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, d2
 FROM (
   SELECT id, cluster, d2,
@@ -303,7 +318,6 @@ FROM (
 ) t WHERE rn = 1
 ORDER BY vec_id"""
     )
-    return "WITH" + ",".join(parts)
 
 
 @query(
@@ -375,6 +389,119 @@ def q_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("cluster", "rank")
+    )
+
+
+@query(
+    "q_ivf_topk",
+    tags=("similarity", "cluster"),
+    priority=TAIL,  # new in r7: pytest-gated; rotates into the budget next round
+    oracle=_kmeans_oracle_ctes(k=8, iters=2, dim=64, quantize=4)
+    + """,
+asg AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM dfin
+  ) t WHERE rn = 1
+),
+qd AS (
+  SELECT qf.id AS q_id, c.cluster,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS pd2
+  FROM qf JOIN cf2 c USING (pos)
+  WHERE qf.id < 10
+  GROUP BY qf.id, c.cluster
+),
+probes AS (
+  SELECT q_id, cluster FROM (
+    SELECT q_id, cluster,
+           row_number() OVER (PARTITION BY q_id ORDER BY pd2, cluster) AS rn
+    FROM qd
+  ) t WHERE rn <= 2
+),
+v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS q
+  FROM embeddings
+),
+nv AS (SELECT vec_id, q, list_dot_product(q, q) AS norm FROM v),
+scored AS (
+  SELECT p.q_id, a.id AS cand_id,
+         list_dot_product(nq.q, nc.q) / sqrt(nq.norm * nc.norm) AS score
+  FROM probes p
+  JOIN asg a ON a.cluster = p.cluster AND a.id != p.q_id
+  JOIN nv nq ON nq.vec_id = p.q_id
+  JOIN nv nc ON nc.vec_id = a.id
+)
+SELECT q_id, cand_id, rank, score
+FROM (
+  SELECT q_id, cand_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+) t WHERE rank <= 3
+ORDER BY q_id, rank
+""",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with a fully oracle-gated model: cells
+    are the deterministic integer-Lloyd clusters (kmeans_fit), each of
+    the first 10 vectors probes its n_probe=2 nearest cells by exact
+    integer centroid distance, and only those cells' members are scored
+    (quantized cosine, engine-exact). This is the production ANN layout
+    -- per query, scoring touches ~corpus * n_probe / k vectors, and
+    the candidate join broadcasts the tiny probe table so the corpus
+    never shuffles (assignment is a map-side argmin against centroid
+    literals). Recall < 1 by construction; tune with n_probe/k.
+    pyspark.ml's seeded KMeans (operators/similarity.ivf_index) is the
+    non-gated production alternative; this plan trades init flexibility
+    for bit-exact cross-engine verification.
+    """
+    from ..operators.clustering import _sq_dist, kmeans_fit
+    from ..operators.similarity import dot
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=8, iters=2, quantize=4
+    )
+    corpus = assigned.select(
+        F.col("id").alias("cand_id"),
+        "cluster",
+        F.col("q").alias("c_vec"),
+        dot(F.col("q"), F.col("q")).alias("c_norm"),
+    )
+    qv = assigned.filter(F.col("id") < 10).select(
+        F.col("id").alias("q_id"),
+        F.col("q").alias("q_vec"),
+        dot(F.col("q"), F.col("q")).alias("q_norm"),
+    )
+    cell_d = F.array(*[_sq_dist(F.col("q_vec"), cents[j]) for j in sorted(cents)])
+    wp = Window.partitionBy("q_id").orderBy("pd2", "cell")
+    probes = (
+        qv.select(
+            "q_id", "q_vec", "q_norm", F.posexplode(cell_d).alias("cell", "pd2")
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "q_vec", "q_norm", F.col("cell").alias("cluster"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.sqrt(F.col("q_norm") * F.col("c_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "cand_id", F.col("rank").cast("long").alias("rank"), "score")
+        .orderBy("q_id", "rank")
     )
 
 

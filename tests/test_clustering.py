@@ -143,3 +143,28 @@ def test_kmeans_k_exceeds_corpus(spark):
     assert len(res) == 3
     assert {r.cluster for r in res} <= {0, 1, 2}
     assert all(r.d2 == 0 for r in res)  # each vector is its own centroid
+
+
+def test_kmeans_fit_exposes_consistent_model(spark, sf_dir):
+    from cell_kn_mvp_etl_results_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_integer,
+    )
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1)
+    rows = assigned.collect()
+    assert set(cents) == set(range(4))
+    dim = len(rows[0].q)
+    assert all(len(c) == dim for c in cents.values())
+    # the exposed assignment is exactly kmeans_integer's
+    a = sorted((r.id, r.cluster, r.d2) for r in rows)
+    b = sorted(
+        map(tuple, kmeans_integer(emb, "vec_id", "embedding", k=4, iters=1).collect())
+    )
+    assert a == b
+    # each row's d2 equals the exact distance to its assigned centroid
+    for r in rows[:25]:
+        c = cents[r.cluster]
+        assert r.d2 == sum((int(x) - int(y)) ** 2 for x, y in zip(r.q, c))

@@ -159,7 +159,14 @@ _semdedup_kmeans_oracle = _kmeans_oracle(k=8, iters=2, dim=64, quantize=4)
 
 @query(
     "q_semdedup",
-    tags=("dedup", "similarity", "cluster"),
+    # smallscale_quadratic: with the oracle-pinned k=8, in-cluster pair
+    # count grows as (N/8)^2 in BOTH engines -- fine at the gate
+    # corpora, DNF territory on the 10x+ sweep corpora. The parity
+    # suite size-gates the tag; at scale SemDeDup chooses k ~ N/1000 so
+    # cluster sizes (and the pairing) stay constant, which the
+    # registered query cannot do because the unrolled-CTE oracle needs
+    # a literal k.
+    tags=("dedup", "similarity", "cluster", "smallscale_quadratic"),
     priority=TAIL,  # new in r7: pytest-gated; rotates into the budget next round
     oracle=f"""
 WITH res AS (

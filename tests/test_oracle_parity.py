@@ -53,20 +53,26 @@ def _normalize(rows, cols):
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
-    if "closure_oracle" in spec.tags:
-        # Transitive-closure oracles (reach CTE) are quadratic in
-        # near-dup family size: >900 s on the 30x sweep corpus. Bound
-        # the suite to corpora around the driver's correctness scale so
-        # a pointed SPARK_GRAFT_TEST_SF_DIR can never silently make this
-        # test a quarter-hour oracle run (r6 verdict #6).
-        import os
+    # Size guards (r6 verdict #6): some queries/oracles are quadratic
+    # past the gate scale -- transitive-closure oracles in near-dup
+    # family size (>900 s on the 30x corpus), fixed-k semdedup in
+    # corpus size (both engines). Bound the suite to corpora around the
+    # driver's correctness scale so a pointed SPARK_GRAFT_TEST_SF_DIR
+    # can never silently make this test a quarter-hour run.
+    _GUARDS = {
+        "closure_oracle": ("documents.parquet", 1_000_000),
+        "smallscale_quadratic": ("embeddings.parquet", 2_000_000),
+    }
+    for tag, (fname, cap) in _GUARDS.items():
+        if tag in spec.tags:
+            import os
 
-        sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-        if sz > 1_000_000:  # sf0.1 documents.parquet is ~0.6 MB
-            pytest.skip(
-                "closure oracle is quadratic in family size; gated to "
-                f"small corpora (documents.parquet {sz}B > 1MB)"
-            )
+            sz = os.path.getsize(os.path.join(sf_dir, fname))
+            if sz > cap:
+                pytest.skip(
+                    f"{tag} query is gated to small corpora "
+                    f"({fname} {sz}B > {cap}B)"
+                )
     sdf = spec.builder(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns

@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Checkpoint cadence of hierarchy_longest_path's frontier loop.
+# MEASURED (r7, scripts/hierarchy_ckpt_ab.py, 30x corpus, interleaved
+# medians): cadence 1 = 5.9 s, cadence 4 = 11.5 s -- the r6 verdict's
+# every-4-rounds suggestion is 2x SLOWER here and is rejected. Why:
+# every round already runs a blocking isEmpty probe, so deferring the
+# checkpoint saves no barrier; it only makes that probe, the next
+# rounds' joins, and the final union re-execute the uncheckpointed
+# join chain (the frontier is large while the depth is small, so
+# recompute dwarfs materialization). Per-round checkpointing keeps
+# each round's work exactly one join. The cadence stays a knob for
+# genuinely deep-and-narrow hierarchies, where the trade could flip.
+HIERARCHY_CKPT_EVERY = 1
+
+
 def split_term(term_col) -> tuple:
     """Split a term like ``CL_0000235`` into (coll, key) at the first
     ``_`` (reference key scheme: ``OntologyParserLoader.py:41-43``,
@@ -537,7 +551,6 @@ def hierarchy_longest_path(
     all_paths = frontier
     depth = 0
     since_ckpt = 0
-    _CKPT_EVERY = 4
     while depth < max_depth:
         nxt = (
             frontier.join(e, frontier.node == e.src)
@@ -551,7 +564,7 @@ def hierarchy_longest_path(
             )
         )
         since_ckpt += 1
-        if since_ckpt >= _CKPT_EVERY:
+        if since_ckpt >= HIERARCHY_CKPT_EVERY:
             nxt = nxt.localCheckpoint(eager=True)
             since_ckpt = 0
         if nxt.isEmpty():

@@ -106,3 +106,39 @@ def test_bpe_apply_empty_merges_is_characters(spark):
 
     out = bpe_apply(_iddocs(spark, ["ab c"]), []).collect()
     assert list(out[0].subwords) == ["a", "b", "c"]
+
+
+def test_bpe_apply_agrees_with_segment_counts(spark):
+    """The two apply paths -- in-query train+segment (bpe_segment_counts)
+    and pretrained-merge bpe_apply -- must report identical token
+    budgets for the same corpus and merge count."""
+    from cell_kn_mvp_etl_results_spark.operators.bpe import (
+        bpe_apply,
+        bpe_segment_counts,
+    )
+
+    rows = [
+        (0, "alpha", "the quick brown fox jumps"),
+        (1, "alpha", "the quick quick end"),
+        (2, "beta", "lazy dogs and lazy cats"),
+        (3, "beta", "the lazy end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    merges = [
+        tuple(r) for r in bpe_train_merges(df, "text", n_merges=4).collect()
+    ]
+    per_doc = bpe_apply(df, merges).collect()
+    by_src = {}
+    doc_src = {r[0]: r[1] for r in rows}
+    for r in per_doc:
+        s = doc_src[r.doc_id]
+        w, sub = by_src.get(s, (0, 0))
+        by_src[s] = (w + len([1 for _ in r.subwords]), sub + r.n_subwords)
+    counts = {
+        r.source: (r.n_words, r.n_subwords)
+        for r in bpe_segment_counts(df, "text", "source", n_merges=4).collect()
+    }
+    # n_subwords must match exactly per source
+    assert {s: v[1] for s, v in by_src.items()} == {
+        s: v[1] for s, v in counts.items()
+    }

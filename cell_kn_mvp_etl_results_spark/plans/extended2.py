@@ -576,7 +576,10 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle(
-    n_merges: int = 8, max_word_syms: int = 64, segment: bool = False
+    n_merges: int = 8,
+    max_word_syms: int = 64,
+    segment: bool = False,
+    pack_capacity: int | None = None,
 ) -> str:
     """Unrolled-CTE DuckDB twin of ``operators/bpe``: one (pair-count,
     argmax, rewrite) CTE triple per merge round over the same fenced
@@ -586,7 +589,9 @@ def _bpe_oracle(
     iterative training loop gateable. ``segment=False`` emits the merge
     table (bpe_train_merges); ``segment=True`` emits per-source
     (n_words, n_subwords) under the trained vocabulary
-    (bpe_segment_counts)."""
+    (bpe_segment_counts); ``pack_capacity`` instead emits per-document
+    subword counts packed into training sequences (the q_pack_sequences
+    cumsum over BPE token budgets -- the tokenize->pack pipeline)."""
     sep = "chr(31)"
     sepsep = f"{sep} || {sep}"
     rounds = []
@@ -625,7 +630,34 @@ w{t} AS (
         )
         prev = f"w{t}"
     chain = ",\n".join(rounds)
-    if segment:
+    if pack_capacity is not None:
+        cap = int(pack_capacity)
+        final = f""",
+seg AS (
+  SELECT word,
+         CAST(len(string_split(substr(seq, 2, len(seq) - 2), {sepsep}))
+              AS BIGINT) AS n_sub
+  FROM {prev}
+),
+doc_tok AS (
+  SELECT t.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS n_tokens
+  FROM toks t JOIN seg s USING (word)
+  GROUP BY t.doc_id
+),
+pos AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS p
+  FROM doc_tok
+)
+SELECT doc_id, n_tokens,
+       p // {cap} AS bin,
+       p % {cap} AS "offset"
+FROM pos
+ORDER BY doc_id"""
+    elif segment:
         # seg is one more CTE -> needs the comma after the chain
         final = f""",
 seg AS (
@@ -654,7 +686,7 @@ WITH toks AS (
   -- replace(chr(31)) mirrors the Spark tokenizer's fence-character
   -- strip (operators/bpe._tokens): a U+001F inside a word would be
   -- indistinguishable from a symbol boundary in the seq encoding.
-  SELECT source,
+  SELECT doc_id, source,
          unnest(string_split_regex(
            trim(lower(replace(text, {sep}, ''))), '\s+')) AS word
   FROM documents
@@ -708,3 +740,41 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return bpe_segment_counts(d, "text", "source", n_merges=8)
+
+
+@query(
+    "q_tokenize_pack",
+    tags=("text", "tokenizer", "packing"),
+    priority=TAIL,  # new in r7: pytest-gated; rotates into the budget next round
+    oracle=_bpe_oracle(n_merges=8, pack_capacity=2048),
+)
+def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data job end to end: train the tokenizer
+    (8 BPE merges), count each document's EXACT subword budget at the
+    vocabulary level (each distinct word segments once; occurrences
+    join), and pack documents contiguously into 2048-token training
+    sequences in content-hash order (the scalable two-level prefix sum
+    of operators/packing -- no global sort). Returns per document
+    (doc_id, n_tokens, bin, offset): which training sequence it starts
+    in and where. The whole pipeline is one lazy plan after the 8
+    driver-synced merge rounds; the oracle replays it as the BPE CTE
+    chain feeding the naive single-window cumsum.
+    """
+    from ..operators import packing as pk
+    from ..operators.bpe import SEP, _tokens, _train
+
+    d = read_table(spark, sf_dir, "documents")
+    _merges, vocab = _train(d, "text", 8, 64)
+    n_sub = F.size(
+        F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP)
+    )
+    seg = vocab.select("word", n_sub.cast("long").alias("n_sub"))
+    doc_tok = (
+        _tokens(d, "text", (F.col("doc_id"),))
+        .join(seg, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_tokens"))
+    )
+    return pk.pack_sequences(
+        doc_tok, "doc_id", F.col("n_tokens"), capacity=2048
+    ).orderBy("doc_id")

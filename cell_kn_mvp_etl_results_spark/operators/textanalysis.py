@@ -621,3 +621,142 @@ def tfidf_keywords(
         .filter(F.col("rnk") <= top_k)
         .select("id", "tok", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (the CCNet-style perplexity filter).
+# ---------------------------------------------------------------------------
+
+# Stupid-backoff constants, expressed in the integer floor-log2 cost
+# domain used across this package (tfidf_keywords, corpus_logfreq_score):
+# an unseen bigram backs off to the unigram cost plus a flat penalty
+# (~ discount of 2^-4); an out-of-vocabulary token costs a flat 40 bits
+# (~ P = 2^-40, far below any in-vocabulary cost on real corpora).
+LM_BACKOFF_PENALTY = 4
+LM_OOV_COST = 40
+
+
+def _bl(col: Column) -> Column:
+    """floor(log2(n)) of a positive integer count -- exact in every
+    engine (log2 is correctly rounded at its only floor boundaries, the
+    powers of two, which are exactly representable)."""
+    return F.floor(F.log2(col)).cast("long")
+
+
+def bigram_rows(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """(id, w1, w2) adjacent-token pairs per document, built by a pure
+    projection (transform over sequence + explode) -- no window, no
+    shuffle; documents with fewer than two tokens emit nothing."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    n = F.size("toks")
+    bi = F.transform(
+        # sequence() with stop < start counts DOWN, so the n >= 2 filter
+        # below is load-bearing, not defensive.
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    return (
+        toked.filter(n >= 2)
+        .select("id", F.explode(bi).alias("b"))
+        .select("id", "b.w1", "b.w2")
+    )
+
+
+def ngram_lm_model(
+    train: "DataFrame", id_col: str, text_col: str
+) -> tuple["DataFrame", "DataFrame"]:
+    """Train a bigram stupid-backoff LM with integer-bit costs.
+
+    Returns (pair_model, unigram_model):
+      pair_model(w1, w2, pair_cost)   -- cost of a SEEN bigram,
+          floor(log2 c(w1)) - floor(log2 c(w1 w2))  ~ -log2 P(w2|w1);
+      unigram_model(w2, backoff_cost) -- cost of backing off to the
+          unigram, floor(log2 N) - floor(log2 c(w2)) ~ -log2 P(w2),
+          with N the training token count folded in at train time (a
+          1-row broadcast here so scoring pays no extra join).
+
+    All costs are exact small integers (see _bl), so downstream sums
+    are order-independent and engine-identical -- a float log-prob
+    would hash-differ across libms. Scale shape: two vocabulary-sized
+    aggregations (shuffles on token / pair) and one vocab-side hash
+    join; nothing scales with document count after the aggregations.
+    """
+    uni_rows = train.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    uni = uni_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(_bl(F.sum("c")).alias("bl_n"))
+    unigram_model = uni.crossJoin(F.broadcast(total)).select(
+        F.col("tok").alias("w2"),
+        (F.col("bl_n") - _bl(F.col("c"))).alias("backoff_cost"),
+    )
+    big = (
+        bigram_rows(train, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    pair_model = big.join(
+        uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1"
+    ).select(
+        "w1", "w2", (_bl(F.col("c1")) - _bl(F.col("c12"))).alias("pair_cost")
+    )
+    return pair_model, unigram_model
+
+
+def ngram_lm_score(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    pair_model: "DataFrame",
+    unigram_model: "DataFrame",
+    backoff_penalty: int = LM_BACKOFF_PENALTY,
+    oov_cost: int = LM_OOV_COST,
+) -> "DataFrame":
+    """Score documents against a trained bigram LM (ngram_lm_model):
+    per document the total and mean integer-bit cost, plus how many
+    bigrams backed off or hit out-of-vocabulary tokens. Low mean_cost =
+    predictable text (boilerplate); high = rare-token garbage -- the
+    decision axis of a CCNet-style perplexity filter.
+
+    Scale shape: two hash equi-joins against vocabulary-sized models
+    (broadcastable under AQE when the vocabulary is small; plain
+    shuffle joins on w1/w2 and w2 otherwise -- never keyed on the
+    document), then one per-document aggregation. Documents with fewer
+    than two tokens have no bigrams and are excluded, mirroring
+    bigram_rows.
+    """
+    rows = bigram_rows(df, id_col, text_col)
+    scored = (
+        rows.join(pair_model, ["w1", "w2"], "left")
+        .join(unigram_model, "w2", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("pair_cost"),
+                F.lit(backoff_penalty) + F.col("backoff_cost"),
+                F.lit(oov_cost),
+            ).alias("cost"),
+            F.when(
+                F.col("pair_cost").isNull() & F.col("backoff_cost").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("bo"),
+            F.when(
+                F.col("pair_cost").isNull() & F.col("backoff_cost").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("oov"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cost").alias("sum_cost"),
+        F.sum("bo").cast("long").alias("n_backoff"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        (F.sum("cost") / F.count(F.lit(1))).alias("mean_cost"),
+    )

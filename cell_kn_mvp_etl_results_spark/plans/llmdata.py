@@ -1616,3 +1616,111 @@ def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.contaminated_spans(
         train, bench, "doc_id", "text", k=3
     ).orderBy("id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring and cross-corpus near-dup decontamination (new in
+# r7 -- past the r7 gate set; pytest-oracle-checked now, driver rows
+# via the r8 rotation like every prior round's additions).
+# ---------------------------------------------------------------------------
+
+# Content-addressed 5% holdout split (the same split q_decontaminate /
+# q_contaminated_spans use inline): deterministic, engine-portable.
+_HOLDOUT_SQL = r"""
+holdout AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('holdout-' || doc_id), 1, 8))::BIGINT % 100 < 5
+)
+"""
+
+
+def _holdout_split(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(train, bench) by the content-addressed 5% holdout bucket."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("holdout-"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    with_b = d.withColumn("_holdout", bucket < 5)
+    return with_b.filter(~F.col("_holdout")), with_b.filter(F.col("_holdout"))
+
+
+@query(
+    "q_lm_score",
+    tags=("text", "quality", "lm"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+{_HOLDOUT_SQL.strip()},
+uni_rows AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+  WHERE doc_id NOT IN (SELECT doc_id FROM holdout)
+),
+uni AS (SELECT tok, count(*) AS c FROM uni_rows GROUP BY tok),
+tot AS (
+  SELECT CAST(floor(log2(sum(c))) AS BIGINT) AS bl_n FROM uni
+),
+bi_rows AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 1
+),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi_rows
+  WHERE doc_id NOT IN (SELECT doc_id FROM holdout)
+  GROUP BY w1, w2
+),
+pair_model AS (
+  SELECT b.w1, b.w2,
+         CAST(floor(log2(u.c)) AS BIGINT)
+           - CAST(floor(log2(b.c12)) AS BIGINT) AS pair_cost
+  FROM big b JOIN uni u ON u.tok = b.w1
+),
+uni_model AS (
+  SELECT u.tok AS w2,
+         tot.bl_n - CAST(floor(log2(u.c)) AS BIGINT) AS backoff_cost
+  FROM uni u CROSS JOIN tot
+),
+scored AS (
+  SELECT d.doc_id,
+         coalesce(p.pair_cost, {ta.LM_BACKOFF_PENALTY} + um.backoff_cost,
+                  {ta.LM_OOV_COST}) AS cost,
+         CASE WHEN p.pair_cost IS NULL AND um.backoff_cost IS NOT NULL
+              THEN 1 ELSE 0 END AS bo,
+         CASE WHEN p.pair_cost IS NULL AND um.backoff_cost IS NULL
+              THEN 1 ELSE 0 END AS oov
+  FROM bi_rows d
+  LEFT JOIN pair_model p ON p.w1 = d.w1 AND p.w2 = d.w2
+  LEFT JOIN uni_model um ON um.w2 = d.w2
+)
+SELECT doc_id AS id,
+       count(*) AS n_bigrams,
+       CAST(sum(cost) AS BIGINT) AS sum_cost,
+       CAST(sum(bo) AS BIGINT) AS n_backoff,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       sum(cost) / count(*) AS mean_cost
+FROM scored
+GROUP BY doc_id
+ORDER BY id
+""",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM scoring (the CCNet-style perplexity
+    filter, operators/textanalysis.ngram_lm_model/ngram_lm_score): the
+    model trains on the 95% non-holdout split, then every document --
+    including the held-out 5%, which exercises the backoff and OOV
+    paths -- is scored in integer bits. Costs are exact integers
+    (floor-log2 doctrine), so sums are order-independent and the mean
+    is a single final IEEE division.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    train, _bench = _holdout_split(d)
+    pair_model, unigram_model = ta.ngram_lm_model(train, "doc_id", "text")
+    return ta.ngram_lm_score(
+        d, "doc_id", "text", pair_model, unigram_model
+    ).orderBy("id")

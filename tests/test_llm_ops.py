@@ -841,3 +841,48 @@ def test_minhash_lsh_uncapped_matches_capped(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_ngram_lm_known_costs(spark):
+    # Train: a=3, b=3, N=6 -> bl_n=2; backoff(a)=backoff(b)=2-1=1.
+    # Pairs: (a,a):1 cost bl(3)-bl(1)=1; (a,b):2 cost 1-1=0; (b,b):1 cost 1.
+    train = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b")], "doc_id long, text string"
+    )
+    pair_m, uni_m = ta.ngram_lm_model(train, "doc_id", "text")
+    assert {(r.w1, r.w2): r.pair_cost for r in pair_m.collect()} == {
+        ("a", "a"): 1,
+        ("a", "b"): 0,
+        ("b", "b"): 1,
+    }
+    assert {r.w2: r.backoff_cost for r in uni_m.collect()} == {"a": 1, "b": 1}
+
+    score = spark.createDataFrame(
+        [
+            (10, "a b c a"),  # (a,b)=0 seen; (b,c)=OOV 40; (c,a)=backoff 4+1
+            (11, "b"),  # single token -> no bigrams -> excluded
+            (12, "a a"),  # (a,a)=1 seen
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in ta.ngram_lm_score(
+            score, "doc_id", "text", pair_m, uni_m
+        ).collect()
+    }
+    assert set(out) == {10, 12}
+    assert (out[10].n_bigrams, out[10].sum_cost) == (3, 45)
+    assert (out[10].n_backoff, out[10].n_oov) == (1, 1)
+    assert out[10].mean_cost == 15.0
+    assert (out[12].n_bigrams, out[12].sum_cost, out[12].mean_cost) == (1, 1, 1.0)
+
+
+def test_ngram_lm_self_scoring_never_backs_off(spark):
+    d = docs(spark)
+    pair_m, uni_m = ta.ngram_lm_model(d, "doc_id", "text")
+    out = ta.ngram_lm_score(d, "doc_id", "text", pair_m, uni_m)
+    agg = out.agg(
+        F.sum("n_backoff").alias("bo"), F.sum("n_oov").alias("oov")
+    ).collect()[0]
+    assert (agg.bo, agg.oov) == (0, 0)

@@ -442,11 +442,13 @@ def minhash_signatures(
 
 
 def lsh_band_buckets(
-    sigs_wide: DataFrame, num_perm: int = 32, bands: int = 8
+    sigs_wide: DataFrame, num_perm: int = 32, bands: int = 8, carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """Banding over wide signatures: (id, band, bucket) with bucket the
     md5 of the band's ordered minhash values. Pure projection + explode
-    (no shuffle): each band's bucket is a slice of the sig array."""
+    (no shuffle): each band's bucket is a slice of the sig array.
+    ``carry`` names extra columns to keep alongside (e.g. the signature
+    itself), so callers never need a post-banding re-join."""
     rows = num_perm // bands
     band_bucket = F.array(
         *[
@@ -466,8 +468,8 @@ def lsh_band_buckets(
         ]
     )
     return sigs_wide.select(
-        "id", F.explode(band_bucket).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+        "id", *carry, F.explode(band_bucket).alias("bb")
+    ).select("id", *carry, "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(
@@ -562,6 +564,61 @@ def minhash_lsh_pairs(
         .select(
             "id_a", "id_b", (matches / F.lit(float(num_perm))).alias("est_jaccard")
         )
+    )
+
+
+def minhash_cross_match(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus NEAR-dup decontamination: (id, bench_id,
+    est_jaccard) for every corpus document that LSH-collides with a
+    benchmark document. The exact-n-gram overlap probe (decontaminate)
+    misses paraphrased or partially-edited benchmark leaks; this is the
+    MinHash analogue that catches them.
+
+    Scale shape -- built for an asymmetric pair (100 TB corpus, MB-GB
+    benchmark): the benchmark's band buckets AND signatures are one
+    broadcast map; the corpus side computes signatures map-side
+    (minhash_signatures_wide: zero shuffles), probes the broadcast per
+    band, and scores the estimated Jaccard in the same projection --
+    so the ONLY corpus-sized shuffle is the final (id, bench_id)
+    dedup across bands, over collision rows alone. A hot boilerplate
+    bucket inflates collision rows (time), never one task's memory:
+    the dedup is a count-free first-value aggregation.
+    """
+    c_sigs = minhash_signatures_wide(corpus, id_col, text_col, num_perm, shingle_n)
+    b_sigs = minhash_signatures_wide(bench, id_col, text_col, num_perm, shingle_n)
+    # Signatures ride along through the banding projection (carry=),
+    # so neither side pays a bucket->signature re-join shuffle.
+    b_payload = lsh_band_buckets(b_sigs, num_perm, bands, carry=("sig",)).select(
+        F.col("id").alias("bench_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("bench_sig"),
+    )
+    c_buckets = lsh_band_buckets(c_sigs, num_perm, bands, carry=("sig",))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("bench_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    collided = c_buckets.join(F.broadcast(b_payload), ["band", "bucket"]).select(
+        "id", "bench_id", (matches / F.lit(float(num_perm))).alias("est_jaccard")
+    )
+    # est_jaccard is identical for every band a pair collides in, so
+    # max() is a pure dedup (deterministic, bounded agg state).
+    return collided.groupBy("id", "bench_id").agg(
+        F.max("est_jaccard").alias("est_jaccard")
     )
 
 

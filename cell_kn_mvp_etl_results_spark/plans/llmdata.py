@@ -1634,17 +1634,19 @@ holdout AS (
 """
 
 
-def _holdout_split(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(train, bench) by the content-addressed 5% holdout bucket."""
+def _holdout_split(
+    d: DataFrame, salt: str = "holdout-", pct: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """(train, bench) by a content-addressed ``pct``% holdout bucket."""
     bucket = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit("holdout-"), F.col("doc_id"))), 1, 8),
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 8),
             16,
             10,
         ).cast("long")
         % 100
     )
-    with_b = d.withColumn("_holdout", bucket < 5)
+    with_b = d.withColumn("_holdout", bucket < pct)
     return with_b.filter(~F.col("_holdout")), with_b.filter(F.col("_holdout"))
 
 
@@ -1724,3 +1726,80 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.ngram_lm_score(
         d, "doc_id", "text", pair_model, unigram_model
     ).orderBy("id")
+
+
+def _cross_minhash_oracle(num_perm: int = 32, bands: int = 8) -> str:
+    """Same constants as dd.minhash_cross_match -- generated from
+    dd.minhash_perms so builder and oracle cannot drift (the
+    _minhash_oracle pattern, with the train/holdout candidate split).
+
+    The split is a 20% bucket under its own salt ('xdedup-'), NOT the
+    5% decontamination holdout: the near-dup pair population is sparse
+    enough at the gate scale (sf0.01) that a 5% split strands zero
+    pairs across the boundary, making the gate trivially green."""
+    perms_values = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, a, b in dd.minhash_perms(num_perm)
+    )
+    rows = num_perm // bands
+    p = dd.MINHASH_P
+    return f"""
+WITH {_SHINGLES_SQL},
+holdout AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('xdedup-' || doc_id), 1, 8))::BIGINT % 100 < 20
+),
+perms(i, a, b) AS (VALUES
+    {perms_values}
+),
+hashed AS (
+  SELECT sh.doc_id, perms.i,
+         (perms.a * (('0x' || substr(md5(sh.shingle), 1, 12))::BIGINT % {p})
+          + perms.b) % {p} AS h
+  FROM sh, perms
+),
+sig AS (SELECT doc_id, i, min(h) AS h FROM hashed GROUP BY doc_id, i),
+bucketed AS (
+  SELECT doc_id, i // {rows} AS band,
+         md5(string_agg(CAST(h AS VARCHAR), '-' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id, b.doc_id AS bench_id
+  FROM bucketed a
+  JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id NOT IN (SELECT doc_id FROM holdout)
+    AND b.doc_id IN (SELECT doc_id FROM holdout)
+)
+SELECT cand.id, cand.bench_id,
+       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / {float(num_perm)}
+         AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id
+JOIN sig sb ON sb.doc_id = cand.bench_id AND sb.i = sa.i
+GROUP BY 1, 2
+ORDER BY id, bench_id
+"""
+
+
+@query(
+    "q_cross_neardup",
+    tags=("dedup", "decontamination"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=_cross_minhash_oracle(),
+)
+def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NEAR-dup decontamination
+    (operators/dedup.minhash_cross_match): training documents that
+    MinHash-LSH-collide with the held-out 5% benchmark split, with
+    estimated Jaccard -- the paraphrase-tolerant complement of
+    q_decontaminate's exact n-gram probe. The benchmark's buckets and
+    signatures broadcast; the corpus is scored map-side and shuffles
+    only collision rows for the cross-band dedup. 20% split under its
+    own salt so crossing pairs exist at the gate scale (see
+    _cross_minhash_oracle).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    train, bench = _holdout_split(d, salt="xdedup-", pct=20)
+    return dd.minhash_cross_match(
+        train, bench, "doc_id", "text", num_perm=32, bands=8
+    ).orderBy("id", "bench_id")

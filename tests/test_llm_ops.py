@@ -886,3 +886,28 @@ def test_ngram_lm_self_scoring_never_backs_off(spark):
         F.sum("n_backoff").alias("bo"), F.sum("n_oov").alias("oov")
     ).collect()[0]
     assert (agg.bo, agg.oov) == (0, 0)
+
+
+def test_minhash_cross_match_flags_benchmark_neardups(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # = doc 1
+            (101, "unrelated benchmark prompt with novel words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id, r.bench_id): r.est_jaccard
+        for r in dd.minhash_cross_match(
+            corpus, bench, "doc_id", "text"
+        ).collect()
+    }
+    assert out[(1, 100)] == 1.0  # identical text -> identical signatures
+    assert (2, 100) not in out and (2, 101) not in out

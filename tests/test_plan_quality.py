@@ -253,3 +253,29 @@ def test_balanced_shards_no_global_sort_before_rank(spark, sf_dir):
     assert all("n_tokens" not in l or "_n" in l for l in range_exchanges) or (
         len(range_exchanges) <= 1
     )
+
+
+def test_cross_neardup_bench_side_broadcasts(spark, sf_dir):
+    """q_cross_neardup's bucket join must broadcast the benchmark side:
+    the corpus may shuffle only for the cross-band pair dedup (hash on
+    id+bench_id) and the final ordering -- never on (band, bucket)."""
+    plan = plan_of(spark, sf_dir, "q_cross_neardup")
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "band" not in line and "bucket" not in line, line
+
+
+def test_lm_score_models_never_key_on_document(spark, sf_dir):
+    """q_lm_score's scoring joins are keyed on vocabulary columns
+    (w1/w2), never on the document id: no exchange may hash-partition
+    on the id column except the final per-document aggregation."""
+    plan = plan_of(spark, sf_dir, "q_lm_score")
+    assert "CartesianProduct" not in plan
+    id_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "id#" in line
+    ]
+    # exactly the one per-document aggregation exchange
+    assert len(id_exchanges) <= 1, id_exchanges

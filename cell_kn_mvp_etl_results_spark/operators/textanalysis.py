@@ -760,3 +760,62 @@ def ngram_lm_score(
         F.sum("oov").cast("long").alias("n_oov"),
         (F.sum("cost") / F.count(F.lit(1))).alias("mean_cost"),
     )
+
+
+def corpus_card(
+    df: "DataFrame", id_col: str, text_col: str, by: str = "source"
+) -> "DataFrame":
+    """Per-stratum dataset card -- the summary table a curation run
+    publishes next to its output shards: document and token volume,
+    mean and exact lower-median document length, exact-duplicate
+    volume (distinct normalized-content fingerprints), and language
+    spread. One row per ``by`` stratum.
+
+    Scale shape: one narrow per-document projection (token count +
+    md5 fingerprint, no shuffle), then one groupBy(by) with two
+    distinct-aggregates (Catalyst plans them as a single expand --
+    rows x2, still linear and map-side partial) and one
+    window-ranked median per stratum. Everything is keyed on the
+    stratum, never the document; mean is a single final IEEE division
+    over exact integers (determinism doctrine).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import exact_fingerprint
+
+    sig = df.select(
+        F.col(by).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.col("lang"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        exact_fingerprint(text_col).alias("fp"),
+    )
+    wp = Window.partitionBy("stratum")
+    med = (
+        sig.select(
+            "stratum",
+            "n_tokens",
+            F.row_number().over(wp.orderBy("n_tokens", "id")).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("stratum", F.col("n_tokens").alias("median_tokens"))
+    )
+    agg = sig.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_tokens"),
+        F.count_distinct("fp").alias("n_unique_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_dup_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return agg.join(med, "stratum").select(
+        F.col("stratum").alias(by),
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+        "median_tokens",
+        "n_unique_docs",
+        "n_dup_docs",
+        "n_langs",
+    )

@@ -1803,3 +1803,53 @@ def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_cross_match(
         train, bench, "doc_id", "text", num_perm=32, bands=8
     ).orderBy("id", "bench_id")
+
+
+@query(
+    "q_corpus_card",
+    tags=("text", "report"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH sig AS (
+  SELECT source,
+         doc_id,
+         lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+           AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+med AS (
+  SELECT source, n_tokens AS median_tokens
+  FROM (
+    SELECT source, n_tokens,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_tokens, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS cnt
+    FROM sig
+  )
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT s.source,
+       count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+       sum(s.n_tokens) / count(*) AS mean_tokens,
+       min(m.median_tokens) AS median_tokens,
+       count(DISTINCT s.fp) AS n_unique_docs,
+       count(*) - count(DISTINCT s.fp) AS n_dup_docs,
+       count(DISTINCT s.lang) AS n_langs
+FROM sig s JOIN med m USING (source)
+GROUP BY s.source
+ORDER BY s.source
+""",
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (operators/textanalysis.corpus_card):
+    document/token volume, mean and exact lower-median length,
+    exact-duplicate volume, language spread -- the summary a curation
+    run publishes next to its shards. Keyed on the source stratum
+    end-to-end; the mean is one final IEEE division over exact
+    integers.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ta.corpus_card(d, "doc_id", "text", by="source").orderBy("source")

@@ -911,3 +911,24 @@ def test_minhash_cross_match_flags_benchmark_neardups(spark):
     }
     assert out[(1, 100)] == 1.0  # identical text -> identical signatures
     assert (2, 100) not in out and (2, 101) not in out
+
+
+def test_corpus_card_known_values(spark):
+    rows = [
+        # source a: lengths 2,3,4 -> median 3; docs 2+3 are exact dups
+        (1, "x y", "en", "a"),
+        (2, "p q r", "en", "a"),
+        (3, "P  q R", "fr", "a"),  # normalizes to doc 2's content
+        (4, "w w w w", "en", "a"),
+        # source b: single doc
+        (5, "only one document here", "de", "b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in ta.corpus_card(d, "doc_id", "text").collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_tokens, a.median_tokens) == (4, 12, 3)
+    assert a.mean_tokens == 3.0
+    assert (a.n_unique_docs, a.n_dup_docs, a.n_langs) == (3, 1, 2)
+    assert (b.n_docs, b.n_tokens, b.n_unique_docs, b.n_dup_docs, b.n_langs) == (
+        1, 4, 1, 0, 1,
+    )

@@ -90,6 +90,7 @@ def cosine_topk_arrow(
     vec_col: str = "embedding",
     k: int = 5,
     quantize: int | None = 4,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched cosine top-k: the query matrix (small) is captured
     in the closure; each corpus Arrow batch is scored against it with
@@ -102,15 +103,25 @@ def cosine_topk_arrow(
     bit-identical to any other summation order -- including the SQL
     oracle's. Final score = dot/sqrt(nq*nc), same IEEE shape as the
     expression implementation.
+
+    ``exclude_label_col``: when set, candidates sharing the query's
+    value in that column are masked out alongside the self-match --
+    the hard-negative-mining variant (per query, the most similar
+    vectors of a DIFFERENT class). Same plan shape: the mask is one
+    more vectorized compare inside the batch scorer.
     """
     import numpy as np
     import pandas as pd
 
     scale = float(10 ** quantize) if quantize is not None else None
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_cols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
+    q_rows = queries.select(*q_cols).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_labels = (
+        np.array([r[2] for r in q_rows], dtype=object) if exclude_label_col else None
+    )
     if scale is not None:
         q_mat = np.round(q_mat * scale)
     q_norm = (q_mat * q_mat).sum(axis=1)
@@ -132,6 +143,9 @@ def cosine_topk_arrow(
             # |corpus|*|q|. Exact under the (score desc, cand_id asc)
             # total order: a global top-k row is a batch top-k row.
             scores[c_ids[:, None] == q_ids[None, :]] = -np.inf  # self
+            if q_labels is not None:
+                c_labels = pdf[exclude_label_col].to_numpy(dtype=object)
+                scores[c_labels[:, None] == q_labels[None, :]] = -np.inf
             kk = min(k, scores.shape[0])
             out_q, out_c, out_s = [], [], []
             for j in range(scores.shape[1]):
@@ -148,7 +162,9 @@ def cosine_topk_arrow(
                 }
             )
 
-    corpus = emb.select(id_col, vec_col)
+    corpus = emb.select(
+        id_col, vec_col, *([exclude_label_col] if exclude_label_col else [])
+    )
     # Arrow-batch sizing: each partition is one Python-worker round trip,
     # and a matmul over a few hundred rows cannot amortize that. Merge
     # small corpora into ~8MB batches (driver-side plan stats, no job);

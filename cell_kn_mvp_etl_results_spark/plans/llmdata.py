@@ -1853,3 +1853,113 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     return ta.corpus_card(d, "doc_id", "text", by="source").orderBy("source")
+
+
+@query(
+    "q_hard_negatives",
+    tags=("similarity", "training"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings WHERE vec_id < 10
+),
+cv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT qv.vec_id AS q_id, cv.vec_id AS cand_id,
+         list_dot_product(qv.v, cv.v)
+           / sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+           AS score
+  FROM qv, cv
+  WHERE qv.vec_id != cv.vec_id AND qv.label != cv.label
+)
+SELECT q_id, cand_id, rank, score
+FROM (
+  SELECT q_id, cand_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 3
+ORDER BY q_id, rank
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 3 most-similar corpus vectors of a DIFFERENT label
+    (operators/similarity.cosine_topk_arrow with exclude_label_col --
+    the label mask is one vectorized compare inside the Arrow batch
+    scorer, same plan shape and determinism contract as q_cosine_topk).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_arrow(
+        e, q, "vec_id", "embedding", k=3, quantize=4, exclude_label_col="label"
+    ).orderBy("q_id", "rank")
+
+
+@query(
+    "q_split_manifest",
+    tags=("sampling", "report"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH sig AS (
+  SELECT source,
+         CASE
+           WHEN ('0x' || substr(md5('split-' || doc_id), 1, 8))::BIGINT % 100 < 80
+             THEN 'train'
+           WHEN ('0x' || substr(md5('split-' || doc_id), 1, 8))::BIGINT % 100 < 90
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT source, split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM sig
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split manifest: every document lands
+    in a split by content-addressed md5 bucket (80/10/10 under the
+    'split-' salt), so the split is stable under re-runs, re-shards,
+    and engine changes -- no RNG state to persist. One projection + one
+    (source, split) aggregation; at 100 TB the split column also serves
+    as a partition key for the writer (sinks.insert_partitioned).
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select(
+            "source",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.size(_tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )

@@ -932,3 +932,23 @@ def test_corpus_card_known_values(spark):
     assert (b.n_docs, b.n_tokens, b.n_unique_docs, b.n_dup_docs, b.n_langs) == (
         1, 4, 1, 0, 1,
     )
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),   # query
+        (1, [1.0, 0.01], 7),  # same label, most similar -> must be excluded
+        (2, [0.9, 0.1], 8),   # different label -> the hard negative
+        (3, [0.0, 1.0], 8),   # different label, dissimilar
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk_arrow(
+        e, q, "vec_id", "embedding", k=2, quantize=4, exclude_label_col="label"
+    ).collect()
+    assert [(r.q_id, r.cand_id, r.rank) for r in out] == [(0, 2, 1), (0, 3, 2)]
+    # without the label mask, vec 1 wins
+    base = sim.cosine_topk_arrow(e, q, "vec_id", "embedding", k=1, quantize=4)
+    assert [(r.q_id, r.cand_id) for r in base.collect()] == [(0, 1)]

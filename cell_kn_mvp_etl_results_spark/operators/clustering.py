@@ -142,3 +142,48 @@ def kmeans_fit(
     # it -- a scan-cost trade for not pinning executor storage.
     q.unpersist()
     return out, cents
+
+
+def cluster_purity(
+    assignments: DataFrame, labeled: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """Purity evaluation of a cluster assignment against ground-truth
+    labels: per cluster its size, majority label, majority count, and
+    purity in exact integer permille (ties broken by lowest label --
+    deterministic). ``assignments`` is (id, cluster) (e.g. from
+    kmeans_integer); ``labeled`` provides (id_col, label_col).
+
+    Scale shape: one id-keyed hash join, one (cluster, label)
+    aggregation, then everything is cluster-keyed (k-sized): a majority
+    window and a totals join. Integer division keeps the permille
+    engine-exact.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    lab = (
+        assignments.join(
+            labeled.select(F.col(id_col).alias("id"), F.col(label_col).alias("label")),
+            "id",
+        )
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = lab.groupBy("cluster").agg(F.sum("n").alias("n_vecs"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    maj = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return tot.join(maj, "cluster").select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        "n_majority",
+        F.expr("(n_majority * 1000) div n_vecs").alias("purity_permille"),
+    )

@@ -778,3 +778,51 @@ def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.pack_sequences(
         doc_tok, "doc_id", F.col("n_tokens"), capacity=2048
     ).orderBy("doc_id")
+
+
+@query(
+    "q_cluster_purity",
+    tags=("similarity", "cluster", "eval"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=f"""
+WITH res AS (
+{_kmeans_oracle(k=8, iters=2, dim=64, quantize=4)}
+),
+lab AS (
+  SELECT r.cluster, e.label, count(*) AS n
+  FROM res r JOIN embeddings e USING (vec_id)
+  GROUP BY r.cluster, e.label
+),
+tot AS (SELECT cluster, sum(n) AS n_vecs FROM lab GROUP BY cluster),
+maj AS (
+  SELECT cluster, label AS majority_label, n AS n_majority
+  FROM (
+    SELECT cluster, label, n,
+           row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+    FROM lab
+  ) t WHERE rn = 1
+)
+SELECT t.cluster,
+       CAST(t.n_vecs AS BIGINT) AS n_vecs,
+       m.majority_label,
+       CAST(m.n_majority AS BIGINT) AS n_majority,
+       CAST((m.n_majority * 1000) // t.n_vecs AS BIGINT) AS purity_permille
+FROM tot t JOIN maj m USING (cluster)
+ORDER BY cluster
+""",
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: each semantic cluster's size,
+    majority ground-truth label, and purity (majority fraction in
+    exact integer permille) -- the standard check that an unsupervised
+    partition tracks the labeled classes before it drives sampling or
+    distillation decisions. Reuses q_semantic_clusters' integer Lloyd
+    assignment; operators/clustering.cluster_purity adds one id-keyed
+    join, one (cluster, label) aggregation, and a k-sized majority
+    window, all keyed on the cluster.
+    """
+    from ..operators.clustering import cluster_purity, kmeans_integer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    asg = kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
+    return cluster_purity(asg, emb, "vec_id", "label").orderBy("cluster")

@@ -168,3 +168,33 @@ def test_kmeans_fit_exposes_consistent_model(spark, sf_dir):
     for r in rows[:25]:
         c = cents[r.cluster]
         assert r.d2 == sum((int(x) - int(y)) ** 2 for x, y in zip(r.q, c))
+
+
+def test_cluster_purity_majority_and_tie_break(spark):
+    from cell_kn_mvp_etl_results_spark.operators.clustering import (
+        cluster_purity,
+        kmeans_integer,
+    )
+
+    rows = [
+        (0, [0.0, 0.0], 7),
+        (1, [0.1, 0.0], 7),
+        (2, [10.0, 10.0], 8),
+        (3, [10.0, 10.1], 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    asg = kmeans_integer(emb, "vec_id", "embedding", k=2, iters=2, quantize=4)
+    out = {
+        r.cluster: r for r in cluster_purity(asg, emb, "vec_id", "label").collect()
+    }
+    # two well-separated groups; lowest-id init converges to them
+    c0, c1 = out[0], out[1]
+    assert (c0.n_vecs, c0.majority_label, c0.n_majority, c0.purity_permille) == (
+        2, 7, 2, 1000,
+    )
+    # cluster 1: labels 8 and 9 tie at n=1 -> lowest label wins, purity 500
+    assert (c1.n_vecs, c1.majority_label, c1.n_majority, c1.purity_permille) == (
+        2, 8, 1, 500,
+    )

@@ -819,3 +819,51 @@ def corpus_card(
         "n_dup_docs",
         "n_langs",
     )
+
+
+VOCAB_COVERAGE_THRESHOLDS = (1, 2, 4, 8, 16, 32)
+
+
+def vocab_coverage(
+    df: "DataFrame",
+    text_col: str,
+    thresholds: tuple[int, ...] = VOCAB_COVERAGE_THRESHOLDS,
+) -> "DataFrame":
+    """Vocabulary-coverage curve at min-count cutoffs -- the tokenizer
+    design question 'if I keep only tokens seen >= c times, how many
+    types survive and what share of the token STREAM do they cover?'.
+    One row per threshold: (min_count, n_types, n_covered,
+    coverage_permille).
+
+    Scale shape: one vocabulary aggregation (shuffle on token), then a
+    broadcast of the |thresholds|-row table against the vocab with
+    map-side partial aggregation down to |thresholds| groups -- no
+    global rank, no single-partition window (a top-V rank formulation
+    would need one; the min-count formulation is the same curve
+    parameterized by count instead of rank). coverage_permille is
+    exact integer permille of the total stream.
+    """
+    spark = df.sparkSession
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    th = spark.createDataFrame(
+        [(int(t),) for t in thresholds], "min_count long"
+    )
+    total = vocab.agg(F.sum("c").alias("n_stream"))
+    per = (
+        vocab.crossJoin(F.broadcast(th))
+        .groupBy("min_count")
+        .agg(
+            F.count(F.when(F.col("c") >= F.col("min_count"), 1)).alias("n_types"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= F.col("min_count"), F.col("c"))),
+                F.lit(0),
+            ).alias("n_covered"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "min_count",
+        "n_types",
+        "n_covered",
+        F.expr("(n_covered * 1000) div n_stream").alias("coverage_permille"),
+    )

@@ -1963,3 +1963,87 @@ def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@query(
+    "q_vocab_coverage",
+    tags=("text", "tokenizer"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_stream FROM vocab),
+th(min_count) AS (VALUES (1), (2), (4), (8), (16), (32))
+SELECT CAST(th.min_count AS BIGINT) AS min_count,
+       count(CASE WHEN v.c >= th.min_count THEN 1 END) AS n_types,
+       CAST(coalesce(sum(CASE WHEN v.c >= th.min_count THEN v.c END), 0)
+            AS BIGINT) AS n_covered,
+       CAST((coalesce(sum(CASE WHEN v.c >= th.min_count THEN v.c END), 0)
+             * 1000) // max(tot.n_stream) AS BIGINT) AS coverage_permille
+FROM th CROSS JOIN vocab v CROSS JOIN tot
+GROUP BY th.min_count
+ORDER BY min_count
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve at min-count cutoffs
+    (operators/textanalysis.vocab_coverage): surviving type count and
+    exact integer-permille stream coverage per cutoff -- the
+    min-frequency tokenizer knob, computed without any global rank.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ta.vocab_coverage(d, "text").orderBy("min_count")
+
+
+@query(
+    "q_label_rebalance",
+    tags=("sampling", "training"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+quota AS (SELECT min(n) AS m FROM counts),
+ranked AS (
+  SELECT label, vec_id,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5('rebal-' || vec_id), vec_id
+         ) AS rnk
+  FROM embeddings
+)
+SELECT r.label, r.vec_id, CAST(r.rnk AS BIGINT) AS rnk
+FROM ranked r CROSS JOIN quota q
+WHERE r.rnk <= q.m
+ORDER BY label, rnk
+""",
+)
+def q_label_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by deterministic downsampling: every label
+    keeps exactly the minority-class count of vectors, chosen in
+    content-addressed md5 order (stable under re-runs and re-shards,
+    no RNG state). The quota is one per-label count aggregate collected
+    as a 1-row driver sync (the package's bounded-sync doctrine) so the
+    rank <= LITERAL predicate compiles to Spark's WindowGroupLimit
+    partial top-k: map partitions forward at most m rows per label and
+    the output (and every post-window partition) is quota-bounded. A
+    column-valued cutoff would keep the plan lazy but lose the partial
+    limit -- measured as the full class shuffling into the window.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    m = e.groupBy("label").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n")
+    ).collect()[0][0]
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("rebal-"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    return (
+        e.select("label", "vec_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.lit(int(m)))
+        .select("label", "vec_id", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("label", "rnk")
+    )

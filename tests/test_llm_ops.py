@@ -952,3 +952,33 @@ def test_hard_negatives_exclude_same_label(spark):
     # without the label mask, vec 1 wins
     base = sim.cosine_topk_arrow(e, q, "vec_id", "embedding", k=1, quantize=4)
     assert [(r.q_id, r.cand_id) for r in base.collect()] == [(0, 1)]
+
+
+def test_vocab_coverage_known_curve(spark):
+    # stream: a x4, b x2, c x1, d x1 -> total 8
+    d = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d")], "doc_id long, text string"
+    )
+    out = {
+        r.min_count: r
+        for r in ta.vocab_coverage(d, "text", thresholds=(1, 2, 3, 4, 5)).collect()
+    }
+    assert (out[1].n_types, out[1].n_covered, out[1].coverage_permille) == (4, 8, 1000)
+    assert (out[2].n_types, out[2].n_covered, out[2].coverage_permille) == (2, 6, 750)
+    assert (out[3].n_types, out[3].n_covered) == (1, 4)
+    assert (out[4].n_types, out[4].coverage_permille) == (1, 500)
+    assert (out[5].n_types, out[5].n_covered, out[5].coverage_permille) == (0, 0, 0)
+
+
+def test_label_rebalance_equalizes_classes(spark, sf_dir):
+    from cell_kn_mvp_etl_results_spark.plans.registry import REGISTRY
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    out = REGISTRY["q_label_rebalance"].builder(spark, sf_dir)
+    per = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    e = read_table(spark, sf_dir, "embeddings")
+    m = min(
+        r.n for r in e.groupBy("label").agg(F.count("*").alias("n")).collect()
+    )
+    labels = {r.label for r in e.select("label").distinct().collect()}
+    assert per == {lab: m for lab in labels}

@@ -622,6 +622,60 @@ def minhash_cross_match(
     )
 
 
+def doc_stitch_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Shard-boundary continuation detection: (id_a, id_b, gram) pairs
+    where the LAST ``n`` tokens of document a equal the FIRST ``n``
+    tokens of document b -- the signature of one source document split
+    across extraction shards (web crawls, OCR page breaks). Re-stitch
+    candidates feed a join-or-merge curation step.
+
+    Scale shape: one head-gram and one tail-gram per document (pure
+    projection), then a single hash equi-join on the gram -- work
+    scales with documents, not token volume. ``max_posting`` drops
+    boilerplate grams appearing as head or tail of more than that many
+    documents (broadcast anti-join, the jaccard_pairs skew guard):
+    a template opening shared by millions of docs must not quadratic
+    the join.
+    """
+    from ..functions.text import tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    ).filter(F.size("toks") >= n)
+    heads = toked.select(
+        F.col("id").alias("id_b"),
+        F.concat_ws(" ", F.slice("toks", 1, n)).alias("gram"),
+    )
+    tails = toked.select(
+        F.col("id").alias("id_a"),
+        F.concat_ws(" ", F.slice(F.col("toks"), F.size("toks") - (n - 1), n)).alias(
+            "gram"
+        ),
+    )
+    if max_posting is not None:
+        big = (
+            heads.select("gram")
+            .union(tails.select("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > max_posting)
+            .select("gram")
+        )
+        heads = heads.join(F.broadcast(big), "gram", "left_anti")
+        tails = tails.join(F.broadcast(big), "gram", "left_anti")
+    return (
+        tails.join(heads, "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "gram")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash over distinct tokens: bit j of the 32-bit md5-derived
     token hash votes +1/-1; the sign of the vote sum sets bit j of the

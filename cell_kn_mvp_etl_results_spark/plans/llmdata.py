@@ -2047,3 +2047,38 @@ def q_label_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("label", "rnk")
     )
+
+
+@query(
+    "q_doc_stitch",
+    tags=("dedup", "text"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+heads AS (
+  SELECT doc_id AS id_b, array_to_string(t[1:3], ' ') AS gram
+  FROM toks WHERE len(t) >= 3
+),
+tails AS (
+  SELECT doc_id AS id_a, array_to_string(t[len(t)-2:len(t)], ' ') AS gram
+  FROM toks WHERE len(t) >= 3
+)
+SELECT a.id_a, b.id_b, a.gram
+FROM tails a JOIN heads b USING (gram)
+WHERE a.id_a <> b.id_b
+ORDER BY id_a, id_b
+""",
+)
+def q_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-boundary continuation candidates
+    (operators/dedup.doc_stitch_pairs, n=3): documents whose closing
+    3 tokens exactly open another document -- one source doc split
+    across extraction shards. One gram per document per side, one hash
+    join; the posting cap (1000, far above any gram's spread at gate
+    scale, so the uncapped oracle matches -- the jaccard_pairs
+    convention) guards boilerplate grams at corpus scale.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dd.doc_stitch_pairs(d, "doc_id", "text", n=3).orderBy("id_a", "id_b")

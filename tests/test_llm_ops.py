@@ -982,3 +982,29 @@ def test_label_rebalance_equalizes_classes(spark, sf_dir):
     )
     labels = {r.label for r in e.select("label").distinct().collect()}
     assert per == {lab: m for lab in labels}
+
+
+def test_doc_stitch_pairs_tail_meets_head(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "delta epsilon zeta eta theta"),  # continues doc 1
+        (3, "unrelated content entirely here"),
+        (4, "xy"),  # under n tokens -> excluded
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.id_a, r.id_b, r.gram)
+        for r in dd.doc_stitch_pairs(d, "doc_id", "text", n=3).collect()
+    ]
+    assert out == [(1, 2, "delta epsilon zeta")]
+
+
+def test_doc_stitch_posting_cap_drops_boilerplate(spark):
+    # the same head gram on many docs is dropped once over the cap
+    rows = [(i, "common header line body %d" % i) for i in range(5)]
+    rows.append((100, "tail ends with common header line"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dd.doc_stitch_pairs(d, "doc_id", "text", n=3, max_posting=4).collect()
+    assert capped == []
+    uncapped = dd.doc_stitch_pairs(d, "doc_id", "text", n=3, max_posting=None).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} == {(100, i) for i in range(5)}

@@ -846,3 +846,51 @@ def label_propagation(
             )
         )
     return labels
+
+
+def kcore_members(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    k: int = 2,
+    iters: int = 3,
+) -> DataFrame:
+    """k-core membership after ``iters`` synchronous peeling rounds
+    over an undirected edge list: each round recomputes every vertex's
+    degree within the current survivor set and drops vertices with
+    degree < k. Returns (id, deg) -- the final round's in-core degree
+    -- for vertices still alive after the last round. The k-core is the
+    fixpoint; a FIXED round count keeps the operator a pure function of
+    (graph, k, iters) gateable against an unrolled-CTE oracle (the
+    pagerank/label_propagation discipline), and in a near-dup graph the
+    peeling stabilizes in a few rounds (template families are dense;
+    stragglers are trees). Vertices in the k-core survive every
+    truncation, so early truncation only over-approximates -- it never
+    drops a true core member.
+
+    Scale shape per round: two semi-joins restricting the (persisted,
+    both-direction) edge list to survivors -- the survivor side is
+    node-sized and broadcasts under AQE, so the cached edges stream
+    with zero edge-side exchange (the label_propagation layout
+    decision) -- then one src-keyed count with map-side partial
+    aggregation. State is one row per surviving vertex; a celebrity
+    vertex is a count, never an array.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    a, b = F.col(a_col), F.col(b_col)
+    und = edges.select(a.alias("src"), b.alias("dst")).unionAll(
+        edges.select(b.alias("src"), a.alias("dst"))
+    )
+    ed = und.dropDuplicates().filter(F.col("src") != F.col("dst")).persist()
+    surv = ed.select(F.col("src").alias("id")).distinct()
+    deg = None
+    for _ in range(iters):
+        alive = ed.join(
+            surv.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        surv = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+    return deg.filter(F.col("deg") >= k).select(
+        F.col("src").alias("id"), F.col("deg")
+    )

@@ -826,3 +826,65 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     asg = kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
     return cluster_purity(asg, emb, "vec_id", "label").orderBy("cluster")
+
+
+def _kcore_oracle(k: int = 2, iters: int = 3) -> str:
+    """Unrolled synchronous k-core peeling over the SimHash radius-1
+    pair graph -- one (degree, survivor) CTE pair per round, generated
+    so the rounds provably match operators/graph.kcore_members (the
+    _lpa_oracle technique)."""
+    rounds = []
+    prev = "s0"
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""d{t} AS (
+  SELECT e.src AS id, count(*) AS deg
+  FROM ed e
+  JOIN {prev} a ON a.id = e.src
+  JOIN {prev} b ON b.id = e.dst
+  GROUP BY e.src
+),
+s{t} AS (SELECT id FROM d{t} WHERE deg >= {k})"""
+        )
+        prev = f"s{t}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_SIMHASH_BODY},
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+  ) WHERE src <> dst
+),
+s0 AS (SELECT DISTINCT src AS id FROM ed),
+{chain}
+SELECT id, CAST(deg AS BIGINT) AS deg
+FROM d{iters} WHERE deg >= {k}
+ORDER BY id
+"""
+
+
+@query(
+    "q_kcore",
+    tags=("graph", "dedup"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=_kcore_oracle(k=2, iters=3),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the SimHash radius-1 near-dup pair graph after 3
+    synchronous peeling rounds (operators/graph.kcore_members): the
+    dense template cores that survive when tree-like stragglers are
+    peeled away -- the standard densest-region prefilter before
+    clique-ish analyses (triangles, communities). Fixed rounds keep it
+    a pure function of the graph, gated by an unrolled-CTE oracle.
+    """
+    from ..operators import graph as gr
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    return gr.kcore_members(pairs, "id_a", "id_b", k=2, iters=3).orderBy("id")

@@ -433,3 +433,18 @@ def test_label_propagation_iters_zero_is_identity(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     out = {r.id: r.label for r in label_propagation(edges, iters=0).collect()}
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_kcore_peels_trees_keeps_cores(spark):
+    from cell_kn_mvp_etl_results_spark.operators import graph as gr
+
+    # triangle {1,2,3} (a 2-core) with a pendant chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.id: r.deg for r in gr.kcore_members(edges, k=2, iters=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # one round is not enough to peel the chain end-to-end: vertex 4
+    # still counts the not-yet-removed 5 in round 1 and dies in round 2
+    one = {r.id for r in gr.kcore_members(edges, k=2, iters=1).collect()}
+    assert one == {1, 2, 3, 4}

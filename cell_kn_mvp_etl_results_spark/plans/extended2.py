@@ -9,7 +9,7 @@ from pyspark.sql.window import Window
 
 from ..operators import dedup as dd
 from ..sources.readers import read_table
-from .registry import TAIL, query
+from .registry import REGISTRY, TAIL, query
 
 _SIMHASH_BODY = """
 toks AS (
@@ -888,3 +888,86 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
     pairs = dd.simhash_pairs(hashes, max_hamming=1)
     return gr.kcore_members(pairs, "id_a", "id_b", k=2, iters=3).orderBy("id")
+
+
+@query(
+    "q_ann_recall",
+    tags=("similarity", "cluster", "eval"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    # The IVF side is the REGISTERED q_ivf_topk oracle verbatim (same
+    # constants by construction); the brute-force base is the
+    # q_cosine_topk shape at k=3.
+    oracle=f"""
+WITH ivf AS (
+{REGISTRY["q_ivf_topk"].oracle}
+),
+qv AS (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0))
+           AS v
+  FROM embeddings WHERE vec_id < 10
+),
+cv AS (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0))
+           AS v
+  FROM embeddings
+),
+bf AS (
+  SELECT q_id, cand_id FROM (
+    SELECT qv.vec_id AS q_id, cv.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY qv.vec_id
+             ORDER BY list_dot_product(qv.v, cv.v)
+                      / sqrt(list_dot_product(qv.v, qv.v)
+                             * list_dot_product(cv.v, cv.v)) DESC,
+                      cv.vec_id
+           ) AS rank
+    FROM qv, cv
+    WHERE qv.vec_id != cv.vec_id
+  ) t WHERE rank <= 3
+),
+hits AS (
+  SELECT bf.q_id, count(*) AS n_hits
+  FROM bf JOIN ivf ON ivf.q_id = bf.q_id AND ivf.cand_id = bf.cand_id
+  GROUP BY bf.q_id
+),
+base AS (SELECT q_id, count(*) AS n_base FROM bf GROUP BY q_id)
+SELECT b.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(h.n_hits, 0) * 1000) // b.n_base AS BIGINT)
+         AS recall_permille
+FROM base b LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the IVF index (q_ivf_topk,
+    2-probe) against brute-force cosine ground truth, per query, in
+    exact integer permille -- the measurement that decides whether an
+    approximate index is deployable, run as a query over the same
+    engine. Both sides are k-sized per query, so the comparison join
+    and the per-query aggregate are |queries|x3 rows end-to-end.
+    """
+    from ..operators import similarity as sim
+
+    ivf = q_ivf_topk(spark, sf_dir)
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    bf = sim.cosine_topk_arrow(e, q, "vec_id", "embedding", k=3, quantize=4)
+    hits = (
+        bf.select("q_id", "cand_id")
+        .join(ivf.select("q_id", "cand_id"), ["q_id", "cand_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = bf.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("(coalesce(n_hits, 0) * 1000) div n_base")
+            .cast("long")
+            .alias("recall_permille"),
+        )
+        .orderBy("q_id")
+    )

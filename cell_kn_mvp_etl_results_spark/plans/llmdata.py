@@ -2082,3 +2082,90 @@ def q_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     return dd.doc_stitch_pairs(d, "doc_id", "text", n=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_sweep",
+    tags=("dedup", "eval"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+th(threshold_permille) AS (VALUES (50), (100), (200), (400)),
+hits AS (
+  SELECT th.threshold_permille, p.id_a, p.id_b
+  FROM th CROSS JOIN pairs p
+  WHERE p.inter * 1000 >= th.threshold_permille * p.union_sz
+),
+docs AS (
+  SELECT threshold_permille, count(DISTINCT id) AS n_docs
+  FROM (
+    SELECT threshold_permille, id_a AS id FROM hits
+    UNION ALL SELECT threshold_permille, id_b FROM hits
+  ) GROUP BY threshold_permille
+)
+SELECT CAST(t.threshold_permille AS BIGINT) AS threshold_permille,
+       CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+FROM th t
+LEFT JOIN (
+  SELECT threshold_permille, count(*) AS n_pairs FROM hits
+  GROUP BY threshold_permille
+) c USING (threshold_permille)
+LEFT JOIN docs d USING (threshold_permille)
+ORDER BY threshold_permille
+""",
+)
+def q_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-selection curve: near-dup pair and affected-
+    document counts at Jaccard cutoffs 50/100/200/400 permille -- the
+    table a curator reads before committing to a dedup threshold
+    (aggressiveness vs corpus loss). One inverted-index pair pass at
+    the loosest cutoff (the q_dedup_jaccard machinery), then a
+    broadcast threshold table with an exact integer cross-
+    multiplication predicate (inter*1000 >= t*union) -- no float
+    boundary ambiguity, pair work never repeated per threshold.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    th = spark.createDataFrame(
+        [(50,), (100,), (200,), (400,)], "threshold_permille long"
+    )
+    hits = (
+        pairs.crossJoin(F.broadcast(th))
+        .filter(
+            F.col("inter") * 1000 >= F.col("threshold_permille") * F.col("union_sz")
+        )
+        .select("threshold_permille", "id_a", "id_b")
+    )
+    per_pairs = hits.groupBy("threshold_permille").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    per_docs = (
+        hits.select(
+            "threshold_permille", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+        .groupBy("threshold_permille")
+        .agg(F.count_distinct("id").alias("n_docs"))
+    )
+    return (
+        th.join(per_pairs, "threshold_permille", "left")
+        .join(per_docs, "threshold_permille", "left")
+        .select(
+            "threshold_permille",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold_permille")
+    )

@@ -279,3 +279,17 @@ def test_lm_score_models_never_key_on_document(spark, sf_dir):
     ]
     # exactly the one per-document aggregation exchange
     assert len(id_exchanges) <= 1, id_exchanges
+
+
+def test_label_rebalance_window_group_limit(spark, sf_dir):
+    """The literal-quota design decision: the rank predicate must
+    compile to WindowGroupLimit (partial per-label top-k before the
+    window shuffle). A column-valued cutoff silently loses it."""
+    plan = plan_of(spark, sf_dir, "q_label_rebalance")
+    assert "WindowGroupLimit" in plan
+
+
+def test_kcore_no_cartesian_semi_join_shape(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_kcore")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # survivor restriction is a semi-join

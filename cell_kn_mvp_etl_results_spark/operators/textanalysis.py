@@ -685,11 +685,17 @@ def ngram_lm_model(
     would hash-differ across libms. Scale shape: two vocabulary-sized
     aggregations (shuffles on token / pair) and one vocab-side hash
     join; nothing scales with document count after the aggregations.
+    The unigram count relation feeds three consumers (backoff model,
+    pair-cost join, total) and is persisted -- vocab-sized, bounded --
+    so the training corpus is tokenized once for it, not three times
+    (ReuseExchange was observed NOT to dedupe the identical agg
+    subtrees here; without the persist the plan re-scans the corpus
+    per consumer).
     """
     uni_rows = train.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
-    uni = uni_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    uni = uni_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     total = uni.agg(_bl(F.sum("c")).alias("bl_n"))
     unigram_model = uni.crossJoin(F.broadcast(total)).select(
         F.col("tok").alias("w2"),

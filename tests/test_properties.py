@@ -317,3 +317,58 @@ def test_prefix_filter_is_lossless(spark, docs):
             ).collect()
         }
         assert pre == full, f"threshold {t}"
+
+
+@SET
+@given(
+    st.lists(texts, min_size=1, max_size=5),
+    st.lists(texts, min_size=1, max_size=4),
+)
+def test_ngram_lm_matches_python_mirror(spark, train_docs, score_docs):
+    """Spark bigram stupid-backoff scoring equals a pure-Python mirror
+    of the same integer floor-log2 arithmetic, over random corpora --
+    exercises seen/backoff/OOV branches beyond the fixed examples."""
+    from collections import Counter
+
+    from cell_kn_mvp_etl_results_spark.operators import textanalysis as ta
+
+    def toks(t):
+        return t.lower().split()
+
+    uni = Counter(w for t in train_docs for w in toks(t))
+    big = Counter(
+        (ws[i], ws[i + 1])
+        for t in train_docs
+        for ws in [toks(t)]
+        for i in range(len(ws) - 1)
+    )
+    n_total = sum(uni.values())
+    bl = lambda x: x.bit_length() - 1  # floor(log2(x)) for x >= 1  # noqa: E731
+
+    def cost(w1, w2):
+        if (w1, w2) in big:
+            return bl(uni[w1]) - bl(big[(w1, w2)])
+        if w2 in uni:
+            return ta.LM_BACKOFF_PENALTY + (bl(n_total) - bl(uni[w2]))
+        return ta.LM_OOV_COST
+
+    expected = {}
+    for i, t in enumerate(score_docs):
+        ws = toks(t)
+        if len(ws) < 2:
+            continue
+        cs = [cost(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        expected[i] = (len(cs), sum(cs))
+
+    train = spark.createDataFrame(
+        list(enumerate(train_docs)), "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        list(enumerate(score_docs)), "doc_id long, text string"
+    )
+    pair_m, uni_m = ta.ngram_lm_model(train, "doc_id", "text")
+    got = {
+        r.id: (r.n_bigrams, r.sum_cost)
+        for r in ta.ngram_lm_score(score, "doc_id", "text", pair_m, uni_m).collect()
+    }
+    assert got == expected

@@ -874,7 +874,13 @@ def kcore_members(
     with zero edge-side exchange (the label_propagation layout
     decision) -- then one src-keyed count with map-side partial
     aggregation. State is one row per surviving vertex; a celebrity
-    vertex is a count, never an array.
+    vertex is a count, never an array. Each round's survivor set is
+    eagerly localCheckpointed (the khop-frontier discipline): the
+    survivors feed TWO joins the next round, so an unmaterialized
+    lineage would re-execute every earlier round's degree aggregation
+    2^rounds times -- measured as a >12-minute stall at the 30x corpus
+    (63M-edge graph) before the checkpoint; 24 s steady after (under
+    concurrent-suite load).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -885,12 +891,15 @@ def kcore_members(
     ed = und.dropDuplicates().filter(F.col("src") != F.col("dst")).persist()
     surv = ed.select(F.col("src").alias("id")).distinct()
     deg = None
-    for _ in range(iters):
+    for t in range(iters):
         alive = ed.join(
             surv.withColumnRenamed("id", "src"), "src", "left_semi"
         ).join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        surv = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+        if t < iters - 1:  # the last deg is the result; no extra barrier
+            surv = deg.filter(F.col("deg") >= k).select(
+                F.col("src").alias("id")
+            ).localCheckpoint(eager=True)
     return deg.filter(F.col("deg") >= k).select(
         F.col("src").alias("id"), F.col("deg")
     )

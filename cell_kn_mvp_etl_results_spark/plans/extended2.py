@@ -870,7 +870,12 @@ ORDER BY id
 
 @query(
     "q_kcore",
-    tags=("graph", "dedup"),
+    # closure_oracle: the unrolled peeling oracle joins the 63M-row ed
+    # CTE per round and DuckDB re-materializes it each time -- measured
+    # filling 78 GB of temp spill (disk-full abort) at the 30x corpus.
+    # The Spark side is fine there (23.7 s steady); only the ORACLE is
+    # size-gated, per the r6 bounded-oracle doctrine.
+    tags=("graph", "dedup", "closure_oracle"),
     priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
     oracle=_kcore_oracle(k=2, iters=3),
 )

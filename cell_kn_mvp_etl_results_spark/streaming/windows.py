@@ -135,3 +135,57 @@ def interval_enriched_stream(
     return interval_join(
         events, intervals, on, point_col, start_col, end_col, bucket_width
     )
+
+
+def neardup_probe_stream(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Decontamination-at-ingest: every arriving document is
+    MinHash-signed map-side (the zero-shuffle wide-signature pipeline)
+    and probed against the STATIC benchmark's band buckets, which ride
+    one broadcast carrying buckets + signatures -- the streaming form
+    of ``dedup.minhash_cross_match`` with the corpus side live.
+
+    Returns one row PER COLLIDING BAND: (id, bench_id, band,
+    est_jaccard). Per-band records keep the operator a stateless
+    projection + stream-static equi-join -- append-legal with no
+    watermark and no state store, throughput = scan rate -- and are
+    what an ingest monitor wants anyway (band hit rate). Collapsing
+    bands to distinct pairs is a per-pair groupBy downstream (or the
+    batch operator, whose pair set equals this output's distinct
+    (id, bench_id) -- test-pinned). The SAME call works on a static
+    frame: batch backfill and live ingest flag byte-identical
+    collisions.
+    """
+    from ..operators.dedup import lsh_band_buckets, minhash_signatures_wide
+
+    b_sigs = minhash_signatures_wide(bench, id_col, text_col, num_perm, shingle_n)
+    b_payload = lsh_band_buckets(b_sigs, num_perm, bands, carry=("sig",)).select(
+        F.col("id").alias("bench_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("bench_sig"),
+    )
+    c_sigs = minhash_signatures_wide(docs, id_col, text_col, num_perm, shingle_n)
+    c_buckets = lsh_band_buckets(c_sigs, num_perm, bands, carry=("sig",))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("bench_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return c_buckets.join(F.broadcast(b_payload), ["band", "bucket"]).select(
+        "id",
+        "bench_id",
+        "band",
+        (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+    )

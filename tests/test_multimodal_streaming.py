@@ -308,3 +308,69 @@ def test_stream_stream_attribution_join(spark, sf_dir):
         q.awaitTermination(180)
     got = spark.sql("SELECT count(*) AS n FROM attrib").collect()[0].n
     assert got == batch
+
+
+def test_streaming_neardup_probe_matches_batch_and_cross_match(spark, sf_dir, tmp_path):
+    """neardup_probe_stream flags byte-identical collisions on a live
+    stream and on the static frame (availableNow e2e), and its distinct
+    (id, bench_id) pairs equal the batch cross-match operator's."""
+    import os
+
+    from pyspark.sql import functions as F
+    from cell_kn_mvp_etl_results_spark.operators.dedup import minhash_cross_match
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    from cell_kn_mvp_etl_results_spark.streaming.windows import neardup_probe_stream
+
+    static = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("xdedup-"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    with_b = static.withColumn("_holdout", bucket < 20)
+    bench = with_b.filter(F.col("_holdout")).drop("_holdout")
+    corpus = with_b.filter(~F.col("_holdout")).drop("_holdout")
+
+    batch_rows = {
+        (r.id, r.bench_id, r.band, r.est_jaccard)
+        for r in neardup_probe_stream(corpus, bench).collect()
+    }
+    assert batch_rows  # the 20% split produces collisions at gate scale
+
+    # distinct pairs agree with the batch cross-match operator
+    pairs = {
+        (r.id, r.bench_id)
+        for r in minhash_cross_match(corpus, bench, "doc_id", "text").collect()
+    }
+    assert {(i, b) for i, b, _band, _e in batch_rows} == pairs
+
+    stage = tmp_path / "docs_stream2"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"), stage / "part-0.parquet"
+    )
+    stream_docs = (
+        spark.readStream.schema(static.schema)
+        .parquet(str(stage))
+        .withColumn("_holdout", bucket < 20)
+        .filter(~F.col("_holdout"))
+        .drop("_holdout")
+    )
+    out = neardup_probe_stream(stream_docs, bench)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.bench_id, r.band, r.est_jaccard)
+        for r in spark.sql("SELECT * FROM neardup_probe").collect()
+    }
+    assert got == batch_rows

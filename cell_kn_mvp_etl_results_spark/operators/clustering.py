@@ -187,3 +187,60 @@ def cluster_purity(
         "n_majority",
         F.expr("(n_majority * 1000) div n_vecs").alias("purity_permille"),
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    quantize: int = 4,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection: start
+    from the lowest-id vector, then repeatedly pick the point farthest
+    (exact integer squared distance, ties toward the lowest id) from
+    everything chosen so far. The classic 2-approximation to the
+    k-center cover -- the diversity-maximizing complement of
+    cluster-exemplar distillation (exemplars pick DENSE
+    representatives; the coreset picks SPREAD, covering the corpus's
+    extremes with m points). Returns (rank, vec_id, d2) with d2 the
+    point's distance to the previously-chosen set at selection time
+    (the classic coverage-radius curve; rank 0's is 0 by convention).
+
+    Scale shape: m-1 rounds, each one map-side min-distance projection
+    against <= m broadcast centroid literals plus a TakeOrdered(1)
+    argmax -- the same irreducible 1-row driver sync per round as
+    sequential BPE's merge argmax; no shuffle anywhere (the quantized
+    corpus is persisted once and released before return).
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    scale = 10**quantize
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("q"),
+    ).persist()
+    first = q.orderBy("id").limit(1).collect()
+    if not first:
+        q.unpersist()
+        raise ValueError("kcenter_coreset: empty input")
+    centers: list[list[int]] = [list(first[0].q)]
+    picks: list[tuple[int, int, int]] = [(0, int(first[0].id), 0)]
+    for r in range(1, m):
+        dists = [_sq_dist(F.col("q"), c) for c in centers]
+        mind2 = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (
+            q.select("id", "q", mind2.alias("d2"))
+            .orderBy(F.desc("d2"), "id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((r, int(far.id), int(far.d2)))
+        centers.append(list(far.q))
+    q.unpersist()
+    return emb.sparkSession.createDataFrame(
+        picks, "rank long, vec_id long, d2 long"
+    )

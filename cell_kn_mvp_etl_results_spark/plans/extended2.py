@@ -976,3 +976,82 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+def _kcenter_oracle(m: int, dim: int, quantize: int) -> str:
+    """Unrolled greedy k-center oracle: per round a (new-distance,
+    running-min, argmax-pick, center) CTE quartet over the same
+    quantized long-form corpus the kmeans oracle uses -- generated so
+    the rounds provably match operators/clustering.kcenter_coreset."""
+    scale = 10**quantize
+    rounds = []
+    for t in range(2, m + 1):
+        prev_min = "m1" if t == 2 else f"m{t - 1}"
+        rounds.append(
+            f"""p{t} AS (
+  SELECT id, d2 FROM {prev_min} ORDER BY d2 DESC, id LIMIT 1
+),
+cf{t} AS (SELECT qf.pos, qf.val FROM qf JOIN p{t} USING (id)),
+n{t} AS (
+  SELECT qf.id, CAST(sum((qf.val - c.val) * (qf.val - c.val)) AS BIGINT) AS nd2
+  FROM qf JOIN cf{t} c USING (pos)
+  GROUP BY qf.id
+),
+m{t} AS (
+  SELECT mm.id, least(mm.d2, n{t}.nd2) AS d2
+  FROM {prev_min} mm JOIN n{t} USING (id)
+)"""
+        )
+    chain = ",\n".join(rounds)
+    picks = ["SELECT CAST(0 AS BIGINT) AS rank, c1.id AS vec_id, CAST(0 AS BIGINT) AS d2 FROM c1"]
+    picks += [
+        f"SELECT CAST({t - 1} AS BIGINT), p{t}.id, CAST(p{t}.d2 AS BIGINT) FROM p{t}"
+        for t in range(2, m + 1)
+    ]
+    union = "\nUNION ALL ".join(picks)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+qf AS (
+  SELECT id, g.i - 1 AS pos, qv[g.i] AS val
+  FROM q, generate_series(1, {dim}) g(i)
+),
+c1 AS (SELECT id FROM q ORDER BY id LIMIT 1),
+cf1 AS (SELECT qf.pos, qf.val FROM qf JOIN c1 USING (id)),
+m1 AS (
+  SELECT qf.id, CAST(sum((qf.val - c.val) * (qf.val - c.val)) AS BIGINT) AS d2
+  FROM qf JOIN cf1 c USING (pos)
+  GROUP BY qf.id
+),
+{chain}
+SELECT * FROM ({union})
+ORDER BY rank
+"""
+
+
+@query(
+    "q_coreset",
+    tags=("similarity", "cluster", "sampling"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=_kcenter_oracle(m=6, dim=64, quantize=4),
+)
+def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset of the embedding corpus
+    (operators/clustering.kcenter_coreset, m=6): the
+    diversity-maximizing m points and the coverage-radius curve (each
+    pick's distance to the previously-chosen set) -- the spread
+    complement of q_cluster_exemplars' density picks for dataset
+    distillation. Exact integer distances, lowest-id ties; gated by an
+    unrolled-CTE farthest-point oracle.
+    """
+    from ..operators.clustering import kcenter_coreset
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "vec_id", "embedding", m=6, quantize=4).orderBy(
+        "rank"
+    )

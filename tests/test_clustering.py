@@ -198,3 +198,74 @@ def test_cluster_purity_majority_and_tie_break(spark):
     assert (c1.n_vecs, c1.majority_label, c1.n_majority, c1.purity_permille) == (
         2, 8, 1, 500,
     )
+
+
+def _greedy_kcenter_mirror(vecs: dict, m: int, scale: int):
+    """Pure-Python farthest-point-first mirror of kcenter_coreset."""
+    q = {i: [round(x * scale) for x in v] for i, v in vecs.items()}
+    first = min(q)
+    picks = [(0, first, 0)]
+    centers = [q[first]]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for r in range(1, m):
+        best = max(
+            ((min(d2(q[i], c) for c in centers), i) for i in q),
+            key=lambda t: (t[0], -t[1]),
+        )
+        picks.append((r, best[1], best[0]))
+        centers.append(q[best[1]])
+    return picks
+
+
+def test_kcenter_matches_python_mirror(spark):
+    from cell_kn_mvp_etl_results_spark.operators.clustering import kcenter_coreset
+
+    vecs = {
+        1: [0.0, 0.1], 2: [0.1, 0.0], 3: [0.05, 0.05],
+        4: [10.0, 10.1], 5: [10.1, 10.0], 6: [9.95, 10.05],
+        7: [5.0, 5.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r.rank, r.vec_id, r.d2)
+        for r in kcenter_coreset(emb, m=4, quantize=4).orderBy("rank").collect()
+    ]
+    assert got == _greedy_kcenter_mirror(vecs, 4, 10**4)
+    # farthest-point-first: start at lowest id (1), then the far group,
+    # then the midpoint outlier, then densify
+    assert [g[1] for g in got[:3]] == [1, 5, 7] or [g[1] for g in got[:3]] == [1, 4, 7]
+
+
+def test_kcenter_radius_curve_is_nonincreasing(spark):
+    """Coverage radius (d2 of each new pick) never increases after
+    rank 1 -- the defining monotonicity of greedy k-center."""
+    from cell_kn_mvp_etl_results_spark.operators.clustering import kcenter_coreset
+
+    rows = [(i, [float((i * 37) % 11), float((i * 53) % 13)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d2s = [
+        r.d2 for r in kcenter_coreset(emb, m=6, quantize=2).orderBy("rank").collect()
+    ]
+    assert d2s[0] == 0
+    assert all(a >= b for a, b in zip(d2s[1:], d2s[2:]))
+
+
+def test_kcenter_m_one_and_validation(spark):
+    from cell_kn_mvp_etl_results_spark.operators.clustering import kcenter_coreset
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(5, [1.0]), (2, [2.0])], "vec_id long, embedding array<float>"
+    )
+    one = kcenter_coreset(emb, m=1).collect()
+    assert [(r.rank, r.vec_id, r.d2) for r in one] == [(0, 2, 0)]
+    with _pytest.raises(ValueError):
+        kcenter_coreset(emb, m=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        kcenter_coreset(empty, m=2)

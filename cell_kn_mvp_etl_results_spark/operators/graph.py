@@ -673,6 +673,79 @@ def triangle_counts(
     return pv.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def clustering_coefficient(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over an undirected edge
+    list, in integer permille: 2000 * triangles(v) div (deg(v) *
+    (deg(v) - 1)) for every vertex with degree >= 2. On a near-dup
+    pair graph this separates template FAMILIES (coefficient near
+    1000: neighbors also pair with each other — a clique of near-copies)
+    from chained hubs (coefficient near 0: a boilerplate document that
+    pairs with many mutually-unrelated documents) — the per-vertex
+    refinement of the corpus-level triangle signal.
+
+    ``max_degree`` caps on the PRE-cap degree exactly as
+    ``triangle_counts`` does (same edge set, so the two operators
+    compose); the coefficient's denominator is the POST-cap degree —
+    the degree of the graph actually counted, so 2*T(v) <=
+    deg(v)*(deg(v)-1) holds by construction and the permille stays in
+    [0, 1000].
+
+    Shuffles: canonical-edge dedup, two degree aggs (pre-cap gate +
+    post-cap denominator), the triangle machinery's two vertex-key
+    joins, one final left join — all on vertex/edge keys, wedge work
+    degree-orientation-bounded; no all-pairs work. The capped canonical
+    edge set is persisted once and feeds both the degree agg and the
+    triangle count.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    e = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if max_degree is not None:
+        pre = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") <= max_degree)
+            .select("id")
+        )
+        e = (
+            e.join(pre.withColumnRenamed("id", "u"), "u")
+            .join(pre.withColumnRenamed("id", "v"), "v")
+            .select("u", "v")
+        )
+    e = e.persist()
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e, "u", "v", max_degree=None)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            t.alias("n_triangles"),
+            F.expr(
+                "(2000 * coalesce(n_triangles, 0))"
+                " div (degree * (degree - 1))"
+            ).alias("coeff_permille"),
+        )
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     src_col: str = "src",

@@ -163,6 +163,78 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@query(
+    "q_clustering_coeff",
+    tags=("dedup", "graph"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=f"""
+WITH {_SIMHASH_BODY},
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+pre AS (
+  SELECT id, count(*) AS n FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY id
+),
+ecap AS (
+  SELECT e.u, e.v FROM e
+  JOIN pre da ON da.id = e.u
+  JOIN pre db ON db.id = e.v
+  WHERE da.n <= 100 AND db.n <= 100
+),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM ecap UNION ALL SELECT v FROM ecap
+  ) GROUP BY id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ecap e1
+  JOIN ecap e2 ON e2.u = e1.v
+  JOIN ecap e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tcnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+)
+SELECT deg.id,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       CAST((2000 * COALESCE(tcnt.t, 0)) // (deg.degree * (deg.degree - 1))
+            AS BIGINT) AS coeff_permille
+FROM deg LEFT JOIN tcnt USING (id)
+WHERE deg.degree >= 2
+ORDER BY id
+""",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document local clustering coefficient over the SimHash
+    radius-1 near-dup graph (operators/graph.clustering_coefficient,
+    permille): coefficient near 1000 marks template FAMILIES (the
+    document's near-dup partners also pair with each other), near 0
+    marks boilerplate hubs chaining unrelated documents — the
+    per-vertex refinement of q_dup_triangles' corpus signal, over the
+    identically capped (max_degree=100) edge set so the two queries
+    compose. Degree-ordered wedge orientation in Spark vs the naive
+    id-ordered three-way join in the oracle: the triangle set is
+    orientation-independent, so counts and coefficients are identical.
+    """
+    from ..operators import graph as gr
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    return gr.clustering_coefficient(
+        pairs, "id_a", "id_b", max_degree=100
+    ).orderBy("id")
+
+
 def _pagerank_oracle(iters: int = 3, d: int = 850, scale: int = 10**6) -> str:
     """Unrolled fixed-iteration integer PageRank over the SimHash
     radius-1 pair graph -- generated so the constants provably match the

@@ -448,3 +448,57 @@ def test_kcore_peels_trees_keeps_cores(spark):
     # still counts the not-yet-removed 5 in round 1 and dies in round 2
     one = {r.id for r in gr.kcore_members(edges, k=2, iters=1).collect()}
     assert one == {1, 2, 3, 4}
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    from cell_kn_mvp_etl_results_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # K4 on {1,2,3,4} (every coeff 1000) + a star 10-{11,12,13}
+    # (hub coeff 0; leaves degree 1, excluded) + pendant 4-5
+    # (vertex 4: degree 4, still 3 triangles -> 2000*3 // 12 = 500).
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4),
+        (10, 11), (10, 12), (10, 13),
+        (4, 5), (5, 4),  # duplicate reversed direction: canonicalized
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {
+        r.id: (r.degree, r.n_triangles, r.coeff_permille)
+        for r in clustering_coefficient(df).collect()
+    }
+    assert out == {
+        1: (3, 3, 1000),
+        2: (3, 3, 1000),
+        3: (3, 3, 1000),
+        4: (4, 3, 500),
+        10: (3, 0, 0),
+    }
+    # degree-1 vertices (5, 11, 12, 13) have no defined coefficient
+    assert set(out) == {1, 2, 3, 4, 10}
+
+
+def test_clustering_coefficient_max_degree_matches_triangles(spark):
+    """The capped coefficient uses the SAME edge set as
+    triangle_counts(max_degree=k): triangle columns must agree and the
+    denominator must be the post-cap degree."""
+    from cell_kn_mvp_etl_results_spark.operators.graph import (
+        clustering_coefficient,
+        triangle_counts,
+    )
+
+    # hub 0 connected to 1..6 (degree 7 > cap 3) riding on K3 {1,2,3}
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3), (1, 3), (0, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {
+        r.id: (r.degree, r.n_triangles, r.coeff_permille)
+        for r in clustering_coefficient(df, max_degree=3).collect()
+    }
+    tr = {
+        r.id: r.n_triangles
+        for r in triangle_counts(df, max_degree=3).collect()
+    }
+    # hub 0 dropped by the cap; K3 survives with post-cap degree 2
+    assert cc == {1: (2, 1, 1000), 2: (2, 1, 1000), 3: (2, 1, 1000)}
+    assert tr == {1: 1, 2: 1, 3: 1}

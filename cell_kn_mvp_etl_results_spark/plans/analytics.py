@@ -91,3 +91,56 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_event_debounce",
+    tags=("window", "events", "streaming"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(ts_us AS BIGINT) AS ts_us
+FROM g
+WHERE prev_us IS NULL OR ts_us - prev_us > 3600000000
+ORDER BY event_id
+""",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce at ingest: drop every event that follows another event
+    of the same (user_id, event_type) key within one hour -- the
+    repeat-signal suppressor (sensor chatter, double submissions,
+    crawler revisits) that runs ahead of any sessionization or funnel;
+    the horizon is a parameter of the underlying operator, sized here
+    so suppression is exercised at the gate's event density. Gap is measured to the immediately
+    PRECEDING event (kept or dropped), so the predicate is a pure lag
+    window -- one shuffle on the key serves it, and the batch result is
+    bit-identical to the streaming twin
+    (streaming/stateful.debounced_stream), which carries the same
+    last-event timestamp as one i64 of state per key. Timestamps
+    emitted as epoch micros (timezone-independent value hashing).
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(micros).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            micros.alias("ts_us"),
+            prev_us.alias("prev_us"),
+        )
+        .filter(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > 3_600_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("event_id")
+    )

@@ -1,8 +1,9 @@
 from .incremental import incremental_new_keys
-from .stateful import running_user_totals
+from .stateful import debounced_stream, running_user_totals
 from .windows import deduplicated_stream, sessionized_stream, windowed_counts
 
 __all__ = [
+    "debounced_stream",
     "deduplicated_stream",
     "incremental_new_keys",
     "running_user_totals",

@@ -374,3 +374,68 @@ def test_streaming_neardup_probe_matches_batch_and_cross_match(spark, sf_dir, tm
         for r in spark.sql("SELECT * FROM neardup_probe").collect()
     }
     assert got == batch_rows
+
+
+def test_streaming_debounce_matches_batch(spark, sf_dir):
+    """Custom stateful debounce (applyInPandasWithState): identical
+    kept-event set on a live availableNow stream and on the static
+    frame; suppression is real (some events dropped)."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+    from cell_kn_mvp_etl_results_spark.streaming import debounced_stream
+
+    static = read_table(spark, sf_dir, "events")
+    batch = debounced_stream(static, gap_us=3_600_000_000)
+    stream = debounced_stream(
+        read_events_stream(spark, sf_dir), gap_us=3_600_000_000
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("debounced")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.ts_us)
+        for r in spark.sql("SELECT * FROM debounced").collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.event_type, r.ts_us)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert 0 < len(want) < static.count()
+
+
+def test_debounce_hand_computed(spark):
+    """Gap is measured to the previous event KEPT OR DROPPED: a burst
+    t=0,5,12,23 with gap 10 keeps only t=0 and t=23 (12 is within 10 of
+    the dropped 5; 23 is 11 past the dropped 12, a true quiet gap)."""
+    import datetime as dt
+
+    from cell_kn_mvp_etl_results_spark.streaming import debounced_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=5), 7, "click", 0.0, "{}"),
+        (3, base + dt.timedelta(seconds=12), 7, "click", 0.0, "{}"),
+        (4, base + dt.timedelta(seconds=23), 7, "click", 0.0, "{}"),
+        (5, base + dt.timedelta(seconds=1), 7, "view", 0.0, "{}"),
+        (6, base + dt.timedelta(seconds=2), 8, "click", 0.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    kept = {r.event_id for r in debounced_stream(e, gap_us=10_000_000).collect()}
+    assert kept == {1, 4, 5, 6}

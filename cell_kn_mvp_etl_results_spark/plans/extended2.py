@@ -1127,3 +1127,74 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(emb, "vec_id", "embedding", m=6, quantize=4).orderBy(
         "rank"
     )
+
+
+@query(
+    "q_snapshot_diff",
+    tags=("dedup", "incremental"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH old AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 != 3
+),
+new AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 != 4
+),
+d AS (
+  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+         COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         COALESCE(length(o.text), 0) AS chars_old,
+         COALESCE(length(n.text), 0) AS chars_new
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source, status,
+       count(*) AS n_docs,
+       CAST(sum(chars_new) - sum(chars_old) AS BIGINT) AS chars_delta
+FROM d
+GROUP BY source, status
+ORDER BY source, status
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest CDC rollup (operators/snapshots.snapshot_diff):
+    classify every document across two crawl snapshots as added /
+    removed / changed / unchanged by content fingerprint and report
+    per-(source, status) document counts and byte churn. The snapshots
+    are deterministic slices of the documents table (previous crawl =
+    doc_id % 7 != 3; current crawl = doc_id % 5 != 4, with every
+    doc_id % 11 == 0 document carrying a simulated edit), so all four
+    statuses occur at the gate. Only (id, md5, length) cross the
+    full-outer-join shuffle -- never document bodies; the moral twin of
+    the reference's cached-vs-requested fetch anti-join
+    (ExternalApiResultsFetcher.py) at corpus granularity.
+    """
+    from ..operators.snapshots import snapshot_diff
+
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 3).select("doc_id", "source", "text")
+    new = d.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = snapshot_diff(old, new, "doc_id", "text", "source")
+    return (
+        diff.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("chars_new") - F.sum("chars_old"))
+            .cast("long")
+            .alias("chars_delta"),
+        )
+        .orderBy("source", "status")
+    )

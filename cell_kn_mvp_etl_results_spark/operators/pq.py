@@ -1,0 +1,218 @@
+"""Product quantization (PQ) — the compressed-domain ANN posture for
+corpora whose raw embeddings don't fit the cluster.
+
+IVF (``similarity.ivf_topk``) prunes WHICH vectors a query scores; PQ
+compresses WHAT is stored and scored: each vector is split into ``m``
+subvectors, each subvector is replaced by the id of its nearest
+codeword from a per-subspace codebook of ``k`` centroids (Jégou,
+Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011). A 64-dim float vector (256 B) becomes ``m`` small codes
+(4 B at m=4/k=8, 8 B at m=8/k=256) — the difference between an
+embedding table that must live on disk and one that fits in executor
+memory at 100 TB corpus scale. Queries score candidates with an
+asymmetric-distance lookup table (ADC): ``m × k`` exact
+query-to-codeword distances computed once per query, after which every
+candidate's approximate distance is ``m`` table lookups + adds — no
+per-candidate float math at all.
+
+Determinism doctrine (plans/registry.py): codebooks are trained with
+the SAME integer-exact Lloyd as ``clustering.kmeans_integer`` (one fit
+per subspace over the sliced subvectors — identical quantization,
+lowest-id init, floor-mean updates, lowest-cluster tie-breaks), so
+codes, LUTs, and ADC distances are bit-identical across engines and
+partitionings.
+
+Scale shape:
+- TRAIN: m tiny fits; per round one map-side assignment + one
+  ≤ k × (dim/m)-group aggregation each (at 100 TB you train on a
+  sample — the codebook is a model artifact, like the IVF centroids).
+- ENCODE: one projection of the corpus against m × k centroid
+  LITERALS — no join, no shuffle; the m-code tuple is the only thing
+  written. This is the map-side posture the reference's tuple
+  generators use for vocabulary lookups.
+- QUERY (ADC): the LUT is driver-built from the collected query rows
+  (n_queries × m × k ints, thousands of times under the 1M-row collect
+  guard) and folded back in as literal arrays, so scoring is again a
+  pure projection (element_at per subspace + integer adds) exploded
+  per query; the only exchange is the per-query top-k window, which
+  compiles to WindowGroupLimit (each map partition forwards at most
+  n_queries × topk rows).
+
+Reference parity: the reference has no ANN surface; PQ extends the
+brief's similarity-search family alongside brute-force cosine, IVF,
+and sign-LSH (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .clustering import _sq_dist, kmeans_fit
+
+__all__ = ["pq_fit", "pq_topk"]
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 4,
+) -> tuple[DataFrame, list[dict[int, list[int]]]]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns (codes DataFrame (id, q, code_0..code_{m-1}) — quantized
+    vector retained for downstream exact re-ranking — and the m
+    codebooks as [{code: [int components]}]). Encoding is a single
+    map-side projection; ties break toward the lowest code, matching
+    ``kmeans_integer``'s argmin.
+
+    All m codebooks train in ONE corpus pass per round (the FAISS
+    layout): assignment is a map-side argmin per subspace against
+    codeword literals, and the update is a single aggregation keyed
+    (subspace, code, pos) — at most m × k × dim/m groups, map-side
+    combined — rather than m separate Lloyd jobs. Per-subspace
+    membership, floor-mean updates, and tie-breaks are identical to
+    running ``clustering.kmeans_fit`` on each sliced subvector (the
+    subspaces don't interact), so the unrolled per-subspace oracle
+    still gates it bit-exactly.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    d = dim // m
+    scale = 10**quantize
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("q"),
+    ).persist()
+    # Init: the k lowest-id vectors seed EVERY subspace (their slices),
+    # code index = rank order — the kmeans_fit convention.
+    init = q.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        q.unpersist()
+        raise ValueError(f"pq_fit: need >= k={k} vectors, got {len(init)}")
+    books: list[dict[int, list[int]]] = [
+        {j: list(init[j].q)[s * d : (s + 1) * d] for j in range(k)}
+        for s in range(m)
+    ]
+
+    def code_col(s: int):
+        subq = F.slice(F.col("q"), s * d + 1, d)
+        dists = F.array(*[_sq_dist(subq, books[s][j]) for j in sorted(books[s])])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+    for _ in range(iters):
+        assigned = q.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            code_col(s).alias("code"),
+                            F.slice(F.col("q"), s * d + 1, d).alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("s", "x")
+        ).select(
+            "s",
+            F.col("x.code").alias("cluster"),
+            F.posexplode("x.sub").alias("pos", "val"),
+        )
+        upd = assigned.groupBy("s", "cluster", "pos").agg(
+            F.expr(
+                "CAST(floor(CAST(sum(val) AS DOUBLE) / count(1)) AS BIGINT)"
+            ).alias("cval")
+        )
+        by_sc: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd.collect():  # <= m x k x dim/m rows
+            by_sc.setdefault((int(r.s), int(r.cluster)), {})[int(r.pos)] = int(
+                r.cval
+            )
+        for (s, j), posmap in by_sc.items():
+            books[s][j] = [posmap[p] for p in range(len(posmap))]
+        # (s, code) cells absent from upd keep their previous codeword
+    codes = q.select(
+        "id", "q", *[code_col(s).alias(f"code_{s}") for s in range(m)]
+    )
+    # Driver syncs done: release the cached quantization (kmeans_fit's
+    # loop-state hygiene) — the returned plan recomputes the map-side
+    # projection once when the caller executes it.
+    q.unpersist()
+    return codes, books
+
+
+def pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 4,
+    n_queries: int = 4,
+    topk: int = 5,
+) -> DataFrame:
+    """ADC top-k: each of the first ``n_queries`` vectors (id <
+    n_queries) retrieves its ``topk`` nearest OTHER vectors by
+    asymmetric PQ distance. Returns (q_id, cand_id, rank, adc_d2),
+    rank 1-based in (adc_d2, cand_id) order.
+
+    The LUT fold-back keeps scoring a pure projection (see module
+    docstring); approximate by construction — exact re-ranking of the
+    survivors (cosine_topk over topk × n_queries rows) is the standard
+    second stage.
+    """
+    codes, codebooks = pq_fit(emb, id_col, vec_col, dim, m, k, iters, quantize)
+    d = dim // m
+    qrows = codes.filter(F.col("id") < n_queries).select("id", "q").collect()
+    if not qrows:
+        raise ValueError("pq_topk: no query vectors with id < n_queries")
+    structs = []
+    for r in sorted(qrows, key=lambda r: r.id):
+        qv = list(r.q)
+        adc = None
+        for s in range(m):
+            sub = qv[s * d : (s + 1) * d]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(sub, codebooks[s][j]))
+                for j in sorted(codebooks[s])
+            ]
+            term = F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
+                (F.col(f"code_{s}") + 1).cast("int"),
+            )
+            adc = term if adc is None else adc + term
+        structs.append(
+            F.struct(
+                F.lit(int(r.id)).cast("long").alias("q_id"),
+                adc.cast("long").alias("adc_d2"),
+            )
+        )
+    scored = (
+        codes.select("id", F.explode(F.array(*structs)).alias("x"))
+        .select(
+            F.col("x.q_id").alias("q_id"),
+            F.col("id").alias("cand_id"),
+            F.col("x.adc_d2").alias("adc_d2"),
+        )
+        .filter(F.col("cand_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "cand_id", "rank", "adc_d2")
+        .orderBy("q_id", "rank")
+    )

@@ -1198,3 +1198,164 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+
+
+def _pq_oracle(
+    m: int, k: int, iters: int, dim: int, quantize: int, n_queries: int, topk: int
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/pq.pq_topk``: one full
+    integer-Lloyd chain per subspace (the ``_kmeans_oracle_ctes``
+    machinery restricted to the subspace's position range), the
+    per-vector code argmins, the query LUTs as exact
+    query-to-codeword distance CTEs, and the ADC sum + per-query
+    top-k tail. Every arithmetic step is the same exact integer (or
+    fixed-shape floor(double)) operation the Spark plan runs.
+    """
+    scale = 10**quantize
+    d = dim // m
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+qf AS (
+  SELECT id, g.i - 1 AS pos, qv[g.i] AS val
+  FROM q, generate_series(1, {dim}) g(i)
+),
+cinit AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, id
+  FROM (SELECT id FROM q ORDER BY id LIMIT {k})
+)"""
+    ]
+    for s in range(m):
+        lo, hi = s * d, (s + 1) * d
+        parts.append(
+            f"""
+cf{s}_0 AS (
+  SELECT c.cluster, qf.pos, qf.val AS cval
+  FROM cinit c JOIN qf USING (id)
+  WHERE qf.pos >= {lo} AND qf.pos < {hi}
+)"""
+        )
+        for r in range(1, iters + 1):
+            parts.append(
+                f"""
+d{s}_{r} AS (
+  SELECT qf.id, c.cluster,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS d2
+  FROM qf JOIN cf{s}_{r - 1} c USING (pos)
+  GROUP BY qf.id, c.cluster
+),
+a{s}_{r} AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM d{s}_{r}
+  ) t WHERE rn = 1
+),
+u{s}_{r} AS (
+  SELECT a.cluster, qf.pos,
+         CAST(floor(CAST(sum(qf.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM a{s}_{r} a JOIN qf USING (id)
+  WHERE qf.pos >= {lo} AND qf.pos < {hi}
+  GROUP BY a.cluster, qf.pos
+),
+cf{s}_{r} AS (
+  SELECT cluster, pos, cval FROM u{s}_{r}
+  UNION ALL
+  SELECT c.cluster, c.pos, c.cval FROM cf{s}_{r - 1} c
+  WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM u{s}_{r})
+)"""
+            )
+        parts.append(
+            f"""
+dfin{s} AS (
+  SELECT qf.id, c.cluster,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS d2
+  FROM qf JOIN cf{s}_{iters} c USING (pos)
+  GROUP BY qf.id, c.cluster
+),
+code{s} AS (
+  SELECT id, cluster AS code FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM dfin{s}
+  ) t WHERE rn = 1
+),
+lut{s} AS (
+  SELECT qf.id AS q_id, c.cluster AS code,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS pd2
+  FROM qf JOIN cf{s}_{iters} c USING (pos)
+  WHERE qf.id < {n_queries}
+  GROUP BY qf.id, c.cluster
+)"""
+        )
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} USING (id)" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.q_id = l0.q_id AND l{s}.code = c{s}.code"
+        for s in range(1, m)
+    )
+    adc = " + ".join(f"l{s}.pd2" for s in range(m))
+    parts.append(
+        f"""
+scored AS (
+  SELECT l0.q_id, c0.id AS cand_id, CAST({adc} AS BIGINT) AS adc_d2
+  FROM code0 c0 {code_joins}
+  JOIN lut0 l0 ON l0.code = c0.code {lut_joins}
+  WHERE c0.id != l0.q_id
+)"""
+    )
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+SELECT q_id, cand_id, CAST(rank AS BIGINT) AS rank, adc_d2
+FROM (
+  SELECT q_id, cand_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, cand_id) AS rank
+  FROM scored
+) t WHERE rank <= {topk}
+ORDER BY q_id, rank"""
+    )
+
+
+@query(
+    "q_pq_topk",
+    tags=("similarity", "cluster"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=_pq_oracle(
+        m=4, k=8, iters=2, dim=64, quantize=4, n_queries=4, topk=5
+    ),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.pq_topk): 4 subspaces x 8
+    codewords trained with the integer-exact Lloyd machinery, the
+    corpus encoded map-side to 4 codes/vector (16 dims of float -> one
+    code each), and the first 4 vectors each retrieving their top-5
+    neighbours by asymmetric-distance (ADC) lookup. Completes the ANN
+    family's scale ladder: brute-force (exact, scan-bound) -> IVF
+    (prunes candidates) -> PQ (compresses storage + constant-time
+    scoring); at 100 TB the codes table is ~60x smaller than the
+    embeddings it replaces. The whole read path is two projections and
+    a WindowGroupLimit top-k -- the corpus never shuffles.
+    """
+    from ..operators.pq import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=64,
+        m=4,
+        k=8,
+        iters=2,
+        quantize=4,
+        n_queries=4,
+        topk=5,
+    )

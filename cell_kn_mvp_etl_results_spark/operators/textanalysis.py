@@ -873,3 +873,104 @@ def vocab_coverage(
         "n_covered",
         F.expr("(n_covered * 1000) div n_stream").alias("coverage_permille"),
     )
+
+
+def bm25_topk(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    topk: int = 10,
+) -> "DataFrame":
+    """BM25 document ranking for a fixed query-term set, in exact
+    integer arithmetic (Robertson/Sparck-Jones BM25 with k1=1.2,
+    b=0.75). Returns the ``topk`` documents as
+    (doc_id, n_terms, bm25_micro, rank), rank 1-based in
+    (bm25_micro DESC, doc_id) order.
+
+    Determinism contract (plans/registry.py doctrine): the ln() IDF is
+    not engine-portable, and floor(log2) collapses the 60-80%% df band
+    of this corpus to a single value -- so BOTH BM25 factors are exact
+    integer rationals:
+
+      idf_permille  = (1000 * (2N - 2df + 1)) div (2df + 1)
+                      (Robertson's (N - df + .5)/(df + .5) with the
+                      halves cleared; monotone in df, positive)
+      sat_permille  = (22000 * tf * T) div (10*tf*T + 3*T + 9*dl*N)
+                      (the k1/b saturation tf*(k1+1) / (tf + k1*(1 -
+                      b + b*dl/avgdl)) with avgdl = T/N substituted
+                      and denominators cleared: k1=6/5, b=3/4)
+      term_score    = idf_permille * sat_permille   ("micro" units)
+
+    Every quantity is a positive BIGINT, so Spark's truncating ``div``
+    and DuckDB's flooring ``//`` agree, and the per-document sum is
+    order-free. Gate-scale magnitudes stay far under 2^63; at real
+    corpus scale (T ~ 10^13) the T and dl*N products must be rescaled
+    by a common power of two first -- same resolution, no overflow.
+
+    Scale shape: because the term set is compile-time, the whole read
+    path is ONE corpus scan with ZERO corpus-sized shuffles: per-doc
+    (dl, tf_0..tf_{|terms|-1}) come from a pure projection
+    (tf = size(tokens) - size(array_remove(tokens, term)) -- JVM
+    built-ins inside whole-stage codegen, no explode, no doc-keyed
+    exchange), the corpus statistics (T, N, every df) are a 1-row
+    aggregate broadcast back in, scoring is another projection, and
+    the top-k rank window compiles to WindowGroupLimit (each map
+    partition forwards <= topk rows). An unbounded / data-dependent
+    term set would instead take the classic explode -> (id, tok) agg
+    -> broadcast-df join shape at the cost of corpus-sized exchanges.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    nt = len(terms)
+    tk = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("tk"),
+    )
+    stats = tk.select(
+        "id",
+        F.size("tk").cast("long").alias("dl"),
+        *[
+            (F.size("tk") - F.size(F.array_remove("tk", str(t))))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    tot = stats.agg(
+        F.sum("dl").cast("long").alias("t_all"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(nt)
+        ],
+    )
+    term_scores = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.expr(f"(1000 * (2*n_docs - 2*df_{i} + 1)) div (2*df_{i} + 1)")
+            * F.expr(
+                f"(22000 * tf_{i} * t_all) div "
+                f"(10*tf_{i}*t_all + 3*t_all + 9*dl*n_docs)"
+            ),
+        ).otherwise(F.lit(0))
+        for i in range(nt)
+    ]
+    hits = [(F.col(f"tf_{i}") > 0).cast("long") for i in range(nt)]
+    scored = stats.crossJoin(F.broadcast(tot)).select(
+        "id",
+        sum(term_scores[1:], term_scores[0]).cast("long").alias("bm25_micro"),
+        sum(hits[1:], hits[0]).cast("long").alias("n_terms"),
+    )
+    w = Window.orderBy(F.desc("bm25_micro"), "id")
+    return (
+        scored.filter(F.col("n_terms") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(F.col("id").alias("doc_id"), "n_terms", "bm25_micro", "rank")
+        .orderBy("rank")
+    )

@@ -1359,3 +1359,63 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=4,
         topk=5,
     )
+
+
+@query(
+    "q_bm25",
+    tags=("text", "search"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY id),
+tot AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS t_all, CAST(count(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ('dup', 'vector', 'merge')
+  GROUP BY id, tok
+),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.id,
+         ((1000 * (2*n_docs - 2*df + 1)) // (2*df + 1)) *
+         ((22000 * tf * t_all) // (10*tf*t_all + 3*t_all + 9*dl*n_docs))
+           AS term_score
+  FROM tf JOIN dfq USING (tok) JOIN dl USING (id) CROSS JOIN tot
+),
+agg AS (
+  SELECT id AS doc_id,
+         CAST(sum(term_score) AS BIGINT) AS bm25_micro,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY id
+)
+SELECT doc_id, n_terms, bm25_micro, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, n_terms, bm25_micro,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+  FROM agg
+) t WHERE rank <= 10
+ORDER BY rank
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (operators/textanalysis.bm25_topk): the top-10
+    documents for the query {dup, vector, merge} -- one rare term (the
+    near-duplicate marker, df ~5%) and two mid-band terms -- scored
+    with integer-exact BM25 (k1=1.2, b=0.75; ln-IDF replaced by the
+    equivalent integer rational so both engines agree bit-for-bit).
+    The retrieval read of the search family: search_grams/tfidf build
+    the index and keywords, this ranks documents for a query. The
+    query-term filter prunes the tf stream before any shuffle; df and
+    corpus totals broadcast.
+    """
+    from ..operators.textanalysis import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", ("dup", "vector", "merge"), topk=10)

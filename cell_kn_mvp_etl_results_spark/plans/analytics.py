@@ -144,3 +144,60 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "ts_us")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_gap_fill",
+    tags=("window", "events", "timeseries"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH base AS (
+  SELECT user_id AS key,
+         epoch_us(ts) // 86400000000 AS d,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT key, d,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         min(CASE WHEN rn = 1 THEN cents END) AS cents_eod
+  FROM (
+    SELECT key, d, cents,
+           row_number() OVER (
+             PARTITION BY key, d ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM base
+  ) t
+  GROUP BY key, d
+),
+bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM base),
+grid AS (
+  SELECT k.key, g.d
+  FROM (SELECT DISTINCT key FROM base) k
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(dmin, dmax)) AS d) g
+)
+SELECT grid.key AS user_id, grid.d AS d,
+       COALESCE(daily.n_obs, 0) AS n_obs,
+       last_value(daily.cents_eod IGNORE NULLS) OVER (
+         PARTITION BY grid.key ORDER BY grid.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cents_filled
+FROM grid LEFT JOIN daily ON daily.key = grid.key AND daily.d = grid.d
+ORDER BY user_id, grid.d
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap fill (operators/timeseries.gap_fill_daily): one
+    row per (user, epoch day) across the corpus's day span, the day's
+    closing value (last event by (ts, event_id)) carried forward over
+    silent days, NULL before a user's first observation. The batch
+    regularization every rolling-feature pipeline wants; timestamps
+    stay in integer epoch-day space (timezone-independent, the
+    q_hourly_rollup convention) and values in integer cents.
+    """
+    from ..operators.timeseries import gap_fill_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return gap_fill_daily(e, "user_id", "ts", "value")

@@ -1419,3 +1419,52 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return bm25_topk(d, "doc_id", "text", ("dup", "vector", "merge"), topk=10)
+
+
+@query(
+    "q_incremental_rollup",
+    tags=("dedup", "incremental", "agg"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH new AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 != 4
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                t -> t != ''))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM new
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance
+    (operators/snapshots.incremental_rollup): the per-source
+    (n_docs, n_tokens, n_chars) rollup of the CURRENT crawl computed
+    as previous-rollup + delta, where the delta touches only
+    added/changed/removed documents. The gate is strong by
+    construction: the oracle recomputes the current rollup DIRECTLY
+    from the new snapshot, so a hash match proves the maintenance
+    algebra (rollup_old - touched_old + touched_new), not just the
+    arithmetic. Same synthetic crawl pair as q_snapshot_diff.
+    """
+    from ..operators.snapshots import incremental_rollup
+
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 3).select("doc_id", "source", "text")
+    new = d.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return incremental_rollup(old, new, "doc_id", "text", "source").orderBy(
+        "source"
+    )

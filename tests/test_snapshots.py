@@ -77,3 +77,61 @@ def test_snapshot_diff_empty_old_is_all_added(spark):
     rows = snapshot_diff(old, new).collect()
     assert len(rows) == 1 and rows[0]["status"] == "added"
     assert rows[0]["chars_old"] == 0 and rows[0]["chars_new"] == 3
+
+
+# ---- incremental_rollup (IVM) ----
+
+from cell_kn_mvp_etl_results_spark.operators.snapshots import (  # noqa: E402
+    incremental_rollup,
+)
+
+
+def _direct(rows):
+    # Pure-Python direct rollup of a snapshot: {label: (docs, toks, chars)}
+    out = {}
+    for _, lab, text in rows:
+        d, t, c = out.get(lab, (0, 0, 0))
+        out[lab] = (d + 1, t + len(text.lower().split()), c + len(text))
+    return out
+
+
+def test_incremental_rollup_equals_direct_recompute(spark):
+    old = _mk(
+        spark,
+        [
+            (1, "a", "one two three"),
+            (2, "a", "to be removed"),
+            (3, "b", "will change here"),
+            (4, "b", "stays the same"),
+        ],
+    )
+    new_rows = [
+        (1, "a", "one two three"),  # unchanged
+        (3, "b", "changed now with more tokens"),  # changed
+        (4, "b", "stays the same"),  # unchanged
+        (5, "c", "brand new doc"),  # added (new label)
+    ]
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_chars"])
+        for r in incremental_rollup(old, _mk(spark, new_rows)).collect()
+    }
+    assert got == _direct(new_rows)
+
+
+def test_incremental_rollup_label_move_debits_old_credits_new(spark):
+    # Doc 1 moves from label a to label b with the same content: the
+    # IVM delta must debit a and credit b.
+    old = _mk(spark, [(1, "a", "same text"), (2, "a", "other")])
+    new_rows = [(1, "b", "same text"), (2, "a", "other")]
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_chars"])
+        for r in incremental_rollup(old, _mk(spark, new_rows)).collect()
+    }
+    assert got == _direct(new_rows)
+
+
+def test_incremental_rollup_drops_emptied_label(spark):
+    old = _mk(spark, [(1, "a", "x"), (2, "b", "y")])
+    new_rows = [(1, "a", "x")]  # label b fully removed
+    got = incremental_rollup(old, _mk(spark, new_rows)).collect()
+    assert [r["source"] for r in got] == ["a"]

@@ -974,3 +974,69 @@ def bm25_topk(
         .select(F.col("id").alias("doc_id"), "n_terms", "bm25_micro", "rank")
         .orderBy("rank")
     )
+
+
+def temperature_mixture(
+    df: "DataFrame",
+    label_col: str,
+    text_col: str,
+    budget_div: int = 2,
+) -> "DataFrame":
+    """Derive a training-mixture allocation across sources with
+    temperature alpha = 0.5 (the multilingual/data-mixing rebalance:
+    sampling weight proportional to sqrt of the source's token mass,
+    which upweights small sources relative to proportional sampling
+    without letting the head dominate). Given a token budget of
+    total_tokens div ``budget_div``, returns per source
+    (n_docs, n_tokens, weight, alloc_tokens, epochs_permille) where
+    epochs_permille > 1000 flags a source that would repeat (the
+    data-constrained-scaling signal). ``mixture_sample`` is the
+    downstream operator that APPLIES rates; this derives them.
+
+    Determinism: weight = floor(sqrt(n_tokens)) — IEEE-754 sqrt is
+    correctly rounded in every engine (unlike ln), so the floor is an
+    exact integer everywhere; all later arithmetic is integer div on
+    positive values (Spark ``div`` == DuckDB ``//``).
+
+    Scale shape: one corpus scan into a label-sized aggregate
+    (per-doc token counts are a pure projection); the totals are a
+    1-row broadcast; everything downstream is label-sized.
+    """
+    from ..functions.text import tokens
+
+    per = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("tk"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("t_all"),
+        F.sum("weight").cast("long").alias("w_sum"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").alias(label_col),
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.expr(f"((t_all div {int(budget_div)}) * weight) div w_sum").alias(
+                "alloc_tokens"
+            ),
+            F.expr(
+                f"((((t_all div {int(budget_div)}) * weight) div w_sum) * 1000) "
+                "div n_tokens"
+            ).alias("epochs_permille"),
+        )
+        .orderBy(label_col)
+    )

@@ -1468,3 +1468,46 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_rollup(old, new, "doc_id", "text", "source").orderBy(
         "source"
     )
+
+
+@query(
+    "q_mixture_weights",
+    tags=("sampling", "mixture"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  t -> t != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM per
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all,
+         CAST(sum(weight) AS BIGINT) AS w_sum
+  FROM w
+)
+SELECT source, n_docs, n_tokens, weight,
+       ((t_all // 2) * weight) // w_sum AS alloc_tokens,
+       ((((t_all // 2) * weight) // w_sum) * 1000) // n_tokens
+         AS epochs_permille
+FROM w CROSS JOIN tot
+ORDER BY source
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture derivation
+    (operators/textanalysis.temperature_mixture): per-source sampling
+    weights proportional to sqrt(token mass) (alpha=0.5) and the
+    integer-exact allocation of a half-total token budget, with
+    epochs_permille flagging sources that would repeat. The upstream
+    planner of q_mixture_sample (which applies a given rate map).
+    """
+    from ..operators.textanalysis import temperature_mixture
+
+    d = read_table(spark, sf_dir, "documents")
+    return temperature_mixture(d, "source", "text", budget_div=2)

@@ -79,3 +79,41 @@ def test_bm25_plan_broadcasts_stats(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- temperature_mixture ----
+
+import math  # noqa: E402
+
+from cell_kn_mvp_etl_results_spark.operators.textanalysis import (  # noqa: E402
+    temperature_mixture,
+)
+
+
+def test_temperature_mixture_matches_python_mirror(spark):
+    texts = {
+        "big": ["w " * 400] * 50,  # ~20k tokens
+        "mid": ["w " * 100] * 20,  # ~2k tokens
+        "tiny": ["w " * 10] * 5,  # ~50 tokens
+    }
+    rows = [
+        (i, src, t.strip())
+        for i, (src, t) in enumerate(
+            (s, t) for s, ts in texts.items() for t in ts
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.n_tokens, r.weight, r.alloc_tokens, r.epochs_permille)
+        for r in temperature_mixture(df, "source", "text").collect()
+    }
+    ntok = {s: sum(len(t.split()) for t in ts) for s, ts in texts.items()}
+    w = {s: math.isqrt(n) for s, n in ntok.items()}
+    t_all, w_sum = sum(ntok.values()), sum(w.values())
+    for s in texts:
+        alloc = ((t_all // 2) * w[s]) // w_sum
+        assert got[s] == (ntok[s], w[s], alloc, alloc * 1000 // ntok[s])
+    # Temperature property: the tiny source is upsampled relative to
+    # proportional allocation, the big one downsampled.
+    assert got["tiny"][3] > 500  # > the flat budget_div=2 epoch rate
+    assert got["big"][3] < 500

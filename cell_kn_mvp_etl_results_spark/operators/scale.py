@@ -69,3 +69,49 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return salted_f.join(salted_o, [on, "_salt"]).drop("_salt")
+
+
+def column_stats(df: "DataFrame", cols: tuple[str, ...]) -> "DataFrame":
+    """ANALYZE-style exact column statistics in ONE pass: per column
+    (col_name, n_rows, n_nulls, n_distinct, min_val, max_val) — the
+    table the optimizer (and the human) reads before choosing join
+    sides, pruning layouts, or trusting a broadcast gate. Columns must
+    be integer-typed (the uniform output schema keeps the gate
+    hashable); dates/decimals enter via their integer encodings.
+
+    Scale shape: a single aggregation — Spark compiles the multiple
+    COUNT(DISTINCT col) into one Expand pass (rows × |cols| internal
+    duplication, then map-side partial aggs), which is the standard
+    exact-NDV collection plan; min/max/null counts ride the same pass
+    for free. For billions of rows × many columns, swap
+    approx_count_distinct (HLL) in — same shape, sketch-sized state;
+    the exact form IS the audit of that sketch.
+    """
+    from pyspark.sql import functions as F
+
+    n_rows = F.count(F.lit(1)).cast("long").alias("n_rows")
+    aggs = [n_rows]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(c).cast("long").alias(f"mn_{c}"),
+            F.max(c).cast("long").alias(f"mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_val"),
+            F.col(f"mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )

@@ -1252,3 +1252,135 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_entity_resolution",
+    # closure_oracle: the reach CTE materializes all-pairs reachability
+    # WITHIN each entity -- quadratic in entity size. The 30x scaled
+    # corpus clones every supplier name 30x, merging the clone cliques
+    # with the digit-neighbor chain into one ~30k-member entity, i.e.
+    # a ~900M-row closure (observed: DuckDB ran away; killed). The
+    # parity suite size-gates this tag to gate-scale corpora; the
+    # Spark fixpoint is linear-per-round and its 30x rows stand as the
+    # scale evidence (BENCH_NOTES).
+    tags=("lookup", "dedup", "graph", "closure_oracle"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH RECURSIVE k AS (SELECT s_suppkey AS id, s_name AS key FROM supplier),
+v AS (
+  SELECT DISTINCT id, key,
+         CASE WHEN i = 0 THEN key
+              ELSE substr(key, 1, i - 1) || substr(key, i + 1) END AS variant
+  FROM k, generate_series(0, 64) g(i)
+  WHERE i <= len(key)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  WHERE levenshtein(a.key, b.key) <= 1
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT id, id FROM k
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+),
+comp AS (SELECT src AS id, min(dst) AS entity_id FROM reach GROUP BY src),
+ent AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY entity_id
+)
+SELECT e.entity_id, e.n_members, k.key AS canonical_name
+FROM ent e JOIN k ON k.id = e.entity_id
+ORDER BY entity_id
+""",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: FastSS deletion-neighborhood
+    blocking (operators/lookup.fuzzy_key_pairs, edit distance <= 1)
+    feeds connected components (operators/dedup.connected_components),
+    and each entity reports its canonical record (minimum member id's
+    name) and member count -- the keep-one-per-entity read of the
+    fuzzy-match family, composing the two machines the registry
+    already gates separately (q_fuzzy_name_pairs, q_dedup_clusters).
+    The oracle recomputes the same entities via recursive transitive
+    closure over the spelled-out neighborhood join. Supplier-sized
+    graph: the closure stays dimension-scale (no closure_oracle
+    hazard); at corpus scale the Spark side inherits the fixpoint's
+    linear-per-round posture while blocking keeps candidate pairs
+    near-linear.
+    """
+    from ..operators.dedup import connected_components
+    from ..operators.lookup import fuzzy_key_pairs
+
+    s = read_table(spark, sf_dir, "supplier")
+    pairs = fuzzy_key_pairs(s, "s_suppkey", "s_name")
+    nodes = s.select(F.col("s_suppkey").alias("id"))
+    comp = connected_components(nodes, pairs.select("id_a", "id_b"))
+    ent = comp.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    canon = s.select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("canonical_name"),
+    )
+    return (
+        ent.join(canon, "entity_id")
+        .select("entity_id", "n_members", "canonical_name")
+        .orderBy("entity_id")
+    )
+
+
+@query(
+    "q_table_stats",
+    tags=("agg", "profile"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH s AS (
+  SELECT 'l_linenumber' AS col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(l_linenumber) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+         CAST(min(l_linenumber) AS BIGINT) AS min_val,
+         CAST(max(l_linenumber) AS BIGINT) AS max_val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(l_orderkey) AS BIGINT),
+         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(l_partkey) AS BIGINT),
+         CAST(count(DISTINCT l_partkey) AS BIGINT),
+         CAST(min(l_partkey) AS BIGINT), CAST(max(l_partkey) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(l_suppkey) AS BIGINT),
+         CAST(count(DISTINCT l_suppkey) AS BIGINT),
+         CAST(min(l_suppkey) AS BIGINT), CAST(max(l_suppkey) AS BIGINT)
+  FROM lineitem
+)
+SELECT * FROM s ORDER BY col_name
+""",
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column statistics of the fact table in one pass
+    (operators/scale.column_stats): n_rows / n_nulls / exact NDV /
+    min / max for the lineitem key columns -- the stats table behind
+    broadcast gates, z-order layout choices, and skew diagnosis.
+    Spark compiles the multi-column COUNT(DISTINCT) into a single
+    Expand pass; the oracle spells the same stats as per-column scans.
+    """
+    from ..operators.scale import column_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return column_stats(
+        li, ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
+    )

@@ -230,3 +230,62 @@ def test_khop_bucketed_matches_and_is_exchange_free_on_edges(spark, sf_dir):
                 assert "Exchange hashpartitioning" not in lines[j], lines[j]
                 indent = pind
             j -= 1
+
+
+def test_column_stats_exact(spark):
+    from cell_kn_mvp_etl_results_spark.operators.scale import column_stats
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, None), (3, 20)], "a long, b long"
+    )
+    got = {r.col_name: tuple(r)[1:] for r in column_stats(df, ("a", "b")).collect()}
+    # (n_rows, n_nulls, n_distinct, min, max)
+    assert got["a"] == (4, 0, 3, 1, 3)
+    assert got["b"] == (4, 1, 2, 10, 20)
+
+
+def test_column_stats_single_pass_plan(spark):
+    from cell_kn_mvp_etl_results_spark.operators.scale import column_stats
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = (
+        column_stats(df, ("a", "b"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Multi-distinct compiles to ONE Expand pass over the input, not
+    # one scan per column.
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_entity_resolution_merges_via_blocking_chain(spark):
+    # Three spellings within edit distance 1 of each other pairwise-
+    # chained (acme ~ acm ~ acme co? no -- keep a simple chain) plus an
+    # unrelated singleton: the composed pipeline must produce one
+    # 3-member entity canonicalized to the lowest id and one singleton.
+    from cell_kn_mvp_etl_results_spark.operators.dedup import (
+        connected_components,
+    )
+    from cell_kn_mvp_etl_results_spark.operators.lookup import fuzzy_key_pairs
+
+    from pyspark.sql import functions as F
+
+    s = spark.createDataFrame(
+        [(1, "acme"), (2, "acmee"), (3, "acmeee"), (9, "zzz")],
+        "id long, name string",
+    )
+    pairs = fuzzy_key_pairs(s, "id", "name")
+    comp = connected_components(
+        s.select("id"), pairs.select("id_a", "id_b")
+    )
+    got = {
+        r.component: r.n
+        for r in comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 1~2 (insert), 2~3 (insert) chain; 1~3 is distance 2 -- entity
+    # closure must still merge all three.
+    assert got == {1: 3, 9: 1}

@@ -51,7 +51,7 @@ from pyspark.sql.window import Window
 
 from .clustering import _sq_dist, kmeans_fit
 
-__all__ = ["pq_fit", "pq_topk"]
+__all__ = ["pq_fit", "pq_topk", "ivfpq_topk"]
 
 
 def pq_fit(
@@ -208,6 +208,100 @@ def pq_topk(
             F.col("x.adc_d2").alias("adc_d2"),
         )
         .filter(F.col("cand_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "cand_id", "rank", "adc_d2")
+        .orderBy("q_id", "rank")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 4,
+    n_probe: int = 2,
+    n_queries: int = 4,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the serving structure of large-scale ANN (FAISS's
+    IndexIVFPQ). The coarse quantizer (integer-Lloyd cells) prunes
+    WHICH vectors a query touches — each query probes its ``n_probe``
+    nearest cells by exact centroid distance — and PQ codes compress
+    WHAT is scored inside those cells (ADC lookups, no float math).
+    Returns (q_id, cand_id, rank, adc_d2) for the first ``n_queries``
+    vectors, rank 1-based in (adc_d2, cand_id) order over the probed
+    candidates only (recall < 1 by construction; tune n_probe).
+
+    Scale shape: everything is a projection. The coarse cell id is a
+    map-side argmin against ``coarse_k`` centroid literals ON the
+    codes frame (no corpus self-join with the kmeans assignment);
+    probe sets and LUTs are driver-built from the collected query rows
+    and folded back as literals, so per-candidate work is a cell-set
+    membership test + m array lookups; the only exchange is the
+    per-query top-k WindowGroupLimit. At 100 TB you additionally
+    partition the codes table BY cell id so a probe reads only its
+    cells' files — the layout ``sinks.write_graph`` applies to
+    collection pairs, applied to cells.
+    """
+    codes, books = pq_fit(emb, id_col, vec_col, dim, m, k, iters, quantize)
+    _, coarse = kmeans_fit(
+        emb, id_col, vec_col, k=coarse_k, iters=coarse_iters, quantize=quantize
+    )
+    cell_dists = F.array(
+        *[_sq_dist(F.col("q"), coarse[j]) for j in sorted(coarse)]
+    )
+    enriched = codes.withColumn(
+        "cell", (F.array_position(cell_dists, F.array_min(cell_dists)) - 1)
+    )
+    d = dim // m
+    qrows = codes.filter(F.col("id") < n_queries).select("id", "q").collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk: no query vectors with id < n_queries")
+    structs = []
+    for r in sorted(qrows, key=lambda r: r.id):
+        qv = list(r.q)
+        pd2 = [
+            (sum((a - b) * (a - b) for a, b in zip(qv, coarse[j])), j)
+            for j in sorted(coarse)
+        ]
+        probe_cells = [j for _, j in sorted(pd2)[:n_probe]]
+        adc = None
+        for s in range(m):
+            sub = qv[s * d : (s + 1) * d]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(sub, books[s][j]))
+                for j in sorted(books[s])
+            ]
+            term = F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
+                (F.col(f"code_{s}") + 1).cast("int"),
+            )
+            adc = term if adc is None else adc + term
+        structs.append(
+            F.struct(
+                F.lit(int(r.id)).cast("long").alias("q_id"),
+                adc.cast("long").alias("adc_d2"),
+                F.col("cell").isin(*probe_cells).alias("probed"),
+            )
+        )
+    scored = (
+        enriched.select("id", F.explode(F.array(*structs)).alias("x"))
+        .filter(F.col("x.probed") & (F.col("id") != F.col("x.q_id")))
+        .select(
+            F.col("x.q_id").alias("q_id"),
+            F.col("id").alias("cand_id"),
+            F.col("x.adc_d2").alias("adc_d2"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy("adc_d2", "cand_id")
     return (

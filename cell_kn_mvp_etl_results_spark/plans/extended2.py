@@ -1200,44 +1200,27 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(
-    m: int, k: int, iters: int, dim: int, quantize: int, n_queries: int, topk: int
-) -> str:
-    """Unrolled-CTE DuckDB twin of ``operators/pq.pq_topk``: one full
-    integer-Lloyd chain per subspace (the ``_kmeans_oracle_ctes``
-    machinery restricted to the subspace's position range), the
-    per-vector code argmins, the query LUTs as exact
-    query-to-codeword distance CTEs, and the ADC sum + per-query
-    top-k tail. Every arithmetic step is the same exact integer (or
-    fixed-shape floor(double)) operation the Spark plan runs.
-    """
-    scale = 10**quantize
+def _pq_subspace_parts(
+    m: int, k: int, iters: int, dim: int, n_queries: int, init_cte: str
+) -> list[str]:
+    """Per-subspace unrolled-Lloyd CTE chains of the PQ oracles: for
+    each subspace s, the codebook init (slices of ``init_cte``'s k
+    lowest-id vectors), iters rounds of distance/argmin/floor-mean
+    CTEs restricted to the subspace's position range, the final code
+    argmin per vector, and the query LUT (exact query-to-codeword
+    distances for qf.id < n_queries). ``init_cte`` must map the k
+    lowest ids to cluster 0..k-1 (both ``cinit`` here and the coarse
+    kmeans oracle's ``c0`` qualify, which is what lets the IVF-PQ
+    oracle share one init)."""
     d = dim // m
-    parts = [
-        f"""
-q AS (
-  SELECT vec_id AS id,
-         list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
-           AS qv
-  FROM embeddings
-),
-qf AS (
-  SELECT id, g.i - 1 AS pos, qv[g.i] AS val
-  FROM q, generate_series(1, {dim}) g(i)
-),
-cinit AS (
-  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, id
-  FROM (SELECT id FROM q ORDER BY id LIMIT {k})
-)"""
-    ]
+    parts: list[str] = []
     for s in range(m):
         lo, hi = s * d, (s + 1) * d
         parts.append(
             f"""
 cf{s}_0 AS (
   SELECT c.cluster, qf.pos, qf.val AS cval
-  FROM cinit c JOIN qf USING (id)
+  FROM {init_cte} c JOIN qf USING (id)
   WHERE qf.pos >= {lo} AND qf.pos < {hi}
 )"""
         )
@@ -1294,6 +1277,40 @@ lut{s} AS (
   GROUP BY qf.id, c.cluster
 )"""
         )
+    return parts
+
+
+def _pq_oracle(
+    m: int, k: int, iters: int, dim: int, quantize: int, n_queries: int, topk: int
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/pq.pq_topk``: one full
+    integer-Lloyd chain per subspace (the ``_kmeans_oracle_ctes``
+    machinery restricted to the subspace's position range), the
+    per-vector code argmins, the query LUTs as exact
+    query-to-codeword distance CTEs, and the ADC sum + per-query
+    top-k tail. Every arithmetic step is the same exact integer (or
+    fixed-shape floor(double)) operation the Spark plan runs.
+    """
+    scale = 10**quantize
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+qf AS (
+  SELECT id, g.i - 1 AS pos, qv[g.i] AS val
+  FROM q, generate_series(1, {dim}) g(i)
+),
+cinit AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, id
+  FROM (SELECT id FROM q ORDER BY id LIMIT {k})
+)"""
+    ]
+    parts += _pq_subspace_parts(m, k, iters, dim, n_queries, init_cte="cinit")
     code_joins = " ".join(
         f"JOIN code{s} c{s} USING (id)" for s in range(1, m)
     )
@@ -1511,3 +1528,128 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return temperature_mixture(d, "source", "text", budget_div=2)
+
+
+def _ivfpq_oracle(
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    quantize: int,
+    n_probe: int,
+    n_queries: int,
+    topk: int,
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/pq.ivfpq_topk``: the
+    coarse kmeans chain (``_kmeans_oracle_ctes`` -- q/qf/c0/cf{r}/dfin)
+    provides cells, probes come from exact query-to-centroid distances
+    over the final coarse centroids, the PQ subspace chains
+    (``_pq_subspace_parts``, sharing the kmeans init c0 -- valid
+    because coarse_k == k and both map the k lowest ids to clusters
+    0..k-1) provide codes and LUTs, and the tail scores only probed
+    cells' members by ADC sum. Requires coarse_k == k.
+    """
+    assert coarse_k == k, "shared c0 init requires coarse_k == pq k"
+    parts = [_kmeans_oracle_ctes(coarse_k, coarse_iters, dim, quantize)]
+    parts.append(
+        f"""
+asg AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM dfin
+  ) t WHERE rn = 1
+),
+qd AS (
+  SELECT qf.id AS q_id, c.cluster,
+         CAST(sum((qf.val - c.cval) * (qf.val - c.cval)) AS BIGINT) AS pd2
+  FROM qf JOIN cf{coarse_iters} c USING (pos)
+  WHERE qf.id < {n_queries}
+  GROUP BY qf.id, c.cluster
+),
+probes AS (
+  SELECT q_id, cluster FROM (
+    SELECT q_id, cluster,
+           row_number() OVER (PARTITION BY q_id ORDER BY pd2, cluster) AS rn
+    FROM qd
+  ) t WHERE rn <= {n_probe}
+)"""
+    )
+    parts += _pq_subspace_parts(m, k, iters, dim, n_queries, init_cte="c0")
+    code_joins = " ".join(f"JOIN code{s} c{s} USING (id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.q_id = p.q_id AND l{s}.code = c{s}.code"
+        for s in range(1, m)
+    )
+    adc = " + ".join(f"l{s}.pd2" for s in range(m))
+    parts.append(
+        f"""
+scored AS (
+  SELECT p.q_id, c0.id AS cand_id, CAST({adc} AS BIGINT) AS adc_d2
+  FROM code0 c0 {code_joins}
+  JOIN asg a USING (id)
+  JOIN probes p ON p.cluster = a.cluster
+  JOIN lut0 l0 ON l0.q_id = p.q_id AND l0.code = c0.code {lut_joins}
+  WHERE c0.id != p.q_id
+)"""
+    )
+    return (
+        ",".join(parts)
+        + f"""
+SELECT q_id, cand_id, CAST(rank AS BIGINT) AS rank, adc_d2
+FROM (
+  SELECT q_id, cand_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, cand_id) AS rank
+  FROM scored
+) t WHERE rank <= {topk}
+ORDER BY q_id, rank"""
+    )
+
+
+@query(
+    "q_ivfpq_topk",
+    tags=("similarity", "cluster"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=_ivfpq_oracle(
+        coarse_k=8,
+        coarse_iters=2,
+        m=4,
+        k=8,
+        iters=2,
+        dim=64,
+        quantize=4,
+        n_probe=2,
+        n_queries=4,
+        topk=3,
+    ),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.ivfpq_topk): the FAISS IndexIVFPQ
+    serving structure with a fully oracle-gated model -- coarse
+    integer-Lloyd cells prune candidates (n_probe=2), PQ codes score
+    them by ADC lookup. The whole read path is projections plus one
+    WindowGroupLimit; at 100 TB the codes table is additionally
+    partitioned by cell id so probes read only their cells' files.
+    Caps the ANN ladder: brute -> IVF (prune) -> PQ (compress) ->
+    IVF-PQ (both).
+    """
+    from ..operators.pq import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=64,
+        coarse_k=8,
+        coarse_iters=2,
+        m=4,
+        k=8,
+        iters=2,
+        quantize=4,
+        n_probe=2,
+        n_queries=4,
+        topk=3,
+    )

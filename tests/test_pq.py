@@ -103,3 +103,49 @@ def test_pq_scoring_plan_has_no_join(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# ---- ivfpq_topk ----
+
+from cell_kn_mvp_etl_results_spark.operators.pq import ivfpq_topk  # noqa: E402
+
+
+def test_ivfpq_subset_of_pq_with_full_probe(spark):
+    # With n_probe == coarse_k every cell is probed, so IVF-PQ must
+    # reproduce plain PQ ADC ranking exactly.
+    vecs = [[float((i * 7 + j * 3) % 5) for j in range(8)] for i in range(20)]
+    emb = _emb(spark, vecs)
+    full = ivfpq_topk(
+        emb, dim=8, coarse_k=4, coarse_iters=1, m=4, k=4, iters=1,
+        quantize=2, n_probe=4, n_queries=2, topk=3,
+    )
+    plain = pq_topk(
+        emb, dim=8, m=4, k=4, iters=1, quantize=2, n_queries=2, topk=3
+    )
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_ivfpq_probes_restrict_candidates(spark):
+    # Two well-separated blobs: with n_probe=1 a query in blob A must
+    # only retrieve blob-A members.
+    vecs = [[0.0 + 0.01 * i] * 8 for i in range(6)] + [
+        [100.0 + 0.01 * i] * 8 for i in range(6)
+    ]
+    got = ivfpq_topk(
+        _emb(spark, vecs), dim=8, coarse_k=2, coarse_iters=2, m=2, k=2,
+        iters=2, quantize=1, n_probe=1, n_queries=1, topk=5,
+    ).collect()
+    assert len(got) == 5
+    assert all(r.cand_id < 6 for r in got)  # blob A only
+
+
+def test_ivfpq_scoring_plan_is_join_free(spark):
+    vecs = [[float(i % 4)] * 8 for i in range(16)]
+    df = ivfpq_topk(
+        _emb(spark, vecs), dim=8, coarse_k=2, coarse_iters=1, m=2, k=2,
+        iters=1, quantize=1, n_probe=1, n_queries=2, topk=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

@@ -115,3 +115,98 @@ def column_stats(df: "DataFrame", cols: tuple[str, ...]) -> "DataFrame":
         .select("s.*")
         .orderBy("col_name")
     )
+
+
+def key_skew_profile(df: "DataFrame", cols: tuple[str, ...]) -> "DataFrame":
+    """Join-key skew diagnosis in ONE pass: per key column, the group
+    count, the heaviest group's size and key (ties -> lowest key), and
+    skew_x1000 = max_group * 1000 * n_groups div n_rows (1000 = flat;
+    the multiple of the mean the hottest key carries). This is the
+    table you read before choosing salting (`salted_join`) or an AQE
+    skew threshold — the operational companion of :func:`column_stats`.
+
+    Scale shape: the columns unpivot map-side into (col_name, key)
+    rows (one Expand-like generator pass, |cols| × rows), then ONE
+    (col_name, key)-keyed aggregation with map-side combine — exactly
+    the cardinality of the heaviest groupBy you were about to run —
+    followed by |cols|-sized stats. Integer-exact throughout.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("long").alias("k"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    cnt = pairs.groupBy("col_name", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        cnt.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("cnt").cast("long").alias("max_group"),
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("k")))
+            .getField("k")
+            .alias("heaviest_key"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_groups",
+            "max_group",
+            "heaviest_key",
+            F.expr("(max_group * 1000 * n_groups) div n_rows").alias(
+                "skew_x1000"
+            ),
+        )
+        .orderBy("col_name")
+    )
+
+
+def fk_integrity(
+    edges: list[tuple[str, "DataFrame", str, "DataFrame", str]],
+) -> "DataFrame":
+    """Referential-integrity audit across a star schema: for each FK
+    edge (name, child_df, child_key, parent_df, parent_key) report
+    (fk_name, n_child, n_orphans) where an orphan is a child row whose
+    key value has no parent row (NULL child keys count as orphans —
+    an unresolvable reference is an unresolvable reference). The
+    pre-flight check before trusting joins to be lossless, and the
+    post-flight check after an incremental load (snapshots.*).
+
+    Scale shape per edge: the child projects to its key column; the
+    parent's DISTINCT key set joins in (broadcast when the parent is a
+    dim — Spark sizes that automatically); one count/sum aggregate.
+    Edges evaluate independently and union into one |edges|-row frame.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for name, child, ckey, parent, pkey in edges:
+        pk = parent.select(
+            F.col(pkey).alias("_k"), F.lit(1).alias("_hit")
+        ).distinct()
+        outs.append(
+            child.select(F.col(ckey).alias("_k"))
+            .join(pk, "_k", "left")
+            .agg(
+                F.lit(name).alias("fk_name"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs).orderBy("fk_name")

@@ -1384,3 +1384,123 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(
         li, ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
     )
+
+
+@query(
+    "q_key_skew",
+    tags=("agg", "profile"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH pairs AS (
+  SELECT 'l_orderkey' AS col_name, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+cnt AS (
+  SELECT col_name, k, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY col_name, k
+),
+ranked AS (
+  SELECT col_name, k, cnt,
+         row_number() OVER (
+           PARTITION BY col_name ORDER BY cnt DESC, k
+         ) AS rn
+  FROM cnt
+),
+stats AS (
+  SELECT col_name,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(max(cnt) AS BIGINT) AS max_group
+  FROM cnt GROUP BY col_name
+)
+SELECT s.col_name, s.n_rows, s.n_groups, s.max_group,
+       r.k AS heaviest_key,
+       (s.max_group * 1000 * s.n_groups) // s.n_rows AS skew_x1000
+FROM stats s JOIN ranked r ON r.col_name = s.col_name AND r.rn = 1
+ORDER BY s.col_name
+""",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/scale.key_skew_profile): per
+    lineitem join key, group count, heaviest group and its key, and
+    the hottest key's multiple-of-mean in integer permille -- the read
+    before choosing salting or an AQE skew threshold. One unpivot pass
+    + one (col, key) aggregation; the oracle replays it with a
+    per-column rank window.
+    """
+    from ..operators.scale import key_skew_profile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ("l_orderkey", "l_partkey", "l_suppkey"))
+
+
+@query(
+    "q_fk_integrity",
+    tags=("join", "profile"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+SELECT * FROM (
+  SELECT 'customer.c_nationkey->nation' AS fk_name,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+) t ORDER BY fk_name
+""",
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/scale.fk_integrity) over
+    the star schema's five FK edges: child count + orphan count per
+    edge. The pre-flight check that joins are lossless and the
+    post-flight check after an incremental load; parent key sets
+    broadcast (dims), one aggregate per edge.
+    """
+    from ..operators.scale import fk_integrity
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return fk_integrity(
+        [
+            (
+                "customer.c_nationkey->nation",
+                c,
+                "c_nationkey",
+                read_table(spark, sf_dir, "nation"),
+                "n_nationkey",
+            ),
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+            (
+                "lineitem.l_partkey->part",
+                li,
+                "l_partkey",
+                read_table(spark, sf_dir, "part"),
+                "p_partkey",
+            ),
+            (
+                "lineitem.l_suppkey->supplier",
+                li,
+                "l_suppkey",
+                read_table(spark, sf_dir, "supplier"),
+                "s_suppkey",
+            ),
+            ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ]
+    )

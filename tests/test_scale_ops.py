@@ -289,3 +289,34 @@ def test_entity_resolution_merges_via_blocking_chain(spark):
     # 1~2 (insert), 2~3 (insert) chain; 1~3 is distance 2 -- entity
     # closure must still merge all three.
     assert got == {1: 3, 9: 1}
+
+
+def test_key_skew_profile_exact(spark):
+    from cell_kn_mvp_etl_results_spark.operators.scale import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(1, 7), (1, 7), (1, 8), (2, 7), (3, 9)], "a long, b long"
+    )
+    got = {r.col_name: tuple(r)[1:] for r in key_skew_profile(df, ("a", "b")).collect()}
+    # (n_rows, n_groups, max_group, heaviest_key, skew_x1000)
+    assert got["a"] == (5, 3, 3, 1, 3 * 1000 * 3 // 5)
+    assert got["b"] == (5, 3, 3, 7, 1800)
+
+
+def test_key_skew_heaviest_tie_breaks_low(spark):
+    from cell_kn_mvp_etl_results_spark.operators.scale import key_skew_profile
+
+    df = spark.createDataFrame([(5,), (5,), (2,), (2,)], "a long")
+    row = key_skew_profile(df, ("a",)).collect()[0]
+    assert row.heaviest_key == 2 and row.max_group == 2
+
+
+def test_fk_integrity_counts_orphans_and_nulls(spark):
+    from cell_kn_mvp_etl_results_spark.operators.scale import fk_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    got = fk_integrity([("child.fk->parent", child, "fk", parent, "pk")]).collect()
+    assert [tuple(r) for r in got] == [("child.fk->parent", 4, 2)]

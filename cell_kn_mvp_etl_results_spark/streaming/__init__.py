@@ -1,9 +1,10 @@
 from .incremental import incremental_new_keys
-from .stateful import debounced_stream, running_user_totals
+from .stateful import debounced_stream, filled_daily_stream, running_user_totals
 from .windows import deduplicated_stream, sessionized_stream, windowed_counts
 
 __all__ = [
     "debounced_stream",
+    "filled_daily_stream",
     "deduplicated_stream",
     "incremental_new_keys",
     "running_user_totals",

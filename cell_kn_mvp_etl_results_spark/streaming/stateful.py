@@ -159,3 +159,122 @@ def debounced_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FILL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("d", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("cents_filled", LongType()),
+    ]
+)
+
+FILL_STATE = StructType(
+    [StructField("last_d", LongType()), StructField("last_cents", LongType())]
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _fill(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.assign(_us=_ts_us(batch["ts"])).sort_values(
+        ["_us", "event_id"], kind="mergesort"
+    )
+    batch["_d"] = batch["_us"] // _US_PER_DAY
+    batch["_cents"] = (batch["value"] * 100).round().astype("int64")
+    # Day-close value = last row per day in (ts, event_id) order;
+    # n_obs = rows per day.
+    closes = batch.groupby("_d")["_cents"].last()
+    counts = batch.groupby("_d")["_cents"].size()
+    last_d, last_cents = (
+        state.get if state.exists else (None, None)
+    )
+    start = int(closes.index.min()) if last_d is None else last_d + 1
+    end = int(closes.index.max())
+    out_d, out_n, out_c = [], [], []
+    for day in range(start, end + 1):
+        if day in closes.index:
+            last_cents = int(closes[day])
+            n = int(counts[day])
+        else:
+            n = 0
+        out_d.append(day)
+        out_n.append(n)
+        out_c.append(last_cents)
+    state.update((end, last_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_d),
+            "d": out_d,
+            "n_obs": out_n,
+            "cents_filled": out_c,
+        }
+    )
+
+
+def filled_daily_stream(events: DataFrame) -> DataFrame:
+    """Streaming forward-fill at ingest (the stateful twin of
+    ``operators/timeseries.gap_fill_daily``): per user, one row per
+    epoch day from the user's FIRST observation onward, the day-close
+    value (last event by (ts, event_id)) carried across silent days.
+    State is two i64 per live key (last emitted day + its close) — the
+    minimum for carry-forward; a production deployment adds an
+    event-time timeout to retire idle keys.
+
+    Scope note vs the batch twin: the batch grid spans the GLOBAL
+    [min, max] day range (leading NULLs before a key's first
+    observation, trailing fill to the corpus's last day). A per-key
+    stateful operator cannot know global bounds, so the stream emits
+    each key's own [first, last-seen] span; run availableNow over the
+    static frame, it equals the batch result restricted to that span
+    (asserted in tests). Late (pre-state) events are dropped by
+    construction — pair with a watermark upstream.
+
+    Non-streaming input takes the same per-key-span computation as a
+    batch plan (daily agg + per-key sequence explode + ffill window).
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        base = events.select(
+            F.col("user_id").alias("key"),
+            F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("d"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        daily = base.groupBy("key", "d").agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.max(F.struct("ts", "event_id", "cents"))
+            .getField("cents")
+            .alias("cents_eod"),
+        )
+        bounds = daily.groupBy("key").agg(
+            F.min("d").alias("dmin"), F.max("d").alias("dmax")
+        )
+        grid = bounds.select(
+            "key", F.explode(F.sequence("dmin", "dmax")).alias("d")
+        )
+        w = (
+            Window.partitionBy("key")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return grid.join(daily, ["key", "d"], "left").select(
+            F.col("key").alias("user_id"),
+            "d",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.last("cents_eod", ignorenulls=True).over(w).alias("cents_filled"),
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fill,
+        outputStructType=FILL_SCHEMA,
+        stateStructType=FILL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -439,3 +439,92 @@ def test_debounce_hand_computed(spark):
     )
     kept = {r.event_id for r in debounced_stream(e, gap_us=10_000_000).collect()}
     assert kept == {1, 4, 5, 6}
+
+
+def test_streaming_forward_fill_matches_batch_span(spark, sf_dir):
+    """Custom stateful forward-fill (applyInPandasWithState): the
+    availableNow stream equals the non-streaming per-key-span twin,
+    and equals q_gap_fill's global grid restricted to each key's
+    [first, last] observation span."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+    from cell_kn_mvp_etl_results_spark.streaming import filled_daily_stream
+
+    static = read_table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.d): (r.n_obs, r.cents_filled)
+        for r in filled_daily_stream(static).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            filled_daily_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("ffill")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.user_id, r.d): (r.n_obs, r.cents_filled)
+        for r in spark.sql("SELECT * FROM ffill").collect()
+    }
+    assert got == batch
+    assert len(got) > static.select("user_id").distinct().count()  # dense
+
+    # Consistency with the registered global-grid batch operator: equal
+    # on each key's own observation span.
+    from cell_kn_mvp_etl_results_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    spans = {}
+    for (u, d), (n, _c) in got.items():
+        lo, hi = spans.get(u, (d, d))
+        spans[u] = (min(lo, d), max(hi, d))
+    global_grid = {
+        (r.user_id, r.d): (r.n_obs, r.cents_filled)
+        for r in gap_fill_daily(static).collect()
+    }
+    restricted = {
+        k: v
+        for k, v in global_grid.items()
+        if k[0] in spans and spans[k[0]][0] <= k[1] <= spans[k[0]][1]
+    }
+    assert restricted == got
+
+
+def test_forward_fill_stream_carries_across_batches(spark):
+    """State carries the close value across micro-batches: a silent
+    day between two batches is emitted by the SECOND batch with the
+    first batch's close."""
+    import datetime as dt
+
+    from cell_kn_mvp_etl_results_spark.streaming import filled_daily_stream
+
+    base = dt.datetime(2024, 1, 1, 6, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(days=3), 7, "click", 2.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(
+        (r.d, r.n_obs, r.cents_filled)
+        for r in filled_daily_stream(df).collect()
+    )
+    d0 = got[0][0]
+    assert got == [
+        (d0, 1, 100),
+        (d0 + 1, 0, 100),
+        (d0 + 2, 0, 100),
+        (d0 + 3, 1, 250),
+    ]

@@ -252,3 +252,108 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    # closure_oracle: same quadratic reach CTE as q_dedup_clusters.
+    tags=("dedup", "sampling", "graph", "closure_oracle"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+lab AS (
+  SELECT c.doc_id, c.component,
+         CASE
+           WHEN ('0x' || substr(md5('split-' || c.component), 1, 8))::BIGINT
+                % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5('split-' || c.component), 1, 8))::BIGINT
+                % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM comp c
+)
+SELECT split,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM lab JOIN tok USING (doc_id)
+GROUP BY split
+ORDER BY split
+""",
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the content-addressed split
+    hash (q_split_manifest's scheme) is taken over each document's
+    NEAR-DUP COMPONENT id instead of the document id, so a family of
+    near-duplicates can never straddle train and test -- the split
+    form of decontamination (splitting by doc id leaks every near-dup
+    pair whose members hash to different splits). Composes
+    jaccard_pairs -> connected_components -> component-keyed hash
+    split; reports per split the cluster/doc/token counts. At scale
+    the component id already exists from the dedup pass, so
+    leakage-safety costs one extra map-side hash.
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    comp = dd.connected_components(
+        d.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-"), F.col("component"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    lab = comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tok = d.select("doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens"))
+    return (
+        lab.join(tok, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -1653,3 +1653,107 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=4,
         topk=3,
     )
+
+
+@query(
+    "q_quality_drift",
+    tags=("dedup", "incremental", "text"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH old AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 != 3
+),
+new AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 != 4
+),
+added AS (
+  SELECT n.source, n.text FROM new n LEFT JOIN old o USING (doc_id)
+  WHERE o.doc_id IS NULL
+),
+removed AS (
+  SELECT o.source, o.text FROM old o LEFT JOIN new n USING (doc_id)
+  WHERE n.doc_id IS NULL
+),
+m AS (
+  SELECT 'added' AS status, source,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t != '')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to')))
+           AS n_stop
+  FROM added
+  UNION ALL
+  SELECT 'removed', source,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t != '')),
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to')))
+  FROM removed
+)
+SELECT source, status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) // count(*) AS avg_tokens,
+       CAST(sum(n_stop) * 1000 AS BIGINT) / CAST(sum(n_tokens) AS BIGINT)
+         AS stop_permille_x
+FROM m
+GROUP BY source, status
+ORDER BY source, status
+""",
+)
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-quality drift monitor: for each source, the document
+    count, mean token length, and corpus stopword rate (permille,
+    single final IEEE division on exact integer sums) of the documents
+    ADDED vs REMOVED between two crawl snapshots -- the "is the crawl
+    getting worse" alarm that pairs with q_snapshot_diff's volume
+    deltas. Added/removed slices come from id anti-joins (metadata
+    only crosses the exchange: the anti-join carries ids, the quality
+    metrics are map-side on the surviving side's text).
+    """
+    from ..operators.textanalysis import STOPWORDS
+    from ..functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 3).select("doc_id", "source", "text")
+    new = d.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def metrics(df: DataFrame, status: str) -> DataFrame:
+        toks = _tokens(F.lower(F.col("text")))
+        return df.select(
+            F.lit(status).alias("status"),
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            .cast("long")
+            .alias("n_stop"),
+        )
+
+    added = metrics(new.join(old.select("doc_id"), "doc_id", "left_anti"), "added")
+    removed = metrics(
+        old.join(new.select("doc_id"), "doc_id", "left_anti"), "removed"
+    )
+    return (
+        added.unionAll(removed)
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(sum(n_tokens) AS BIGINT) div count(1)").alias(
+                "avg_tokens"
+            ),
+            (
+                F.sum("n_stop").cast("long") * F.lit(1000)
+                / F.sum("n_tokens").cast("long")
+            ).alias("stop_permille_x"),
+        )
+        .orderBy("source", "status")
+    )

@@ -97,3 +97,54 @@ def search_prefix(
         .agg(F.count(F.lit(1)).alias("score"))
     )
     return hits.orderBy(F.desc("score"), *key_cols).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of N
+    retrieval systems' rank lists: rrf(d) = Σ_systems 1/(k + rank_s(d)),
+    the standard way to combine lexical (BM25) and vector retrieval
+    without score calibration. Integer-exact: each contribution is
+    1_000_000 div (k + rank) and a document absent from a system
+    contributes 0 (its rank column comes back NULL), so the fused
+    score is an exact BIGINT in every engine.
+
+    ``rankings`` is [(name, df)] where each df carries (id_col, rank)
+    with rank 1-based; output is the fused top-``topk`` as
+    (id_col, <name>_rank ... per system, rrf_x1m), ties broken by
+    id. Scale shape: rank lists are top-N-sized (not corpus-sized) by
+    construction, so the fusion is a few small outer joins + one
+    ordered limit -- driver-light, executor-trivial.
+    """
+    from functools import reduce
+
+    named = [
+        (name, df.select(F.col(id_col).alias("id"), F.col("rank").alias(f"{name}_rank")))
+        for name, df in rankings
+    ]
+    joined = reduce(
+        lambda a, b: a.join(b, "id", "full_outer"), [df for _, df in named]
+    )
+    contribs = [
+        F.when(
+            F.col(f"{name}_rank").isNotNull(),
+            F.expr(f"1000000 div ({int(k)} + {name}_rank)"),
+        ).otherwise(F.lit(0))
+        for name, _ in named
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        joined.select(
+            F.col("id").alias(id_col),
+            *[F.col(f"{name}_rank") for name, _ in named],
+            total.cast("long").alias("rrf_x1m"),
+        )
+        .orderBy(F.desc("rrf_x1m"), id_col)
+        .limit(topk)
+    )

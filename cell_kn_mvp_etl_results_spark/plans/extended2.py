@@ -1757,3 +1757,111 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+
+
+@query(
+    "q_hybrid_rrf",
+    tags=("search", "similarity"),
+    priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY id),
+tot AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS t_all, CAST(count(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ('dup', 'vector', 'merge')
+  GROUP BY id, tok
+),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+bscored AS (
+  SELECT tf.id,
+         ((1000 * (2*n_docs - 2*df + 1)) // (2*df + 1)) *
+         ((22000 * tf * t_all) // (10*tf*t_all + 3*t_all + 9*dl*n_docs))
+           AS term_score
+  FROM tf JOIN dfq USING (tok) JOIN dl USING (id) CROSS JOIN tot
+),
+bagg AS (
+  SELECT id, CAST(sum(term_score) AS BIGINT) AS s FROM bscored GROUP BY id
+),
+bm AS (
+  SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank FROM bagg
+  ) t WHERE rank <= 20
+),
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+qf AS (
+  SELECT id, g.i - 1 AS pos, qv[g.i] AS val
+  FROM q, generate_series(1, 64) g(i)
+),
+vd AS (
+  SELECT a.id, CAST(sum((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2
+  FROM qf a JOIN qf b ON a.pos = b.pos AND b.id = 0
+  GROUP BY a.id
+),
+vec AS (
+  SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT id, row_number() OVER (ORDER BY d2, id) AS rank FROM vd
+  ) t WHERE rank <= 20
+)
+SELECT doc_id, bm25_rank, vec_rank, rrf_x1m
+FROM (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         b.rank AS bm25_rank, v.rank AS vec_rank,
+         CAST(COALESCE(1000000 // (60 + b.rank), 0)
+              + COALESCE(1000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_x1m
+  FROM bm b FULL OUTER JOIN vec v ON v.doc_id = b.doc_id
+) t
+ORDER BY rrf_x1m DESC, doc_id
+LIMIT 10
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/search.rrf_fuse): the BM25 top-20 for {dup, vector,
+    merge} fused with the exact-quantized-L2 top-20 neighbours of
+    document 0's embedding (doc_id == vec_id in this corpus), RRF
+    k=60, integer contributions. The modern retrieval default --
+    lexical and vector lists disagree precisely where each is blind,
+    and rank fusion needs no score calibration. Both rank lists are
+    top-N-sized, so fusion costs two tiny outer joins after the
+    underlying retrieval machinery.
+    """
+    from ..operators.clustering import _sq_dist
+    from ..operators.search import rrf_fuse
+    from ..operators.textanalysis import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    bm = bm25_topk(d, "doc_id", "text", ("dup", "vector", "merge"), topk=20)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("q"),
+    )
+    anchor = q.filter(F.col("id") == 0).collect()[0].q
+    vd = q.select("id", _sq_dist(F.col("q"), list(anchor)).alias("d2"))
+    wv = Window.orderBy("d2", "id")
+    vec = (
+        vd.withColumn("rank", F.row_number().over(wv).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(
+        [("bm25", bm), ("vec", vec)], id_col="doc_id", k=60, topk=10
+    )

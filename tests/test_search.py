@@ -79,3 +79,29 @@ def test_edge_ngrams_function_bounds(spark):
     assert sorted(grams) == [
         "cho", "choc", "choco", "chocol", "chocola", "chocolat", "chocolate",
     ]
+
+
+def test_rrf_fuse_integer_contract(spark):
+    from cell_kn_mvp_etl_results_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "doc_id long, rank long")
+    got = {r.doc_id: (r.bm25_rank, r.vec_rank, r.rrf_x1m) for r in
+           rrf_fuse([("bm25", a), ("vec", b)], topk=10).collect()}
+    # doc 11: rank 2 + rank 1 -> 1000000//62 + 1000000//61
+    assert got[11] == (2, 1, 1000000 // 62 + 1000000 // 61)
+    # single-system docs carry a NULL rank for the other system
+    assert got[10] == (1, None, 1000000 // 61)
+    assert got[12] == (None, 2, 1000000 // 62)
+    # fused order: doc 11 first (two contributions)
+    order = [r.doc_id for r in rrf_fuse([("bm25", a), ("vec", b)]).collect()]
+    assert order[0] == 11
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    from cell_kn_mvp_etl_results_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (3, 1)], "doc_id long, rank long")
+    # identical contributions -> lower id first
+    got = [r.doc_id for r in rrf_fuse([("x", a.filter("doc_id=5")), ("y", a.filter("doc_id=3").withColumnRenamed("rank", "rank"))]).collect()]
+    assert got == [3, 5]

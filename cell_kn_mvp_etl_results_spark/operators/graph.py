@@ -976,3 +976,107 @@ def kcore_members(
     return deg.filter(F.col("deg") >= k).select(
         F.col("src").alias("id"), F.col("deg")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Newman modularity of a vertex partition over an undirected
+    simple graph, as ONE summary row -- the standard quality score for
+    community assignments (label_propagation's output): fraction of
+    edges inside communities minus the fraction expected under the
+    degree-preserving null model,
+
+        Q = sum_c [ e_c / m  -  (D_c / 2m)^2 ]
+
+    with m = |edges|, e_c = intra-community edges, D_c = total degree
+    of community c. Emitted integer-exactly as
+
+        q_ppm = floor(1e6 * S / (4 m^2)),  S = sum_c (4 m e_c - D_c^2)
+
+    where S, m are exact integers and the division is one final IEEE
+    double op (the fixed-shape doctrine), so the score gates
+    bit-for-bit against the SQL oracle.
+
+    ``labels`` is (id, label) covering every edge endpoint. Returns
+    (m, n_vertices, n_communities, intra_edges, q_ppm).
+
+    Plan shape: edges are deduplicated once (the same canonical a<b
+    pair form the detectors emit); degrees come from one count over the
+    doubled edge list; the two label lookups broadcast the node-sized
+    label frame under AQE so the edge list never shuffles; everything
+    then collapses through per-label partial aggregation to |labels|
+    rows and one global 1-row fold. At 100 TB the exchanged state is
+    |communities| rows.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    ).persist()
+    lab = labels.select(F.col("id"), F.col("label")).persist()
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_c = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_sum"))
+    )
+    e_c = (
+        e.join(lab.select(F.col("id").alias("u"), F.col("label").alias("la")), "u")
+        .join(lab.select(F.col("id").alias("v"), F.col("label").alias("lb")), "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    n_v = lab.agg(F.count(F.lit(1)).alias("n_vertices"))
+    per = (
+        d_c.join(e_c, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "d_sum",
+        )
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "m",
+            "e_in",
+            (
+                4 * F.col("m") * F.col("e_in")
+                - F.col("d_sum") * F.col("d_sum")
+            ).alias("s_c"),
+        )
+    )
+    return (
+        per.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("e_in").alias("intra_edges"),
+            F.sum("s_c").alias("s"),
+        )
+        .crossJoin(F.broadcast(n_v))
+        .select(
+            "m",
+            "n_vertices",
+            "n_communities",
+            "intra_edges",
+            F.floor(
+                1000000.0
+                * F.col("s").cast("double")
+                / (4.0 * F.col("m").cast("double") * F.col("m").cast("double"))
+            )
+            .cast("long")
+            .alias("q_ppm"),
+        )
+    )

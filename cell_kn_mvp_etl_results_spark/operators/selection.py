@@ -1,0 +1,323 @@
+"""Data-selection operators for training-corpus curation: deterministic
+weighted sampling, DSIR-style importance weighting, and cross-source
+MinHash overlap estimation.
+
+These extend the reference's curation surface (the build brief's
+LLM-data-pipeline family) with the *selection* step that sits between
+scoring and packing: which documents actually enter the training mix.
+
+Determinism contract (the package doctrine): every score is built from
+exact integer arithmetic -- portable md5-derived hashes, floor-log2
+magnitudes, integer divisions -- so results hash-identically against
+the DuckDB oracles regardless of partitioning or summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _flog2(c: Column) -> Column:
+    """floor(log2(n)) of a positive integer count -- exact in every
+    engine (log2 is correctly rounded at its only floor boundaries,
+    the powers of two, which are exactly representable)."""
+    return F.floor(F.log2(c)).cast("long")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k
+    winners under priority = hash(id) // weight, smallest first.
+
+    This is the integer-exact analogue of the Efraimidis-Spirtes
+    exponential-clock scheme (priority -ln(u)/w with u uniform): the
+    portable 48-bit md5 hash plays the uniform key, and the integer
+    floor-division by the weight makes heavier documents
+    proportionally likelier to land a small priority. Unlike
+    ``df.sample``'s partition-order-dependent Bernoulli draw, the
+    result is a pure function of (id, weight) -- re-runs, re-shuffles
+    and engine changes reproduce the same sample, which is what a
+    training-data pipeline needs for auditability.
+
+    Plan shape: one map-side projection + TakeOrderedAndProject (per-
+    partition top-k, k-row merge at the driver) -- NO full sort, no
+    shuffle of the corpus. At 100 TB this reads the weight column and
+    moves k rows per partition.
+    """
+    from .dedup import portable_hash48
+
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    pri = F.floor(
+        portable_hash48(F.concat(F.lit("ws|"), F.col(id_col).cast("string"))) / w
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", "id")
+        .limit(k)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    NON-target document by how target-like its hashed-unigram profile
+    is, so the raw pool can be resampled toward the target domain.
+
+    Per token with hash bucket b the signal is the integer log-ratio
+
+        s_b = flog2(t_b + 1) - flog2(r_b + 1)
+
+    (t_b / r_b = target / raw bucket counts, +1 Laplace smoothing) and
+    a document's weight is
+
+        sum(s_b over its tokens)
+          + n_tokens * (flog2(R + B) - flog2(T + B))
+
+    -- the second term is the bag-of-words normalizer log(R_total /
+    T_total) per token, with the smoothing mass B added to each total.
+    All terms are exact integers (floor-log2 doctrine), so the per-doc
+    sum is order-independent and the result gates bit-for-bit against
+    the SQL oracle. The float-log version differs only by a monotone
+    rescale of each bucket's contribution; the integer form is the
+    auditable one.
+
+    Plan shape at 100 TB: two passes over the token stream. Pass one
+    builds the bucket profile -- at most ``n_buckets`` rows per side
+    after map-side partial aggregation, a broadcast-sized model no
+    matter the corpus size. Pass two re-tokenizes the raw side and
+    joins each token to the BROADCAST bucket-score table (no shuffle),
+    then aggregates per document (one shuffle keyed on doc id). The
+    importance model is the only state that crosses executors.
+
+    Returns (id, n_tokens, weight) for non-target documents that have
+    at least one token.
+    """
+    from ..functions.text import tokens
+    from .dedup import portable_hash48
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_filter.alias("is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).select(
+        "id",
+        "is_target",
+        (portable_hash48(F.col("tok")) % n_buckets).alias("bucket"),
+    )
+    prof = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_n"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r_n"),
+    )
+    bscore = prof.select(
+        "bucket",
+        (_flog2(F.col("t_n") + 1) - _flog2(F.col("r_n") + 1)).alias("s"),
+    )
+    tot = prof.agg(
+        F.sum("t_n").alias("t_tot"), F.sum("r_n").alias("r_tot")
+    ).select(
+        (
+            _flog2(F.col("r_tot") + n_buckets) - _flog2(F.col("t_tot") + n_buckets)
+        ).alias("norm")
+    )
+    return (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(bscore), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s").alias("s_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("s_sum") + F.col("n_tokens") * F.col("norm")).alias("weight"),
+        )
+    )
+
+
+def group_minhash_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between GROUPS (sources, crawls,
+    snapshots) estimated from group-level MinHash signatures: for each
+    permutation the group signature is the min hash over the union of
+    all its documents' shingles, so matching components estimate the
+    Jaccard similarity of the groups' shingle SETS -- "how much does
+    crawl A duplicate crawl B" without ever joining documents.
+
+    Plan shape: per-document signatures are computed map-side with
+    zero shuffles (minhash_signatures_wide); the group signature is
+    ``num_perm`` min-aggregates in ONE groupBy(group) -- map-side
+    combine reduces every partition to |groups| rows, so the exchange
+    carries |groups| x num_perm longs regardless of corpus size. The
+    pairwise compare explodes the per-group signature to (group, i, h)
+    -- |groups| x num_perm rows -- and self-equi-joins on the
+    permutation index i (never a cross join). At 100 TB the whole
+    operator after the scan is bounded by |groups|^2 x num_perm.
+
+    Returns (src_a, src_b, n_match, est_jaccard) for src_a < src_b.
+    """
+    from .dedup import minhash_signatures_wide
+
+    sigs = minhash_signatures_wide(df, group_col, text_col, num_perm, shingle_n)
+    # minhash_signatures_wide aliases its id column to "id" -- here the
+    # "id" is the group key, one signature row per document.
+    gsig = sigs.groupBy("id").agg(
+        *[
+            F.min(F.element_at("sig", i + 1)).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
+    ph = gsig.select(
+        F.col("id").alias("g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"h{i}").alias("h")
+                    )
+                    for i in range(num_perm)
+                ]
+            )
+        ).alias("ih"),
+    ).select("g", F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
+    a = ph.select(F.col("g").alias("src_a"), "i", F.col("h").alias("h_a"))
+    b = ph.select(F.col("g").alias("src_b"), "i", F.col("h").alias("h_b"))
+    return (
+        a.join(b, "i")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(F.col("h_a") == F.col("h_b"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_match",
+            (F.col("n_match") / float(num_perm)).alias("est_jaccard"),
+        )
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 16,
+    k: int = 8,
+    quantize: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): from the ``n_candidates`` most query-similar vectors, pick
+    ``k`` greedily by  mmr = rel(c) - max_{s in selected} sim(c, s)
+    (lambda = 0.5 up to a positive scale) -- relevant results that are
+    not near-duplicates of what is already shown, the standard
+    diversification step after retrieval.
+
+    Division of labor mirrors production serving: Spark does the two
+    DISTRIBUTED passes -- candidate retrieval (corpus scan + top-n) and
+    the candidate-pair similarity matrix (a broadcast equi-join on the
+    n-row candidate set, never a corpus self-join) -- then the greedy
+    selection over the collected n x n matrix runs driver-side: k
+    sequential argmaxes over <= n rows each is inherently a serving-
+    node loop, not a cluster job (the ANN-query-matrix doctrine:
+    bounded driver syncs are stated, not hidden). At 100 TB the corpus
+    cost is exactly one retrieval; MMR adds O(n^2) tiny work.
+
+    Determinism: similarities use the package's quantized fixed-IEEE
+    cosine (exact integer dots in doubles), the driver performs only
+    comparisons plus the single ``rel - maxsim`` IEEE subtraction --
+    the same op shape as the unrolled-CTE SQL oracle, so selections
+    and scores are bit-identical. Returns (rank, id, rel, mmr); the
+    first pick's mmr is its relevance.
+    """
+    from .similarity import _quantized, dot
+
+    spark = emb.sparkSession
+    q = query_vec_df.select(
+        _quantized(F.col(vec_col), quantize).alias("q_vec")
+    ).select("q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("q_norm"))
+    c = emb.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col), quantize).alias("v"),
+    ).select("id", "v", dot(F.col("v"), F.col("v")).alias("norm"))
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "id",
+            "v",
+            "norm",
+            (
+                dot(F.col("q_vec"), F.col("v"))
+                / F.sqrt(F.col("q_norm") * F.col("norm"))
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "id")
+        .limit(n_candidates)
+        .persist()
+    )
+    a = rel.select(F.col("id").alias("ia"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = rel.select(F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    # n x n candidate matrix: broadcast one side; the filter keeps the
+    # join a (tiny) nested loop over n rows, never corpus-sized.
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+    )
+    cand = [(r["id"], r["rel"]) for r in rel.select("id", "rel").collect()]
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in pairs.collect()}
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    out: list[tuple[int, int, float, float]] = []
+    selected: list[int] = []
+    remaining = dict(cand)
+    for rank in range(1, min(k, len(cand)) + 1):
+        if not selected:
+            cid, r0 = cand[0]
+            out.append((rank, cid, r0, r0))
+        else:
+            best = None
+            for cid, r0 in remaining.items():
+                maxsim = max(sim[(cid, s)] for s in selected)
+                mmr = r0 - maxsim  # one IEEE sub, same shape as the oracle
+                key = (-mmr, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, r0, mmr)
+            _, cid, r0, mmr = best
+            out.append((rank, cid, r0, mmr))
+        selected.append(cid)
+        del remaining[cid]
+    rel.unpersist()
+    return spark.createDataFrame(
+        out, "rank long, id long, rel double, mmr double"
+    )

@@ -1,0 +1,320 @@
+"""Data-selection query plans: deterministic weighted sampling, DSIR
+importance resampling, cross-source MinHash overlap, and community
+modularity -- the selection/evaluation layer of the training-data
+pipeline (which documents enter the mix, and how good the structure
+discovered by the other operators is)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.readers import read_table
+from .registry import TAIL, query
+
+_DSIR_BUCKETS = 1024
+
+
+@query(
+    "q_weighted_sample",
+    tags=("sampling", "selection"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+SELECT doc_id AS id,
+       greatest(n_chars, 1) AS weight,
+       CAST(floor((('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+                  / greatest(n_chars, 1)) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, id
+LIMIT 100
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/selection.weighted_sample): 100 documents drawn with
+    probability proportional to length (weight = n_chars) under
+    hash-clock priorities -- the reproducible replacement for
+    ``df.sample`` in curation pipelines. Both engines compute
+    priority = floor(hash48 / weight) with one correctly-rounded IEEE
+    division of exact integers, so the winner set is bit-identical.
+    Plan: projection + TakeOrderedAndProject, no corpus shuffle.
+    """
+    from ..operators.selection import weighted_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", k=100)
+
+
+@query(
+    "q_dsir_select",
+    tags=("sampling", "selection", "textanalysis"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS is_target,
+         (('0x' || substr(md5(tok), 1, 12))::BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t != '')) AS tok
+    FROM documents
+  )
+),
+prof AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+         CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS r_n
+  FROM toks GROUP BY bucket
+),
+bscore AS (
+  SELECT bucket,
+         CAST(floor(log2(t_n + 1)) AS BIGINT)
+           - CAST(floor(log2(r_n + 1)) AS BIGINT) AS s
+  FROM prof
+),
+tot AS (
+  SELECT CAST(floor(log2(sum(r_n) + {_DSIR_BUCKETS})) AS BIGINT)
+           - CAST(floor(log2(sum(t_n) + {_DSIR_BUCKETS})) AS BIGINT) AS norm
+  FROM prof
+),
+perdoc AS (
+  SELECT t.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(b.s) AS BIGINT) AS s_sum
+  FROM toks t JOIN bscore b USING (bucket)
+  WHERE NOT t.is_target
+  GROUP BY t.doc_id
+)
+SELECT id, n_tokens,
+       CAST(s_sum + n_tokens * tot.norm AS BIGINT) AS weight
+FROM perdoc CROSS JOIN tot
+ORDER BY weight DESC, id
+LIMIT 100
+""",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/selection.dsir_importance;
+    Xie et al. 2023): the 100 out-of-domain documents whose
+    hashed-unigram profiles look most like the src0 target domain,
+    scored by integer floor-log2 likelihood ratios over 1024 hash
+    buckets. The bucket model is broadcast-sized regardless of corpus
+    size; the corpus pays one tokenize pass + one doc-keyed aggregate.
+    """
+    from ..operators.selection import dsir_importance
+
+    d = read_table(spark, sf_dir, "documents")
+    w = dsir_importance(
+        d, "doc_id", "text", F.col("source") == "src0", n_buckets=_DSIR_BUCKETS
+    )
+    return w.orderBy(F.desc("weight"), "id").limit(100)
+
+
+def _source_overlap_oracle(num_perm: int = 32) -> str:
+    perms_values = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, a, b in dd.minhash_perms(num_perm)
+    )
+    p = dd.MINHASH_P
+    return rf"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
+perms(i, a, b) AS (VALUES
+    {perms_values}
+),
+hashed AS (
+  SELECT sh.source, perms.i,
+         (perms.a * (('0x' || substr(md5(sh.shingle), 1, 12))::BIGINT % {p})
+          + perms.b) % {p} AS h
+  FROM sh, perms
+),
+sig AS (SELECT source, i, min(h) AS h FROM hashed GROUP BY source, i)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / {float(num_perm)}
+         AS est_jaccard
+FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY src_a, src_b
+"""
+
+
+@query(
+    "q_source_overlap",
+    tags=("dedup", "profiling"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_source_overlap_oracle(),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix
+    (operators/selection.group_minhash_overlap): estimated Jaccard
+    similarity between every pair of sources' shingle sets from
+    group-level MinHash signatures -- "which crawls duplicate each
+    other" as a |sources|^2-bounded aggregate, the corpus is never
+    self-joined. Same 32-permutation constants as q_dedup_minhash_lsh.
+    """
+    from ..operators.selection import group_minhash_overlap
+
+    d = read_table(spark, sf_dir, "documents")
+    return group_minhash_overlap(d, "source", "text", num_perm=32).orderBy(
+        "src_a", "src_b"
+    )
+
+
+def _modularity_oracle(iters: int = 2) -> str:
+    """The q_communities unrolled-LPA oracle body with a modularity
+    tail: score the labels the CTE chain itself derives, so the gate
+    covers detector + metric end to end."""
+    from .extended2 import _lpa_oracle
+
+    lpa = _lpa_oracle(iters=iters)
+    head, _, tail = lpa.rpartition("SELECT id, label FROM")
+    final = tail.split("ORDER BY")[0].strip()  # e.g. "l2"
+    assert head and final.startswith("l"), "unexpected LPA oracle shape"
+    body = head.rstrip()  # the full WITH chain, ending at the last CTE's ')'
+    return f"""{body},
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+dc AS (
+  SELECT l.label, CAST(sum(d.d) AS BIGINT) AS d_sum
+  FROM deg d JOIN {final} l USING (id) GROUP BY 1
+),
+ec AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+  FROM e
+  JOIN {final} la ON la.id = e.u
+  JOIN {final} lb ON lb.id = e.v
+  WHERE la.label = lb.label
+  GROUP BY 1
+),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM {final}),
+per AS (
+  SELECT mm.m, COALESCE(ec.e_in, 0) AS e_in,
+         4 * mm.m * COALESCE(ec.e_in, 0) - dc.d_sum * dc.d_sum AS s_c
+  FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm
+)
+SELECT m, nv.n_vertices, CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(e_in) AS BIGINT) AS intra_edges,
+       CAST(floor(1000000.0 * CAST(sum(s_c) AS DOUBLE)
+                  / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+            AS BIGINT) AS q_ppm
+FROM per CROSS JOIN nv
+GROUP BY m, nv.n_vertices
+"""
+
+
+@query(
+    "q_modularity",
+    tags=("graph", "dedup"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_modularity_oracle(iters=2),
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the SimHash
+    radius-1 near-dup graph (operators/graph.modularity): one summary
+    row (m, n_vertices, n_communities, intra_edges, q_ppm) scoring how
+    community-like the q_communities partition actually is -- the
+    evaluation half of community detection. The oracle re-derives the
+    labels with the same unrolled-CTE LPA chain and scores them
+    identically, so detector and metric gate together.
+    """
+    from ..operators import graph as gr
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    labels = gr.label_propagation(pairs, "id_a", "id_b", iters=2)
+    return gr.modularity(pairs, labels, "id_a", "id_b")
+
+
+def _mmr_oracle(n_candidates: int = 16, k: int = 8) -> str:
+    """Unrolled greedy-MMR CTE twin of operators/selection.mmr_rerank:
+    one (score, argmax) CTE pair per selection step. Every similarity
+    is the package's quantized fixed-IEEE cosine, and each step's
+    mmr = rel - max(sim) is one double subtraction -- the exact op
+    shape of the Spark/driver implementation, so picks and scores are
+    bit-identical.
+
+    The reused CTEs (cand, pair, every pick) are AS MATERIALIZED:
+    DuckDB inlines multiply-referenced CTEs by default, and the
+    pick-chain references compound -- the un-materialized form
+    re-evaluates the embedding scan exponentially in k (measured DNF
+    >240 s at sf0.001 vs 0.07 s materialized)."""
+    steps = []
+    picks = ["p1"]
+    for t in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT id FROM {p}" for p in picks)
+        steps.append(
+            f"""s{t} AS (
+  SELECT c.id, c.rel, c.rel - max(p.sim) AS mmr
+  FROM cand c
+  JOIN pair p ON p.ia = c.id AND p.ib IN ({sel})
+  WHERE c.id NOT IN ({sel})
+  GROUP BY c.id, c.rel
+),
+p{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS rank, id, rel, mmr
+  FROM s{t} ORDER BY mmr DESC, id LIMIT 1
+)"""
+        )
+        picks.append(f"p{t}")
+    chain = ",\n".join(steps)
+    allp = " UNION ALL ".join(f"SELECT * FROM {p}" for p in picks)
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+cv AS (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+cand AS MATERIALIZED (
+  SELECT cv.vec_id AS id, cv.v,
+         list_dot_product(qv.v, cv.v)
+           / sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+           AS rel
+  FROM cv, qv
+  ORDER BY rel DESC, id LIMIT {n_candidates}
+),
+pair AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib,
+         list_dot_product(a.v, b.v)
+           / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+           AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id
+),
+p1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rank, id, rel, rel AS mmr
+  FROM cand ORDER BY rel DESC, id LIMIT 1
+),
+{chain}
+SELECT rank, id, rel, mmr FROM ({allp}) ORDER BY rank
+"""
+
+
+@query(
+    "q_mmr_rerank",
+    tags=("similarity", "selection"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_mmr_oracle(n_candidates=16, k=8),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/selection.mmr_rerank):
+    8 results picked greedily from the 16 nearest neighbours of query
+    vector 0 by relevance-minus-redundancy -- the diversification step
+    after ANN retrieval. Spark runs the distributed passes (corpus
+    retrieval + the 16x16 candidate similarity matrix); the greedy
+    argmax loop is a stated bounded driver sync, gated against an
+    unrolled-CTE oracle.
+    """
+    from ..operators.selection import mmr_rerank
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    c = e.filter(F.col("vec_id") != 0)
+    return mmr_rerank(c, q, "vec_id", "embedding", n_candidates=16, k=8)

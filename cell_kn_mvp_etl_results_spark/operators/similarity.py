@@ -359,3 +359,120 @@ def l2_normalize(vec: Column, quantize: int | None = 4) -> Column:
     return F.when(
         norm_sq > 0, F.transform(q, lambda x: x / F.sqrt(norm_sq))
     ).otherwise(q)
+
+
+def jl_signs(dim_in: int, dim_out: int) -> list[list[int]]:
+    """Deterministic +-1 Johnson-Lindenstrauss projection matrix (one
+    row per OUTPUT dimension), derived from md5 so the Spark builders
+    and the generated oracle SQL embed the exact same constants --
+    the minhash_perms discipline applied to random projections.
+    (Achlioptas 2003: +-1 entries satisfy the JL lemma with the same
+    guarantees as Gaussians.)"""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl|{i}|{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def jl_project(vec: Column, dim_in: int, dim_out: int) -> Column:
+    """Project a quantized integer vector to ``dim_out`` dims through
+    the deterministic +-1 matrix: out[j] = sum_i sign[j][i] * v[i].
+    Pure Catalyst (one zip_with/aggregate per output dim over literal
+    sign arrays), map-side, no shuffle, no UDF. With quantized inputs
+    every output component is an exact integer in a double
+    (|out_j| <= dim_in * max|v| << 2^53)."""
+    signs = jl_signs(dim_in, dim_out)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(dim_out)
+        ]
+    )
+
+
+def jl_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim_in: int = 64,
+    dim_out: int = 16,
+    n_candidates: int = 32,
+    k: int = 5,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """JL-prefiltered exact top-k: rank the corpus by squared L2
+    distance in the ``dim_out``-dim +-1 projection (4x fewer
+    multiply-adds per pair at 64->16), keep ``n_candidates`` per
+    query, then rerank ONLY those exactly by full-dimension cosine.
+    The scale path between brute force and IVF: no training step, the
+    projection is a map-side expression over the scan, and the exact
+    rerank touches n_candidates rows per query instead of the corpus.
+    Candidate recall is the standard JL trade-off (distance distortion
+    concentrates around 1) and is measured, not assumed, by the
+    accompanying test against brute force.
+
+    All candidate distances are exact integers (quantized inputs); the
+    rerank is the fixed-shape IEEE cosine -- bit-identical to the SQL
+    oracle end to end. Returns (q_id, cand_id, rank, score).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _quantized(F.col(vec_col), quantize).alias("q_vec"),
+    ).select(
+        "q_id",
+        "q_vec",
+        dot(F.col("q_vec"), F.col("q_vec")).alias("q_norm"),
+        jl_project(F.col("q_vec"), dim_in, dim_out).alias("q_p"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        _quantized(F.col(vec_col), quantize).alias("c_vec"),
+    ).select(
+        "cand_id",
+        "c_vec",
+        dot(F.col("c_vec"), F.col("c_vec")).alias("c_norm"),
+        jl_project(F.col("c_vec"), dim_in, dim_out).alias("c_p"),
+    )
+    d16 = F.aggregate(
+        F.zip_with(F.col("q_p"), F.col("c_p"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wj = Window.partitionBy("q_id").orderBy("jl_dist", "cand_id")
+    cands = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", "q_vec", "c_vec", "q_norm", "c_norm", d16.alias("jl_dist"))
+        .withColumn("jl_rank", F.row_number().over(wj))
+        .filter(F.col("jl_rank") <= n_candidates)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        cands.select(
+            "q_id",
+            "cand_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.sqrt(F.col("q_norm") * F.col("c_norm"))
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", F.col("rank").cast("long").alias("rank"), "score")
+    )

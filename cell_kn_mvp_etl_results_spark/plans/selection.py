@@ -318,3 +318,142 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0)
     c = e.filter(F.col("vec_id") != 0)
     return mmr_rerank(c, q, "vec_id", "embedding", n_candidates=16, k=8)
+
+
+@query(
+    "q_ingest_quota",
+    tags=("streaming", "sampling"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM events
+)
+SELECT event_id, user_id, cents, cum_cents
+FROM ev WHERE cum_cents <= 10000
+ORDER BY user_id, cum_cents, event_id
+""",
+)
+def q_ingest_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend-quota admission
+    (streaming/stateful.quota_admitted_stream, batch form): events
+    admitted in (ts, event_id) order while the user's prefix spend
+    stays within 10000 integer cents -- budget enforcement at ingest.
+    The same function is the applyInPandasWithState streaming twin
+    (state: one i64 per user), pinned bit-identical to this batch
+    plan by the availableNow e2e test; the batch form is one window
+    cumsum pass, shuffling once on the quota key.
+    """
+    from ..streaming.stateful import quota_admitted_stream
+
+    e = read_table(spark, sf_dir, "events")
+    return quota_admitted_stream(e, budget_cents=10000).orderBy(
+        "user_id", "cum_cents", "event_id"
+    )
+
+
+def _jl_oracle(
+    dim_in: int = 64,
+    dim_out: int = 32,
+    n_candidates: int = 128,
+    k: int = 5,
+    n_queries: int = 3,
+) -> str:
+    """DuckDB twin of operators/similarity.jl_topk: identical +-1 sign
+    literals (jl_signs), exact integer projection/distances, the same
+    (jl_dist, cand_id) candidate cut and fixed-IEEE cosine rerank."""
+    from ..operators.similarity import jl_signs
+
+    signs = jl_signs(dim_in, dim_out)
+
+    def lits(j: int) -> str:
+        return "[" + ", ".join(
+            "1.0" if s > 0 else "-1.0" for s in signs[j]
+        ) + "]"
+
+    def projections(alias: str) -> str:
+        return ",\n         ".join(
+            f"list_dot_product({alias}.v, {lits(j)}) AS p{j}"
+            for j in range(dim_out)
+        )
+
+    d16 = " + ".join(
+        f"(q.p{j} - c.p{j}) * (q.p{j} - c.p{j})" for j in range(dim_out)
+    )
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+cv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings
+),
+qp AS MATERIALIZED (
+  SELECT q.vec_id, q.v, list_dot_product(q.v, q.v) AS norm,
+         {projections('q')}
+  FROM qv q
+),
+cp AS MATERIALIZED (
+  SELECT c.vec_id, c.v, list_dot_product(c.v, c.v) AS norm,
+         {projections('c')}
+  FROM cv c
+),
+cand AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           q.v AS q_vec, c.v AS c_vec, q.norm AS q_norm, c.norm AS c_norm,
+           {d16} AS jl_dist,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {d16}, c.vec_id
+           ) AS jl_rank
+    FROM qp q JOIN cp c ON q.vec_id <> c.vec_id
+  ) t WHERE jl_rank <= {n_candidates}
+)
+SELECT q_id, cand_id, rank, score
+FROM (
+  SELECT q_id, cand_id,
+         list_dot_product(q_vec, c_vec) / sqrt(q_norm * c_norm) AS score,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY list_dot_product(q_vec, c_vec) / sqrt(q_norm * c_norm) DESC,
+                    cand_id
+         ) AS rank
+  FROM cand
+) t
+WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@query(
+    "q_jl_topk",
+    tags=("similarity",),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_jl_oracle(),
+)
+def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-prefiltered ANN (operators/similarity.jl_topk): exact cosine
+    top-5 reranked from the 128 candidates nearest in a deterministic
+    32-dim +-1 random projection (Achlioptas 2003) -- the training-free
+    scale path between brute force and IVF: 2x cheaper candidate math
+    at 64->32 dims (and the squared-L2 form needs no per-pair sqrt or
+    norms), map-side projection, exact rerank bounded by 128
+    rows/query. Sign matrix shared as literals with the oracle (the
+    minhash_perms discipline). Params sit at measured recall@5 = 0.84
+    on this embedding table (tests/test_selection.py pins >= 0.5);
+    n_candidates is the recall/cost dial and is held fixed as the
+    corpus grows -- the prune ratio improves with scale while recall
+    decays, the standard JL trade-off.
+    """
+    from ..operators.similarity import jl_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return jl_topk(e, q, dim_out=32, n_candidates=128, k=5).orderBy(
+        "q_id", "rank"
+    )

@@ -1,5 +1,10 @@
 from .incremental import incremental_new_keys
-from .stateful import debounced_stream, filled_daily_stream, running_user_totals
+from .stateful import (
+    debounced_stream,
+    filled_daily_stream,
+    quota_admitted_stream,
+    running_user_totals,
+)
 from .windows import deduplicated_stream, sessionized_stream, windowed_counts
 
 __all__ = [
@@ -7,6 +12,7 @@ __all__ = [
     "filled_daily_stream",
     "deduplicated_stream",
     "incremental_new_keys",
+    "quota_admitted_stream",
     "running_user_totals",
     "sessionized_stream",
     "windowed_counts",

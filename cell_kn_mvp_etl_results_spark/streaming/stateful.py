@@ -278,3 +278,99 @@ def filled_daily_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUOTA_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("cents", LongType()),
+        StructField("cum_cents", LongType()),
+    ]
+)
+
+QUOTA_STATE = StructType([StructField("total", LongType())])
+
+
+def _make_quota(budget_cents: int):
+    def _quota(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.assign(_us=_ts_us(batch["ts"])).sort_values(
+            ["_us", "event_id"], kind="mergesort"
+        )
+        # Exact integer cents, identical to functions.money.cents: the
+        # doubles are exact cents by construction, so round() == the
+        # signum trick on this data.
+        c = (batch["value"] * 100).round().astype("int64")
+        keep, cums = [], []
+        for v in c:
+            total += int(v)  # prefix semantics: every event consumes
+            keep.append(total <= budget_cents)
+            cums.append(total)
+        state.update((total,))
+        kept = pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "cents": c,
+                "cum_cents": pd.Series(cums, index=batch.index, dtype="int64"),
+            }
+        )[pd.Series(keep, index=batch.index)]
+        yield kept
+
+    return _quota
+
+
+def quota_admitted_stream(
+    events: DataFrame, budget_cents: int = 2000
+) -> DataFrame:
+    """Per-key quota admission at ingest: admit events, in (ts,
+    event_id) order per user, while the user's PREFIX spend (every
+    seen event counts, admitted or not) stays within ``budget_cents``
+    -- the sampling/budget-enforcement step of an ingest pipeline run
+    where the data arrives, not as a batch afterthought. Prefix
+    semantics (rather than admitted-only spend) is what a window
+    cumsum expresses, so the batch twin -- and the q_ingest_quota SQL
+    oracle -- is one window pass, bit-identical to the streamed run.
+
+    State is ONE i64 per user (lifetime prefix spend): bounded
+    regardless of stream length, mergeable across restarts by
+    construction. Within a micro-batch each user's rows are sorted by
+    (ts, event_id), so availableNow replays are deterministic.
+
+    Returns admitted (event_id, user_id, cents, cum_cents).
+
+    Non-streaming input falls back to the window-cumsum formulation
+    (identical semantics, no state store).
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ..functions.money import cents
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = cents(F.col("value"))
+        return (
+            events.select(
+                "event_id",
+                "user_id",
+                c.alias("cents"),
+                F.sum(c).over(w).alias("cum_cents"),
+            )
+            .filter(F.col("cum_cents") <= budget_cents)
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_quota(budget_cents),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=QUOTA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

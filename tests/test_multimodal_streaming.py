@@ -528,3 +528,69 @@ def test_forward_fill_stream_carries_across_batches(spark):
         (d0 + 2, 0, 100),
         (d0 + 3, 1, 250),
     ]
+
+
+def test_streaming_quota_matches_batch(spark, sf_dir):
+    """Quota admission (applyInPandasWithState): identical admitted
+    set + running totals on a live availableNow stream and on the
+    static frame; the quota actually rejects events."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import (
+        read_events_stream,
+        read_table,
+    )
+    from cell_kn_mvp_etl_results_spark.streaming import quota_admitted_stream
+
+    static = read_table(spark, sf_dir, "events")
+    batch = quota_admitted_stream(static, budget_cents=10000)
+    stream = quota_admitted_stream(
+        read_events_stream(spark, sf_dir), budget_cents=10000
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("quota_admitted")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r.event_id: (r.user_id, r.cents, r.cum_cents)
+        for r in spark.sql("SELECT * FROM quota_admitted").collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.cents, r.cum_cents)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert 0 < len(want) < static.count()
+
+
+def test_quota_hand_computed(spark):
+    """Prefix semantics: every seen event consumes budget, admitted or
+    not -- a later small event cannot sneak under a quota an earlier
+    big one exhausted."""
+    import datetime
+
+    rows = [
+        # (event_id, ts, user_id, value): cents 600, 500, 300, 100
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 7, 6.0),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 1), 7, 5.0),
+        (3, datetime.datetime(2024, 1, 1, 0, 0, 2), 7, 3.0),
+        (4, datetime.datetime(2024, 1, 1, 0, 0, 3), 7, 1.0),
+    ]
+    from cell_kn_mvp_etl_results_spark.streaming import quota_admitted_stream
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = sorted(
+        (r.event_id, r.cum_cents)
+        for r in quota_admitted_stream(df, budget_cents=1200).collect()
+    )
+    # 600 -> admit; 1100 -> admit; 1400 > 1200 -> reject; 1500 (the
+    # 100-cent event STILL sits at prefix 1500) -> reject.
+    assert got == [(1, 600), (2, 1100)]

@@ -476,3 +476,105 @@ def jl_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "cand_id", F.col("rank").cast("long").alias("rank"), "score")
     )
+
+
+def jl_topk_arrow(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim_in: int = 64,
+    dim_out: int = 32,
+    n_candidates: int = 128,
+    k: int = 5,
+    quantize: int = 4,
+) -> DataFrame:
+    """Arrow-batched twin of ``jl_topk``: per corpus batch, ONE numpy
+    matmul projects the quantized vectors through the +-1 sign matrix
+    and one more scores JL distances against the captured query
+    projections -- the interpreted higher-order-function expressions of
+    the pure-Catalyst form are the measured bottleneck at scale (the
+    cosine lesson: Arrow matmul ~10x over HOF), and the matmul shape is
+    what a BLAS/GPU path takes at 100 TB.
+
+    Exactness: inputs are quantized integers, the sign matrix is +-1,
+    and every intermediate (projection, squared distance, dot) stays
+    below 2^53, so numpy's float64 matmuls produce the SAME exact
+    integers as the expression form in any summation order; the final
+    cosine is the fixed IEEE shape. Per batch only the batch-local
+    jl-top-n rows leave the Python worker (a global top-n row is a
+    batch top-n row under the (jl_dist, cand_id) total order), then one
+    bounded window applies the global candidate cut and the exact
+    rerank -- results are bit-identical to ``jl_topk`` and to the SQL
+    oracle (equality is test-pinned).
+    """
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(jl_signs(dim_in, dim_out), dtype=np.float64)  # (dout, din)
+    scale = float(10**quantize)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.round(np.array([r[1] for r in q_rows], dtype=np.float64) * scale)
+    q_proj = q_mat @ S.T  # (nq, dout) exact ints in f64
+    q_pn = (q_proj * q_proj).sum(axis=1)
+    q_norm = (q_mat * q_mat).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.round(np.array(list(pdf[vec_col]), dtype=np.float64) * scale)
+            c_proj = c_mat @ S.T
+            c_pn = (c_proj * c_proj).sum(axis=1)
+            # ||q - c||^2 = |q|^2 + |c|^2 - 2 q.c -- every term an
+            # exact integer, so the matmul identity is exact too.
+            dists = c_pn[:, None] + q_pn[None, :] - 2.0 * (c_proj @ q_proj.T)
+            dists[c_ids[:, None] == q_ids[None, :]] = np.inf  # self
+            nn = min(n_candidates, dists.shape[0])
+            out = []
+            c_norm = (c_mat * c_mat).sum(axis=1)
+            for j in range(dists.shape[1]):
+                top = np.lexsort((c_ids, dists[:, j]))[:nn]
+                keep = top[np.isfinite(dists[top, j])]
+                sc = (c_mat[keep] @ q_mat[j]) / np.sqrt(
+                    c_norm[keep] * q_norm[j]
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(keep), q_ids[j]),
+                            "cand_id": c_ids[keep],
+                            "jl_dist": dists[keep, j],
+                            "score": sc,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    corpus = emb.select(id_col, vec_col)
+    try:  # the cosine_topk_arrow batch-sizing heuristic, verbatim
+        n_part = corpus.rdd.getNumPartitions()
+        size = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        want = max(1, min(n_part, size // (8 << 20) + 1))
+        if want < n_part:
+            corpus = corpus.coalesce(want)
+    except Exception:
+        pass
+    scored = corpus.mapInPandas(
+        score, "q_id long, cand_id long, jl_dist double, score double"
+    )
+    if len(q_rows) * n_candidates <= 100_000:
+        scored = scored.repartition(1)
+    wj = Window.partitionBy("q_id").orderBy("jl_dist", "cand_id")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("jl_rank", F.row_number().over(wj))
+        .filter(F.col("jl_rank") <= n_candidates)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", F.col("rank").cast("long").alias("rank"), "score")
+    )

@@ -176,6 +176,16 @@ def _modularity_oracle(iters: int = 2) -> str:
     final = tail.split("ORDER BY")[0].strip()  # e.g. "l2"
     assert head and final.startswith("l"), "unexpected LPA oracle shape"
     body = head.rstrip()  # the full WITH chain, ending at the last CTE's ')'
+    # Materialize every multiply-referenced CTE in the copied chain
+    # (sim feeds both sides of the pair self-join; ed feeds each LPA
+    # round plus the degree count; each l{t} feeds the next round
+    # twice and the final one feeds three metric joins): DuckDB
+    # re-inlines shared CTEs, and the modularity tail's extra
+    # references compound that into a re-derivation blowup -- the
+    # un-materialized form died with a spill IOException on the 30x
+    # corpus where q_communities' single-reference tail runs in ~25 s.
+    for cte in ["sim", "e", "ed"] + [f"l{t}" for t in range(iters + 1)]:
+        body = body.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
     return f"""{body},
 mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
 deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1),
@@ -226,7 +236,13 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    # One persisted pair frame feeds BOTH the detector (LPA's internal
+    # edge cache) and the metric's edge list: at the 30x corpus the
+    # radius-1 graph is 89.6M pairs and its generation is 114 s -- the
+    # dominant cost, paid once here instead of once per consumer
+    # (modularity's eager e-fill runs first and fills this cache, so
+    # the LPA materialization that follows reads it back).
+    pairs = dd.simhash_pairs(hashes, max_hamming=1).persist()
     labels = gr.label_propagation(pairs, "id_a", "id_b", iters=2)
     return gr.modularity(pairs, labels, "id_a", "id_b")
 
@@ -450,10 +466,149 @@ def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows -- the prune ratio improves with scale while recall
     decays, the standard JL trade-off.
     """
-    from ..operators.similarity import jl_topk
+    from ..operators.similarity import jl_topk_arrow
 
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3)
-    return jl_topk(e, q, dim_out=32, n_candidates=128, k=5).orderBy(
+    return jl_topk_arrow(e, q, dim_out=32, n_candidates=128, k=5).orderBy(
         "q_id", "rank"
+    )
+
+
+def _degree_hist_oracle() -> str:
+    """SimHash radius-1 pair graph -> exact log2-binned degree
+    histogram; shares the _SIMHASH_BODY CTEs with q_communities."""
+    from .extended2 import _SIMHASH_BODY
+
+    return f"""
+WITH {_SIMHASH_BODY},
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+  ) WHERE src <> dst
+),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(min(d) AS BIGINT) AS min_deg,
+       CAST(max(d) AS BIGINT) AS max_deg
+FROM deg
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@query(
+    "q_degree_hist",
+    tags=("graph", "profiling"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_degree_hist_oracle(),
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the SimHash radius-1
+    near-dup graph -- the one-glance skew profile that tells you
+    whether the pair graph has celebrity vertices BEFORE you run the
+    iterative operators on it (the graph-side analogue of
+    q_key_skew). Exact integer bins (floor-log2 doctrine); one degree
+    count + one |bins|-sized aggregate past the pair generation.
+    """
+    from ..operators import dedup as dd2
+
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd2.simhash(d, "doc_id", "text", bits=32)
+    pairs = dd2.simhash_pairs(hashes, max_hamming=1)
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = (
+        und.dropDuplicates()
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.floor(F.log2("d")).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _mutual_knn_oracle(k: int = 5, n_queries: int = 50) -> str:
+    """Mutual-kNN pairs over the quantized cosine: (a, b) kept iff b
+    is in a's top-k AND a is in b's top-k, restricted to the first
+    ``n_queries`` vectors so the oracle stays candidate-bounded."""
+    return f"""
+WITH vv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0)) AS v
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS MATERIALIZED (
+  SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+         list_dot_product(a.v, b.v)
+           / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+           AS score,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.v, b.v)
+                      / sqrt(list_dot_product(a.v, a.v)
+                             * list_dot_product(b.v, b.v)) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM vv a JOIN vv b ON a.vec_id <> b.vec_id
+),
+topk AS MATERIALIZED (
+  SELECT q_id, cand_id, score FROM scored WHERE rank <= {k}
+)
+SELECT f.q_id AS id_a, f.cand_id AS id_b, f.score
+FROM topk f JOIN topk r ON r.q_id = f.cand_id AND r.cand_id = f.q_id
+WHERE f.q_id < f.cand_id
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "q_mutual_knn",
+    tags=("similarity", "dedup"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_mutual_knn_oracle(),
+)
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbour pairs (reciprocal top-5 cosine over
+    the first 50 vectors): the bidirectional filter that turns a kNN
+    graph into high-precision duplicate/translation candidates --
+    one-directional neighbours (a hub vector near everything) drop
+    out. Composes the existing top-k machinery with one equi-join of
+    the top-k edge list against its own transpose (k x n rows, never
+    the corpus); the filter is the standard margin-free variant of
+    Artetxe & Schwenk's margin mutual-NN mining.
+    """
+    from ..operators.similarity import cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    sub = e.filter(F.col("vec_id") < 50)
+    tk = cosine_topk(sub, sub, k=5).select("q_id", "cand_id", "score")
+    f = tk
+    r = tk.select(
+        F.col("q_id").alias("cand_id"), F.col("cand_id").alias("q_id")
+    )
+    return (
+        f.join(r, ["q_id", "cand_id"], "left_semi")
+        .filter(F.col("q_id") < F.col("cand_id"))
+        .select(
+            F.col("q_id").alias("id_a"),
+            F.col("cand_id").alias("id_b"),
+            "score",
+        )
+        .orderBy("id_a", "id_b")
     )

@@ -191,3 +191,73 @@ def test_jl_projection_is_exact_integers(spark):
     for r in rows:
         assert all(v == int(v) for v in r.p)
         assert len(r.p) == 32
+
+
+def test_degree_hist_bins_exact(spark):
+    """Known graph: star(5 leaves) + one triangle. Degrees: hub 5,
+    leaves 1x5, triangle 2x3 -> bins: 0:{1}x5, 1:{2,2,2}, 2:{5}."""
+    from cell_kn_mvp_etl_results_spark.plans.selection import q_degree_hist  # noqa: F401
+    # exercise the same binning logic directly on a handmade edge list
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    und = e.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        e.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    deg = (
+        und.dropDuplicates()
+        .filter("src != dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = {
+        r.bin: (r.n_vertices, r.min_deg, r.max_deg)
+        for r in deg.groupBy(F.floor(F.log2("d")).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .collect()
+    }
+    assert hist == {0: (5, 1, 1), 1: (3, 2, 2), 2: (1, 5, 5)}
+
+
+def test_mutual_knn_drops_one_directional_hubs(spark):
+    """A hub that everyone lists but that lists only its own top-k:
+    mutual pairs keep only reciprocated edges. Clone pair (1,2) is
+    mutual; distant vector 9 lists the hub but is nobody's top-1."""
+    from cell_kn_mvp_etl_results_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),
+        (9, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tk = cosine_topk(df, df, k=1).select("q_id", "cand_id", "score")
+    r = tk.select(
+        F.col("q_id").alias("cand_id"), F.col("cand_id").alias("q_id")
+    )
+    got = (
+        tk.join(r, ["q_id", "cand_id"], "left_semi")
+        .filter("q_id < cand_id")
+        .collect()
+    )
+    assert [(x.q_id, x.cand_id) for x in got] == [(1, 2)]
+
+
+def test_jl_arrow_matches_expression_form(spark, sf_dir):
+    """The Arrow matmul path and the pure-Catalyst expression path are
+    the SAME operator: exact-integer intermediates make the summation
+    order irrelevant, so rows match bit-for-bit."""
+    from cell_kn_mvp_etl_results_spark.operators.similarity import (
+        jl_topk,
+        jl_topk_arrow,
+    )
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, jl_topk(e, q, dim_out=32, n_candidates=64, k=5).collect()))
+    b = sorted(map(tuple, jl_topk_arrow(e, q, dim_out=32, n_candidates=64, k=5).collect()))
+    assert a == b

@@ -98,6 +98,66 @@ def pack_sequences(
     )
 
 
+def value_rank(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Deterministic 1-based global rank in ascending
+    ``(value, md5(id), id)`` order, WITHOUT a global sort -- the
+    rank primitive behind equal-frequency quantile binning.
+
+    ``balanced_shards`` above buckets by the value itself, which
+    degenerates when values are near-unique (every bucket is one row
+    and the offsets window becomes a corpus-sized single partition).
+    Here buckets are VALUE RANGES: ``value div bucket_width``. Bucket
+    order is a prefix of the total value order, so per-bucket
+    row_numbers plus cumulative bucket counts compose the global rank
+    -- the same two-level discipline as ``global_prefix_sum`` with a
+    range key instead of a hash prefix. The offsets window runs over
+    (value range / bucket_width) rows, bounded by the value DOMAIN,
+    not the corpus; pick ``bucket_width`` so that count stays in the
+    thousands. Skew concentrates only when one bucket dominates --
+    narrow ``bucket_width`` to split it.
+
+    Returns ``(id_col, value_col, rnk)``.
+    """
+    from .intervals import guard_internal_columns
+
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    guard_internal_columns(
+        df, ("_h", "_vbucket", "_n", "_base"), "value_rank"
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(value_col).cast("long").alias(value_col),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn(
+        "_vbucket", F.floor(F.col(value_col) / F.lit(int(bucket_width)))
+    )
+    per_bucket = d.groupBy("_vbucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_vbucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_vbucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_base"),
+    )
+    w_in = Window.partitionBy("_vbucket").orderBy(value_col, "_h", id_col)
+    return (
+        d.join(F.broadcast(offsets), "_vbucket")
+        .select(
+            id_col,
+            value_col,
+            (F.col("_base") + F.row_number().over(w_in))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+
+
 def balanced_shards(
     df: DataFrame, id_col: str, size_col: Column, n_shards: int
 ) -> DataFrame:

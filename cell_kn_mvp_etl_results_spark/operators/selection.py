@@ -321,3 +321,72 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, "rank long, id long, rel double, mmr double"
     )
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, int],
+    default_weight: int = 1,
+    scale: int | None = None,
+) -> DataFrame:
+    """Deterministic mixture-weighted interleave order: the global
+    training-data ordering in which source ``s`` appears ``weights[s]``
+    times as often as a weight-1 source, matching the epoch schedule a
+    mixture-weighted data loader (Pile/Dolma-style upsampling) would
+    realize -- but computed once, declaratively, so the order is
+    reproducible and resumable from any offset.
+
+    Each row gets ``rank_in_source`` (1-based, in (md5(id), id) order
+    within its source) and ``interleave_key = rank_in_source *
+    (scale // weight)``; ascending key order interleaves sources at
+    their weight ratios (the classic virtual-time / stride-scheduling
+    construction: a weight-w source fires every scale/w ticks).
+    ``scale`` defaults to the LCM-friendly product bound max(weights)
+    rounded up; keys and ranks are exact integers, so both engines
+    order bit-identically (ties broken by (key, source, id)).
+
+    Scale shape: one window partitioned by source (the per-source rank)
+    then pure projection. A source holding most of the corpus
+    concentrates its window partition; at pretraining scale swap the
+    window for ``value_rank``'s two-level shape inside each source
+    (packing.py) -- the key arithmetic is unchanged.
+    """
+    if not weights and default_weight < 1:
+        raise ValueError("default_weight must be >= 1")
+    bad = {s: w for s, w in weights.items() if w < 1}
+    if bad:
+        raise ValueError(f"weights must be >= 1, got {bad}")
+    if scale is None:
+        ws = set(weights.values()) | {default_weight}
+        scale = 1
+        for w in sorted(ws):
+            scale = scale * w // _gcd(scale, w)  # lcm
+    from pyspark.sql.window import Window
+
+    wexpr: Column = F.lit(int(default_weight))
+    for s, w in sorted(weights.items()):
+        wexpr = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(wexpr)
+    win = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(win).cast("long").alias("rank_in_source"),
+        wexpr.alias("_w"),
+    ).select(
+        id_col,
+        source_col,
+        "rank_in_source",
+        (F.col("rank_in_source") * F.expr(f"{int(scale)} div _w"))
+        .cast("long")
+        .alias("interleave_key"),
+    )
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a

@@ -12,5 +12,6 @@ from . import pointintime  # noqa: F401,E402
 from . import clusters  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import selection  # noqa: F401,E402
+from . import featureprep  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "all_queries", "all_oracle_sql"]

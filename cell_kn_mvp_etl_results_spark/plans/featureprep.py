@@ -1,0 +1,194 @@
+"""Feature/loader-prep query plans: equal-frequency quantile binning
+(rank-without-global-sort), mixture-weighted curriculum interleave
+ordering, and token-budget truncation -- the last-mile operators
+between a curated corpus and the training loader (how values are
+bucketed for features, in what order documents are served, and how
+each document is clipped to the context window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents
+from ..sources.readers import read_table
+from .registry import TAIL, query
+
+_N_BINS = 8
+_TOKEN_BUDGET = 64
+_MIX_WEIGHTS = {"src0": 8, "src1": 4, "src2": 2}  # others weight 1
+_MIX_SCALE = 8  # lcm of the weights
+
+
+def _quantile_bins_oracle() -> str:
+    return f"""
+WITH r AS (
+  SELECT o_orderkey AS id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                    md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rnk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(((rnk - 1) * {_N_BINS}) // n AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(price_c) AS BIGINT) AS min_cents,
+       CAST(max(price_c) AS BIGINT) AS max_cents,
+       CAST(sum(price_c) AS BIGINT) AS sum_cents
+FROM r
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@query(
+    "q_quantile_bins",
+    tags=("profiling", "featureprep"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_quantile_bins_oracle(),
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of order totals into 8 bins
+    with exact per-bin stats -- the feature-bucketization primitive
+    (and the exact audit of ``approx_percentile`` boundaries). The
+    global rank comes from ``packing.value_rank``: value-range buckets
+    + per-bucket row_number + cumulative bucket counts, so NO stage
+    sorts the corpus in one partition even though o_totalprice is
+    near-unique (the case where balanced_shards' per-value bucketing
+    would degenerate). Bin = ((rnk-1) * n_bins) div N, exact integers
+    end-to-end (cents doctrine); the oracle's row_number() OVER
+    (ORDER BY ...) is the single-sort semantics this plan reproduces
+    distributively.
+    """
+    from ..operators.packing import value_rank
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("id"), cents("o_totalprice").alias("price_c")
+    )
+    # o_totalprice spans ~ [1e5, 6e7) cents -> ~60 range buckets at 1e6.
+    ranked = value_rank(base, "id", "price_c", bucket_width=1_000_000)
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bin", F.expr(f"((rnk - 1) * {_N_BINS}) div _n"))
+        .groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price_c").cast("long").alias("min_cents"),
+            F.max("price_c").cast("long").alias("max_cents"),
+            F.sum("price_c").cast("long").alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _curriculum_oracle() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_source,
+         CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                     WHEN 'src2' THEN 2 ELSE 1 END AS w
+  FROM documents
+)
+SELECT doc_id, source, rank_in_source,
+       CAST(rank_in_source * ({_MIX_SCALE} // w) AS BIGINT) AS interleave_key
+FROM r
+ORDER BY interleave_key, source, doc_id
+LIMIT 200
+"""
+
+
+@query(
+    "q_curriculum_order",
+    tags=("sampling", "featureprep"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_curriculum_oracle(),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted deterministic serving order
+    (operators/selection.interleave_by_weight): the first 200 ticks of
+    the training-data schedule in which src0 is upsampled 8x, src1 4x,
+    src2 2x over the tail sources -- stride scheduling (virtual time)
+    realized as one integer projection, so the epoch order is
+    reproducible and resumable from any offset instead of living
+    inside a stateful loader. interleave_key = rank_in_source *
+    (scale div weight); ascending key order IS the schedule. Plan:
+    per-source window rank + projection + TakeOrderedAndProject --
+    the corpus is never globally sorted for the LIMIT head.
+    """
+    from ..operators.selection import interleave_by_weight
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        interleave_by_weight(
+            d, "doc_id", "source", _MIX_WEIGHTS, default_weight=1
+        )
+        .orderBy("interleave_key", "source", "doc_id")
+        .limit(200)
+    )
+
+
+def _truncate_oracle() -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(least(len(toks), {_TOKEN_BUDGET}) AS BIGINT) AS kept_tokens,
+       CAST(CASE WHEN len(toks) > {_TOKEN_BUDGET} THEN 1 ELSE 0 END
+            AS BIGINT) AS truncated,
+       array_to_string(toks[1:{_TOKEN_BUDGET}], ' ') AS clipped_text
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query(
+    "q_truncate_budget",
+    tags=("textanalysis", "featureprep"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_truncate_oracle(),
+)
+def q_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget truncation (context-window clipping): keep each
+    document's first 64 whitespace tokens, reporting original/kept
+    token counts and the truncation flag alongside the clipped text.
+    The whole operator is one map-side projection over Catalyst array
+    functions (split / filter / slice / array_join) -- no shuffle, no
+    Python; whitespace semantics (trim + '\\s+' split + single-space
+    rejoin) are pinned identically in both engines so the clipped
+    text hashes bit-identically.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    return (
+        d.select(F.col("doc_id"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.least(F.size("toks"), F.lit(_TOKEN_BUDGET))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.when(F.size("toks") > _TOKEN_BUDGET, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("truncated"),
+            F.array_join(
+                F.slice("toks", 1, _TOKEN_BUDGET), " "
+            ).alias("clipped_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -344,9 +344,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
   SELECT event_id, user_id,
          CAST(round(value * 100) AS BIGINT) AS cents,
-         sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         -- CAST: DuckDB windowed sum yields HUGEINT (the r4 artifact
+         -- class tests/test_oracle_types.py guards against)
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_cents
   FROM events
 )
 SELECT event_id, user_id, cents, cum_cents

@@ -1,9 +1,10 @@
 """Feature/loader-prep query plans: equal-frequency quantile binning
 (rank-without-global-sort), mixture-weighted curriculum interleave
-ordering, and token-budget truncation -- the last-mile operators
-between a curated corpus and the training loader (how values are
-bucketed for features, in what order documents are served, and how
-each document is clipped to the context window)."""
+ordering, token-budget truncation, and embedding-centroid drift -- the
+last-mile operators between a curated corpus and the training loader
+(how values are bucketed for features, in what order documents are
+served, how each document is clipped to the context window, and
+whether a re-embedded snapshot moved in embedding space)."""
 
 from __future__ import annotations
 
@@ -191,4 +192,107 @@ def q_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clipped_text"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _embedding_drift_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT label, (vec_id % 2) = 0 AS is_old,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS (
+  SELECT label, is_old, d.i AS dim, q[d.i] AS qv
+  FROM base, (SELECT unnest(range(1, 65)) AS i) d
+),
+s AS (
+  SELECT label, dim,
+         CAST(coalesce(sum(CASE WHEN is_old THEN qv END), 0) AS BIGINT) AS sa,
+         CAST(coalesce(sum(CASE WHEN NOT is_old THEN qv END), 0) AS BIGINT) AS sb,
+         CAST(count(CASE WHEN is_old THEN 1 END) AS BIGINT) AS na,
+         CAST(count(CASE WHEN NOT is_old THEN 1 END) AS BIGINT) AS nb
+  FROM ex GROUP BY 1, 2
+),
+d AS (
+  SELECT label, na, nb,
+         CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na AS diff
+  FROM s
+)
+SELECT label,
+       CAST(max(na) AS BIGINT) AS n_old,
+       CAST(max(nb) AS BIGINT) AS n_new,
+       sqrt(CAST(sum(diff * diff) AS DOUBLE))
+         / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE) * 10000.0)
+         AS l2_shift
+FROM d GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "q_embedding_drift",
+    tags=("similarity", "profiling", "featureprep"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_embedding_drift_oracle(),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid L2 shift between two corpus
+    snapshots (even vec_ids = old, odd = new): the embedding-space
+    drift monitor that pairs with q_quality_drift's token-level one --
+    a re-embedded crawl or a changed encoder shows up as centroid
+    movement long before downstream metrics move. Exact to the last
+    bit: quantized components (1e4 doctrine), per-(label, side, dim)
+    integer sums, cross-multiplied mean difference sa*nb - sb*na kept
+    in decimal/HUGEINT so nothing rounds until ONE final sqrt + ONE
+    division. Plan: map-side posexplode + two partial-aggregated
+    shuffles bounded by |labels| x 64 dims -- never by corpus size.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 10000).cast("long"),
+    )
+    base = e.select(
+        "label", (F.col("vec_id") % 2 == 0).alias("is_old"), q.alias("q")
+    )
+    ex = base.select(
+        "label", "is_old", F.posexplode("q").alias("d0", "qv")
+    ).withColumn("dim", F.col("d0") + 1)
+    dec = "decimal(38,0)"
+    s = ex.groupBy("label", "dim").agg(
+        F.coalesce(F.sum(F.when(F.col("is_old"), F.col("qv"))), F.lit(0))
+        .cast("long")
+        .alias("sa"),
+        F.coalesce(F.sum(F.when(~F.col("is_old"), F.col("qv"))), F.lit(0))
+        .cast("long")
+        .alias("sb"),
+        F.count(F.when(F.col("is_old"), F.lit(1))).alias("na"),
+        F.count(F.when(~F.col("is_old"), F.lit(1))).alias("nb"),
+    )
+    diff = (
+        F.col("sa").cast(dec) * F.col("nb") - F.col("sb").cast(dec) * F.col("na")
+    ).alias("diff")
+    d = s.select("label", "na", "nb", diff)
+    return (
+        d.groupBy("label")
+        .agg(
+            F.max("na").cast("long").alias("n_old"),
+            F.max("nb").cast("long").alias("n_new"),
+            F.sum((F.col("diff") * F.col("diff")).cast(dec)).alias("_num"),
+        )
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            (
+                F.sqrt(F.col("_num").cast("double"))
+                / (
+                    F.col("n_old").cast("double")
+                    * F.col("n_new").cast("double")
+                    * F.lit(10000.0)
+                )
+            ).alias("l2_shift"),
+        )
+        .orderBy("label")
     )

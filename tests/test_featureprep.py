@@ -116,3 +116,54 @@ def test_truncate_budget_is_shuffle_free(spark, sf_dir):
     assert short and all(
         len(r.clipped_text.split()) == r.n_tokens for r in short
     )
+
+
+def test_embedding_drift_zero_for_identical_halves(spark, sf_dir, tmp_path):
+    # Build a tiny embeddings table where odd ids duplicate even ids:
+    # centroids coincide, so every label's shift must be exactly 0.0.
+    import os
+
+    rows = []
+    for lab in range(3):
+        for i in range(10):
+            vec = [float((lab + 1) * (d + 1)) / 100.0 for d in range(64)]
+            rows.append((lab * 100 + i * 2, vec, lab))  # even: old
+            rows.append((lab * 100 + i * 2 + 1, vec, lab))  # odd twin
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    from cell_kn_mvp_etl_results_spark.plans.featureprep import (
+        q_embedding_drift,
+    )
+
+    got = q_embedding_drift(spark, d).collect()
+    assert len(got) == 3
+    assert all(r.l2_shift == 0.0 for r in got)
+    assert all(r.n_old == 10 and r.n_new == 10 for r in got)
+
+
+def test_embedding_drift_detects_known_shift(spark, sf_dir, tmp_path):
+    # New snapshot = old + 0.5 in dim 0 only: shift must be ~0.5
+    # exactly (quantization is exact for these values).
+    import os
+
+    rows = []
+    for i in range(8):
+        vec = [float(i) / 10.0] + [0.0] * 63
+        rows.append((i * 2, vec, 0))
+        rows.append((i * 2 + 1, [vec[0] + 0.5] + vec[1:], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    from cell_kn_mvp_etl_results_spark.plans.featureprep import (
+        q_embedding_drift,
+    )
+
+    (row,) = q_embedding_drift(spark, d).collect()
+    assert row.l2_shift == 0.5

@@ -1,10 +1,11 @@
 """Feature/loader-prep query plans: equal-frequency quantile binning
 (rank-without-global-sort), mixture-weighted curriculum interleave
-ordering, token-budget truncation, and embedding-centroid drift -- the
-last-mile operators between a curated corpus and the training loader
-(how values are bucketed for features, in what order documents are
-served, how each document is clipped to the context window, and
-whether a re-embedded snapshot moved in embedding space)."""
+ordering, token-budget truncation, embedding-centroid drift, and
+group-wise z-score normalization -- the last-mile operators between a
+curated corpus and the training loader (how values are bucketed and
+normalized for features, in what order documents are served, how each
+document is clipped to the context window, and whether a re-embedded
+snapshot moved in embedding space)."""
 
 from __future__ import annotations
 
@@ -295,4 +296,65 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l2_shift"),
         )
         .orderBy("label")
+    )
+
+
+def _zscore_oracle() -> str:
+    return """
+WITH m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CASE WHEN m.n * m.q - m.s * m.s = 0 THEN NULL
+            ELSE CAST(m.n * d.n_chars - m.s AS DOUBLE)
+                 / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE))
+       END AS z
+FROM documents d JOIN m USING (source)
+ORDER BY d.doc_id
+"""
+
+
+@query(
+    "q_zscore_by_source",
+    tags=("textanalysis", "featureprep"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_zscore_oracle(),
+)
+def q_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score normalization of document length -- the
+    group-wise feature-normalization primitive (population moments;
+    quality classifiers want "how long is this doc FOR ITS SOURCE",
+    not absolutely). Exact shape: z = (n*x - S) / sqrt(n*Q - S^2)
+    over per-source integer moments (n, S=sum x, Q=sum x^2), so the
+    only IEEE ops are ONE int->double division and ONE sqrt --
+    bit-identical across engines; zero-variance groups yield NULL in
+    both. Plan: one map-side-combined |sources|-row aggregate
+    broadcast back onto the corpus, then pure projection -- the
+    corpus is scanned twice but never shuffled.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q"),
+    )
+    var_n = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        d.join(F.broadcast(m), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.when(var_n == 0, F.lit(None).cast("double"))
+            .otherwise(
+                (F.col("n") * F.col("n_chars") - F.col("s")).cast("double")
+                / F.sqrt(var_n.cast("double"))
+            )
+            .alias("z"),
+        )
+        .orderBy("doc_id")
     )

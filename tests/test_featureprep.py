@@ -167,3 +167,21 @@ def test_embedding_drift_detects_known_shift(spark, sf_dir, tmp_path):
 
     (row,) = q_embedding_drift(spark, d).collect()
     assert row.l2_shift == 0.5
+
+
+def test_zscore_moments_are_exact(spark, sf_dir):
+    # Per-source z-scores must have mean ~0 and the exact identity
+    # sum(z^2) == n for population moments (up to float rounding).
+    from cell_kn_mvp_etl_results_spark.plans.featureprep import (
+        q_zscore_by_source,
+    )
+
+    rows = q_zscore_by_source(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.z)
+    for src, zs in by_src.items():
+        assert all(z is not None for z in zs)
+        n = len(zs)
+        assert abs(sum(zs)) < 1e-9 * n
+        assert abs(sum(z * z for z in zs) - n) < 1e-9 * n

@@ -525,17 +525,18 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     hashes = dd2.simhash(d, "doc_id", "text", bits=32)
     pairs = dd2.simhash_pairs(hashes, max_hamming=1)
+    # simhash_pairs returns DISTINCT pairs with id_a < id_b strictly,
+    # so the doubled edge list is already duplicate-free and loop-free:
+    # no dropDuplicates (at 30x that was a redundant global distinct
+    # over the 2x89.6M-row undirected set: 78 s steady with it, 57 s
+    # without, identical output; the remaining wall is the banded pair
+    # generation itself on the 97%-near-dup corpus).
     und = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    deg = (
-        und.dropDuplicates()
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     return (
         deg.groupBy(F.floor(F.log2("d")).cast("long").alias("bin"))
         .agg(

@@ -185,3 +185,16 @@ def test_zscore_moments_are_exact(spark, sf_dir):
         n = len(zs)
         assert abs(sum(zs)) < 1e-9 * n
         assert abs(sum(z * z for z in zs) - n) < 1e-9 * n
+
+
+def test_leakage_split_bucketed_is_row_identical(spark, sf_dir):
+    # The steady-state (materialized components) posture must return
+    # exactly what the in-query build returns.
+    from cell_kn_mvp_etl_results_spark.plans.clusters import (
+        q_split_leakage_bucketed,
+        q_split_leakage_safe,
+    )
+
+    a = sorted(map(tuple, q_split_leakage_safe(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_split_leakage_bucketed(spark, sf_dir).collect()))
+    assert a == b

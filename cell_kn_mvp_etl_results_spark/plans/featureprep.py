@@ -361,3 +361,68 @@ def q_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _dedup_weighted_oracle() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '')) AS t
+  FROM documents
+),
+k AS (SELECT h, count(*) AS k FROM d GROUP BY h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT d.h) AS BIGINT) AS n_unique_texts,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(sum(t * (1000000 // k.k)) AS BIGINT) AS weighted_tokens_ppm
+FROM d JOIN k USING (h)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "q_dedup_weighted_stats",
+    tags=("dedup", "profiling", "featureprep"),
+    priority=TAIL,  # new in r7 continuation -- pytest-parity now, driver row in the r8 rotation
+    oracle=_dedup_weighted_oracle(),
+)
+def q_dedup_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-weighted corpus statistics: per source, raw doc/token
+    counts next to the DEDUP-AWARE token count where each document
+    weighs 1/k for duplicate-group size k -- the corpus-card number
+    that does not double-count a page crawled from ten mirrors (each
+    group contributes its token mass once, split across the sources
+    that carry it). Weights are exact integers (ppm via floor
+    division, positive operands so both engines' integer division
+    agree), so the result hashes bit-identically. Plan: one content
+    md5 groupBy for the group sizes, one co-partitioned join back on
+    the same hash key (no second shuffle of the corpus side under
+    AQE's exchange reuse), then a |sources|-row aggregate. At scale
+    this reads the already-materialized dedup layer instead
+    (materialize_dedup_components doctrine).
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(_tokens("text")).cast("long").alias("t"),
+    )
+    k = d.groupBy("h").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        d.join(k, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_unique_texts"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.sum(F.col("t") * F.expr("1000000 div k"))
+            .cast("long")
+            .alias("weighted_tokens_ppm"),
+        )
+        .orderBy("source")
+    )

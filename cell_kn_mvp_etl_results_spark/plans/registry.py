@@ -168,7 +168,7 @@ assert len(set(_R6_GATED)) == GATE_BUDGET
 # green r6 row (the deepest-history set). After r7 every registered
 # query's latest driver row is r6 or r7.
 #
-# r8 rotation plan: promote the 47 queries ADDED in r7 (q_semdedup,
+# r8 rotation plan: promote the 48 queries ADDED in r7 (q_semdedup,
 # q_ivf_topk, q_tokenize_pack, q_lm_score, q_cross_neardup,
 # q_corpus_card, q_hard_negatives, q_split_manifest, q_cluster_purity,
 # q_vocab_coverage, q_label_rebalance, q_doc_stitch, q_kcore,
@@ -181,11 +181,11 @@ assert len(set(_R6_GATED)) == GATE_BUDGET
 # q_mmr_rerank, q_ingest_quota, q_jl_topk, q_degree_hist,
 # q_mutual_knn, q_quantile_bins, q_curriculum_order,
 # q_truncate_budget, q_embedding_drift, q_zscore_by_source,
-# q_split_leakage_bucketed -- TAIL this
+# q_split_leakage_bucketed, q_dedup_weighted_stats -- TAIL this
 # round, pytest-parity green at sf0.001 and sf0.01) plus the 7
 # stalest veterans whose latest row will then be r6; keep the 6
 # headliners; demote the r7 gates (which will hold the freshest rows).
-# 47 promotions exceed one 50-slot budget minus headliners+veterans:
+# 48 promotions exceed one 50-slot budget minus headliners+veterans:
 # gate the newest-first and leave the overflow for r9 (every overflow
 # query stays pytest-parity-gated meanwhile).
 # Run

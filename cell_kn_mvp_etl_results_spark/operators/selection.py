@@ -31,14 +31,21 @@ def weighted_sample(
     weight_col: str,
     k: int = 100,
 ) -> DataFrame:
-    """Deterministic weighted sampling WITHOUT replacement: the k
+    """Deterministic weight-biased sampling WITHOUT replacement: the k
     winners under priority = hash(id) // weight, smallest first.
 
-    This is the integer-exact analogue of the Efraimidis-Spirtes
-    exponential-clock scheme (priority -ln(u)/w with u uniform): the
-    portable 48-bit md5 hash plays the uniform key, and the integer
-    floor-division by the weight makes heavier documents
-    proportionally likelier to land a small priority. Unlike
+    Shaped like the Efraimidis-Spirtes exponential-clock scheme
+    (priority -ln(u)/w with u uniform): the portable 48-bit md5 hash
+    plays the uniform key, and the integer floor-division by the
+    weight makes heavier documents monotonically likelier to land a
+    small priority.  NOTE the inclusion probabilities are weight-
+    MONOTONE but not exactly weight-PROPORTIONAL: for uniform u,
+    P(u/2 < v) = 3/4 against a weight-1 rival, not the 2/3 true PPS
+    would give (ADVICE r7) -- E-S achieves proportionality only via
+    the -ln transform, which has no integer-exact analogue.  For
+    curation the bias direction and determinism are what matter;
+    callers needing calibrated PPS inclusion rates should correct
+    with the dedup-weighted-stats estimator. Unlike
     ``df.sample``'s partition-order-dependent Bernoulli draw, the
     result is a pure function of (id, weight) -- re-runs, re-shuffles
     and engine changes reproduce the same sample, which is what a
@@ -257,13 +264,23 @@ def mmr_rerank(
     from .similarity import _quantized, dot
 
     spark = emb.sparkSession
-    q = query_vec_df.select(
-        _quantized(F.col(vec_col), quantize).alias("q_vec")
-    ).select("q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("q_norm"))
-    c = emb.select(
-        F.col(id_col).alias("id"),
-        _quantized(F.col(vec_col), quantize).alias("v"),
-    ).select("id", "v", dot(F.col("v"), F.col("v")).alias("norm"))
+    # Zero-norm vectors make rel/sim NULL (x / sqrt(0)) and the greedy
+    # driver loop would then max() over None (ADVICE r7): drop them on
+    # both sides.  A zero-norm query yields an empty candidate set and
+    # an empty (schema-stable) result rather than a crash.
+    q = (
+        query_vec_df.select(_quantized(F.col(vec_col), quantize).alias("q_vec"))
+        .select("q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("q_norm"))
+        .filter(F.col("q_norm") > 0)
+    )
+    c = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            _quantized(F.col(vec_col), quantize).alias("v"),
+        )
+        .select("id", "v", dot(F.col("v"), F.col("v")).alias("norm"))
+        .filter(F.col("norm") > 0)
+    )
     rel = (
         c.crossJoin(F.broadcast(q))
         .select(
@@ -353,7 +370,10 @@ def interleave_by_weight(
     window for ``value_rank``'s two-level shape inside each source
     (packing.py) -- the key arithmetic is unchanged.
     """
-    if not weights and default_weight < 1:
+    if default_weight < 1:
+        # Unconditional (ADVICE r7): with a nonempty weights dict a
+        # default_weight of 0 would feed lcm(scale, 0) = 0 and zero
+        # every interleave_key instead of raising.
         raise ValueError("default_weight must be >= 1")
     bad = {s: w for s, w in weights.items() if w < 1}
     if bad:

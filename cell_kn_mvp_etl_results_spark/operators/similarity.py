@@ -28,6 +28,19 @@ def _quantized(col: Column, quantize: int | None) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * scale))
 
 
+def _np_quantize(mat, scale):
+    """Half-away-from-zero quantization matching Spark ``F.round`` and
+    the DuckDB oracle's ``round``.  ``np.round`` is IEEE half-to-even,
+    so a component landing exactly on .5 (e.g. 0.03125e4 = 312.5) would
+    quantize differently in the Arrow twins than in the Catalyst /
+    oracle forms (ADVICE r7).  trunc(x + copysign(.5, x)) is half-away
+    for both signs (floor-based forms are wrong for negatives)."""
+    import numpy as np
+
+    x = mat * scale
+    return np.trunc(x + np.copysign(0.5, x))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Elementwise dot product of two array<double> columns -- pure
     Catalyst (zip_with + aggregate), no UDF, codegen-friendly."""
@@ -123,7 +136,7 @@ def cosine_topk_arrow(
         np.array([r[2] for r in q_rows], dtype=object) if exclude_label_col else None
     )
     if scale is not None:
-        q_mat = np.round(q_mat * scale)
+        q_mat = _np_quantize(q_mat, scale)
     q_norm = (q_mat * q_mat).sum(axis=1)
 
     def score(batches):
@@ -133,7 +146,7 @@ def cosine_topk_arrow(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if scale is not None:
-                c_mat = np.round(c_mat * scale)
+                c_mat = _np_quantize(c_mat, scale)
             c_norm = (c_mat * c_mat).sum(axis=1)
             dots = c_mat @ q_mat.T  # (batch, n_queries)
             scores = dots / np.sqrt(np.outer(c_norm, q_norm))
@@ -515,7 +528,7 @@ def jl_topk_arrow(
     scale = float(10**quantize)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.round(np.array([r[1] for r in q_rows], dtype=np.float64) * scale)
+    q_mat = _np_quantize(np.array([r[1] for r in q_rows], dtype=np.float64), scale)
     q_proj = q_mat @ S.T  # (nq, dout) exact ints in f64
     q_pn = (q_proj * q_proj).sum(axis=1)
     q_norm = (q_mat * q_mat).sum(axis=1)
@@ -525,7 +538,7 @@ def jl_topk_arrow(
             if len(pdf) == 0:
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.round(np.array(list(pdf[vec_col]), dtype=np.float64) * scale)
+            c_mat = _np_quantize(np.array(list(pdf[vec_col]), dtype=np.float64), scale)
             c_proj = c_mat @ S.T
             c_pn = (c_proj * c_proj).sum(axis=1)
             # ||q - c||^2 = |q|^2 + |c|^2 - 2 q.c -- every term an

@@ -31,9 +31,10 @@ LIMIT 100
 """,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement
+    """Deterministic weight-biased sampling without replacement
     (operators/selection.weighted_sample): 100 documents drawn with
-    probability proportional to length (weight = n_chars) under
+    length-monotone inclusion bias (weight = n_chars; not exact PPS --
+    see the operator docstring) under
     hash-clock priorities -- the reproducible replacement for
     ``df.sample`` in curation pipelines. Both engines compute
     priority = floor(hash48 / weight) with one correctly-rounded IEEE

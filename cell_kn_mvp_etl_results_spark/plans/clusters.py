@@ -65,13 +65,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure -- validating the distributed fixpoint loop against
     relational semantics.
     """
-    d = read_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
-    nodes = d.select(F.col("doc_id").alias("id"))
-    comp = dd.connected_components(nodes, pairs.select("id_a", "id_b"))
+    from .materialized import dedup_components_frame
+
+    # r8 (VERDICT r7 #3): components served from the auto-materialized
+    # bucketed table shared with splitting/exemplar serving; the CC
+    # fixpoint runs once per corpus fingerprint.
+    # SPARK_GRAFT_MATERIALIZE=0 recomputes inline (row-identical).
+    comp = dedup_components_frame(spark, sf_dir)
     return (
         comp.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("n_members"), F.min("id").alias("keeper"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("keeper"),
+        )
         .orderBy("component")
     )
 
@@ -128,21 +134,22 @@ def q_dedup_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_clusters``; exemplar selection is a W1 top-1-per-group
     window, map-side-limited before the shuffle (WindowGroupLimit).
     """
+    from .materialized import dedup_components_frame
+
+    # r8 (VERDICT r7 #3): exemplar SERVING reads the materialized
+    # component table by default -- selection is then one doc_id-
+    # co-located join + W1 window over it, no per-call CC.
     d = read_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
-    nodes = d.select(F.col("doc_id").alias("id"))
-    comp = dd.connected_components(nodes, pairs.select("id_a", "id_b"))
-    members = comp.join(
-        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
-    )
-    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "id")
+    comp = dedup_components_frame(spark, sf_dir)
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
     return (
         members.withColumn("rk", F.row_number().over(w))
         .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
         .filter(F.col("rk") == 1)
         .select(
             "component",
-            F.col("id").alias("exemplar_id"),
+            F.col("doc_id").alias("exemplar_id"),
             F.col("n_chars").cast("long").alias("exemplar_chars"),
             F.col("n_members").cast("long").alias("n_members"),
         )
@@ -320,14 +327,30 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     split; reports per split the cluster/doc/token counts. At scale
     the component id already exists from the dedup pass, so
     leakage-safety costs one extra map-side hash.
+
+    DEFAULT PATH (r8, VERDICT r7 #3): the components come from the
+    auto-build-or-reuse materialized bucketed table
+    (plans/materialized.dedup_components_frame) -- the CC fixpoint that
+    was 176 s of every call at 30x is paid once at dedup time, after
+    which this query is a component scan + map-side hash + token join.
+    ``SPARK_GRAFT_MATERIALIZE=0`` forces the original in-query build
+    (row-identical, test-pinned).
     """
+    from .materialized import dedup_components_frame
+
+    comp = dedup_components_frame(spark, sf_dir)
+    return _split_summary(spark, sf_dir, comp)
+
+
+def _split_summary(
+    spark: SparkSession, sf_dir: str, comp: DataFrame
+) -> DataFrame:
+    """Component-keyed 80/10/10 hash split + per-split rollup, shared
+    by the default and explicitly-bucketed leakage-safe split forms.
+    ``comp``: (doc_id, component)."""
     from ..functions.text import tokens as _tokens
 
     d = read_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
-    comp = dd.connected_components(
-        d.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
-    )
     bucket = (
         F.conv(
             F.substring(
@@ -339,7 +362,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     lab = comp.select(
-        F.col("id").alias("doc_id"),
+        "doc_id",
         "component",
         F.when(bucket < 80, "train")
         .when(bucket < 90, "val")
@@ -375,11 +398,9 @@ def materialize_dedup_components(
     (leakage-safe splitting, dedup-weighted stats, exemplar serving)
     reads co-located components and pays one map-side hash.
     """
-    d = read_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
-    comp = dd.connected_components(
-        d.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
-    ).select(F.col("id").alias("doc_id"), "component")
+    from .materialized import build_components
+
+    comp = build_components(spark, sf_dir)
     # drop BOTH the catalog entry and any orphaned managed location
     # (in-memory catalog: the entry dies with the session, the
     # warehouse directory survives and saveAsTable refuses it)
@@ -421,48 +442,15 @@ def q_split_leakage_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.98 s steady vs 176 s per call for the in-query build
     (BENCH_NOTES r7). First use per (sf_dir, documents fingerprint)
     auto-materializes -- a deployment runs the build at dedup time.
+
+    Since r8 the materialized table is also q_split_leakage_safe's
+    DEFAULT source (VERDICT r7 #3; plans/materialized.py). This
+    spelling stays registered as the ALWAYS-materialized form -- it
+    ignores SPARK_GRAFT_MATERIALIZE, so the posture remains
+    individually addressable and gate-able while the default form can
+    be flipped back to the in-query build for comparison.
     """
-    import hashlib
+    from .materialized import dedup_components_frame
 
-    from ..functions.text import tokens as _tokens
-    from ..sources.readers import _fingerprint
-
-    fp = hashlib.md5(
-        repr((sf_dir, _fingerprint(f"{sf_dir}/documents.parquet"))).encode()
-    ).hexdigest()[:8]
-    table = f"dedup_comp_auto_{fp}"
-    if not spark.catalog.tableExists(table):
-        materialize_dedup_components(spark, sf_dir, table=table)
-    comp = spark.table(table)
-    d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split-"), F.col("component"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    lab = comp.select(
-        "doc_id",
-        "component",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-    tok = d.select(
-        "doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens")
-    )
-    return (
-        lab.join(tok, "doc_id")
-        .groupBy("split")
-        .agg(
-            F.countDistinct("component").cast("long").alias("n_clusters"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-        .orderBy("split")
-    )
+    comp = dedup_components_frame(spark, sf_dir, force=True)
+    return _split_summary(spark, sf_dir, comp)

@@ -155,9 +155,13 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    from .materialized import simhash_pairs_frame
+
+    # r8 (VERDICT r7 #4): the radius-1 pair graph is served from the
+    # shared auto-materialized bucketed table -- its banded generation
+    # (~114 s at 30x) is paid once across ALL graph consumers.
+    # SPARK_GRAFT_MATERIALIZE=0 regenerates inline (row-identical).
+    pairs = simhash_pairs_frame(spark, sf_dir)
     return gr.triangle_counts(
         pairs, "id_a", "id_b", max_degree=100
     ).orderBy("id")
@@ -227,9 +231,13 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    from .materialized import simhash_pairs_frame
+
+    # r8 (VERDICT r7 #4): the radius-1 pair graph is served from the
+    # shared auto-materialized bucketed table -- its banded generation
+    # (~114 s at 30x) is paid once across ALL graph consumers.
+    # SPARK_GRAFT_MATERIALIZE=0 regenerates inline (row-identical).
+    pairs = simhash_pairs_frame(spark, sf_dir)
     return gr.clustering_coefficient(
         pairs, "id_a", "id_b", max_degree=100
     ).orderBy("id")
@@ -290,9 +298,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    from .materialized import simhash_pairs_frame
+
+    # r8 (VERDICT r7 #4): the radius-1 pair graph is served from the
+    # shared auto-materialized bucketed table -- its banded generation
+    # (~114 s at 30x) is paid once across ALL graph consumers.
+    # SPARK_GRAFT_MATERIALIZE=0 regenerates inline (row-identical).
+    pairs = simhash_pairs_frame(spark, sf_dir)
     ed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
@@ -641,9 +653,13 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    from .materialized import simhash_pairs_frame
+
+    # r8 (VERDICT r7 #4): the radius-1 pair graph is served from the
+    # shared auto-materialized bucketed table -- its banded generation
+    # (~114 s at 30x) is paid once across ALL graph consumers.
+    # SPARK_GRAFT_MATERIALIZE=0 regenerates inline (row-identical).
+    pairs = simhash_pairs_frame(spark, sf_dir)
     return gr.label_propagation(pairs, "id_a", "id_b", iters=2).orderBy("id")
 
 
@@ -961,9 +977,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd.simhash_pairs(hashes, max_hamming=1)
+    from .materialized import simhash_pairs_frame
+
+    # r8 (VERDICT r7 #4): the radius-1 pair graph is served from the
+    # shared auto-materialized bucketed table -- its banded generation
+    # (~114 s at 30x) is paid once across ALL graph consumers.
+    # SPARK_GRAFT_MATERIALIZE=0 regenerates inline (row-identical).
+    pairs = simhash_pairs_frame(spark, sf_dir)
     return gr.kcore_members(pairs, "id_a", "id_b", k=2, iters=3).orderBy("id")
 
 

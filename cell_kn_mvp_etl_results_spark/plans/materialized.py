@@ -1,0 +1,192 @@
+"""Auto-build-or-reuse MATERIALIZED intermediates (VERDICT r7 #3/#4).
+
+The expensive shared intermediates of the dedup layer -- the SimHash
+radius-1 near-dup PAIR GRAPH (at the 30x corpus: 89.6M pairs, ~114 s to
+generate) and the exact near-dup CONNECTED COMPONENTS (a ~63M-edge CC
+fixpoint, ~176 s) -- are consumed by many queries (degree histogram,
+triangles, clustering coefficient, k-core, PageRank, LPA communities,
+modularity, leakage-safe splitting, exemplar serving).  Recomputing
+them per call is the per-call scale hazard the r7 verdict flags: in
+production they are computed ONCE at dedup/compaction time and every
+consumer reads the persisted result.
+
+This module is that posture, applied by DEFAULT through the same
+auto-build-or-reuse contract as ``materialize_khop_bucketed``:
+
+  * the table name carries an md5 of (sf_dir, documents fingerprint,
+    builder parameters), so a regenerated corpus or changed parameters
+    can never serve stale rows -- the same invalidation contract as the
+    registry's prepared-plan cache;
+  * first use per fingerprint builds the bucketed table (paid once per
+    warehouse, amortized across every consumer AND every process:
+    a surviving on-disk table from a previous session is re-read, not
+    rebuilt);
+  * ``SPARK_GRAFT_MATERIALIZE=0`` forces the original in-query
+    computation -- the explicit fallback for one-shot runs, and what
+    the row-identity tests pin the materialized path against.
+
+Correctness is unaffected by construction: the builders are
+deterministic pure functions of the source tables, so reading the
+persisted result back is row-identical to computing it inline
+(test-pinned in tests/test_scale_ops.py / test_featureprep.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.readers import _fingerprint, read_table
+
+
+def materialize_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_MATERIALIZE", "1") not in ("0", "false")
+
+
+def _auto_name(
+    prefix: str, sf_dir: str, *params, files: tuple = ("documents",)
+) -> str:
+    fp = hashlib.md5(
+        repr(
+            (
+                sf_dir,
+                tuple(_fingerprint(f"{sf_dir}/{t}.parquet") for t in files),
+                params,
+            )
+        ).encode()
+    ).hexdigest()[:8]
+    return f"{prefix}_{fp}"
+
+
+def _warehouse_dir(spark: SparkSession, table: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{wh}/{table}"
+
+
+def ensure_table(
+    spark: SparkSession,
+    table: str,
+    build: "callable",
+    bucket_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Return ``table``'s rows, building it if this warehouse has never
+    materialized it.  Three tiers:
+
+    1. catalog hit -> ``spark.table`` (bucketed scan, no Exchange on
+       the bucket key);
+    2. on-disk hit from a PREVIOUS session (in-memory catalog died with
+       it) -> read the surviving parquet directly; rows identical, only
+       the bucketing metadata is lost to this session's planner;
+    3. miss -> build bucketed+sorted via ``write_bucketed``.
+    """
+    from ..operators.scale import write_bucketed
+
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    path = _warehouse_dir(spark, table)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    success = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    if fs.exists(success):
+        return spark.read.parquet(path)
+    if fs.exists(jpath):  # partial/orphaned write: rebuild from scratch
+        fs.delete(jpath, True)
+    write_bucketed(
+        build().repartition(num_buckets, bucket_col),
+        table,
+        bucket_col,
+        num_buckets=num_buckets,
+        sort_col=bucket_col,
+    )
+    return spark.table(table)
+
+
+def simhash_pairs_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 32,
+    max_hamming: int = 1,
+    force: bool = False,
+) -> DataFrame:
+    """The SimHash radius-``max_hamming`` near-dup pair graph
+    (id_a, id_b, hamming), id_a < id_b -- served from the materialized
+    bucketed table by default, generated inline under
+    ``SPARK_GRAFT_MATERIALIZE=0``.
+
+    Scale: the banded pair generation is the dominant cost of EVERY
+    graph-over-near-dups query (degree hist 57 s of which ~55 s is
+    pair generation at 30x); one build serves them all, and serves
+    repeated calls across sessions from disk.
+    """
+
+    def build() -> DataFrame:
+        d = read_table(spark, sf_dir, "documents")
+        hashes = dd.simhash(d, "doc_id", "text", bits=bits)
+        return dd.simhash_pairs(hashes, max_hamming=max_hamming, bits=bits)
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("simhash_pairs_auto", sf_dir, bits, max_hamming)
+    return ensure_table(spark, table, build, "id_a")
+
+
+def build_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inline (doc_id, component) computation: 3-gram Jaccard >=
+    0.05 pairs -> iterative min-label CC -- the q_dedup_clusters
+    machinery, shared by the inline path, the auto-materializer, and
+    ``materialize_dedup_components`` so the three can never drift."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    return dd.connected_components(
+        d.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
+def dedup_components_frame(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> DataFrame:
+    """Exact near-dup connected components (doc_id, component) over the
+    3-gram Jaccard >= 0.05 pair graph -- the q_dedup_clusters machinery,
+    served from the materialized bucketed table by default (the CC
+    fixpoint is paid once at dedup time, VERDICT r7 #3), generated
+    inline under ``SPARK_GRAFT_MATERIALIZE=0``.
+    """
+    if not force and not materialize_enabled():
+        return build_components(spark, sf_dir)
+    table = _auto_name("dedup_comp_auto", sf_dir)
+    return ensure_table(
+        spark, table, lambda: build_components(spark, sf_dir), "doc_id"
+    )
+
+
+def entity_components_frame(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> DataFrame:
+    """Resolved supplier entities (id, component) over the FastSS
+    deletion-neighborhood pair graph (edit distance <= 1) -- the
+    q_entity_resolution machinery. Entity resolution is run once per
+    dimension snapshot in production (16.1 s of every call at 30x was
+    this blocking + CC rebuild, VERDICT r7 #4); consumers read the
+    persisted assignment.  Fingerprint covers supplier.parquet.
+    """
+
+    def build() -> DataFrame:
+        from ..operators.dedup import connected_components
+        from ..operators.lookup import fuzzy_key_pairs
+
+        s = read_table(spark, sf_dir, "supplier")
+        pairs = fuzzy_key_pairs(s, "s_suppkey", "s_name")
+        nodes = s.select(F.col("s_suppkey").alias("id"))
+        return connected_components(nodes, pairs.select("id_a", "id_b"))
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("entity_comp_auto", sf_dir, files=("supplier",))
+    return ensure_table(spark, table, build, "id")

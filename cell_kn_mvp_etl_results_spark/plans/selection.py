@@ -235,15 +235,17 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
-    # One persisted pair frame feeds BOTH the detector (LPA's internal
-    # edge cache) and the metric's edge list: at the 30x corpus the
-    # radius-1 graph is 89.6M pairs and its generation is 114 s -- the
-    # dominant cost, paid once here instead of once per consumer
-    # (modularity's eager e-fill runs first and fills this cache, so
-    # the LPA materialization that follows reads it back).
-    pairs = dd.simhash_pairs(hashes, max_hamming=1).persist()
+    from .materialized import materialize_enabled, simhash_pairs_frame
+
+    # r8 (VERDICT r7 #4): ONE pair frame feeds BOTH the detector (LPA's
+    # internal edge cache) and the metric's edge list, and it now comes
+    # from the shared auto-materialized bucketed table (~114 s banded
+    # generation at 30x, paid once across all graph consumers). Under
+    # SPARK_GRAFT_MATERIALIZE=0 the inline regeneration is persisted so
+    # the two consumers still share one computation.
+    pairs = simhash_pairs_frame(spark, sf_dir)
+    if not materialize_enabled():
+        pairs = pairs.persist()
     labels = gr.label_propagation(pairs, "id_a", "id_b", iters=2)
     return gr.modularity(pairs, labels, "id_a", "id_b")
 
@@ -521,11 +523,13 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_key_skew). Exact integer bins (floor-log2 doctrine); one degree
     count + one |bins|-sized aggregate past the pair generation.
     """
-    from ..operators import dedup as dd2
+    from .materialized import simhash_pairs_frame
 
-    d = read_table(spark, sf_dir, "documents")
-    hashes = dd2.simhash(d, "doc_id", "text", bits=32)
-    pairs = dd2.simhash_pairs(hashes, max_hamming=1)
+    # r8 (VERDICT r7 #4): pair graph served from the shared auto-
+    # materialized bucketed table (built once for every graph
+    # consumer); SPARK_GRAFT_MATERIALIZE=0 regenerates inline. The 30x
+    # steady wall was 57 s, ~55 s of it the banded pair generation.
+    pairs = simhash_pairs_frame(spark, sf_dir)
     # simhash_pairs returns DISTINCT pairs with id_a < id_b strictly,
     # so the doubled edge list is already duplicate-free and loop-free:
     # no dropDuplicates (at 30x that was a redundant global distinct

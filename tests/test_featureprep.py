@@ -195,6 +195,15 @@ def test_leakage_split_bucketed_is_row_identical(spark, sf_dir):
         q_split_leakage_safe,
     )
 
-    a = sorted(map(tuple, q_split_leakage_safe(spark, sf_dir).collect()))
+    import os
+
+    # Force the safe form down its ORIGINAL in-query path (since r8 its
+    # default also reads the materialized table) so this pin still
+    # compares the two distinct computations.
+    os.environ["SPARK_GRAFT_MATERIALIZE"] = "0"
+    try:
+        a = sorted(map(tuple, q_split_leakage_safe(spark, sf_dir).collect()))
+    finally:
+        os.environ.pop("SPARK_GRAFT_MATERIALIZE", None)
     b = sorted(map(tuple, q_split_leakage_bucketed(spark, sf_dir).collect()))
     assert a == b

@@ -1,0 +1,78 @@
+"""The r8 materialized-intermediates posture (plans/materialized.py):
+the DEFAULT call path of every simhash/jaccard graph consumer serves
+from the auto-build-or-reuse bucketed tables, and must be row-identical
+to the original in-query computation (SPARK_GRAFT_MATERIALIZE=0)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+
+REWIRED = [
+    "q_dedup_clusters",
+    "q_dedup_exemplar",
+    "q_split_leakage_safe",
+    "q_degree_hist",
+    "q_modularity",
+    "q_dup_triangles",
+    "q_clustering_coeff",
+    "q_pagerank",
+    "q_communities",
+    "q_kcore",
+    "q_entity_resolution",
+]
+
+
+def _rows(name, spark, sf_dir, materialize: str):
+    old = os.environ.get("SPARK_GRAFT_MATERIALIZE")
+    os.environ["SPARK_GRAFT_MATERIALIZE"] = materialize
+    try:
+        return sorted(map(tuple, REGISTRY[name].builder(spark, sf_dir).collect()))
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_MATERIALIZE", None)
+        else:
+            os.environ["SPARK_GRAFT_MATERIALIZE"] = old
+
+
+@pytest.mark.parametrize("name", REWIRED)
+def test_materialized_default_is_row_identical_to_inline(spark, sf_dir, name):
+    inline = _rows(name, spark, sf_dir, "0")
+    materialized = _rows(name, spark, sf_dir, "1")
+    assert inline == materialized
+    assert len(inline) > 0
+
+
+def test_materialized_table_survives_and_serves_reuse(spark, sf_dir):
+    # Second call must hit tier 1 (catalog) -- no rebuild. We can't
+    # observe job counts cheaply here, but we can assert the table
+    # exists after first use and that a re-read returns the same rows.
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        _auto_name,
+        simhash_pairs_frame,
+    )
+
+    a = sorted(map(tuple, simhash_pairs_frame(spark, sf_dir).collect()))
+    table = _auto_name("simhash_pairs_auto", sf_dir, 32, 1)
+    # Tier 1 (built this session -> catalog) or tier 2 (surviving
+    # on-disk table from a previous session, read directly): either
+    # way the materialization must exist on disk after first use.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert spark.catalog.tableExists(table) or os.path.exists(
+        f"{wh}/{table}/_SUCCESS"
+    )
+    b = sorted(map(tuple, simhash_pairs_frame(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_stale_fingerprint_gets_its_own_table(spark, sf_dir, tmp_path):
+    # A different corpus (fingerprint) must never serve another's rows:
+    # the name itself carries the fingerprint.
+    from cell_kn_mvp_etl_results_spark.plans.materialized import _auto_name
+
+    n1 = _auto_name("x", sf_dir)
+    n2 = _auto_name("x", sf_dir, "other-params")
+    assert n1 != n2

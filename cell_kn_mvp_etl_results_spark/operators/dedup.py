@@ -448,25 +448,25 @@ def lsh_band_buckets(
     md5 of the band's ordered minhash values. Pure projection + explode
     (no shuffle): each band's bucket is a slice of the sig array.
     ``carry`` names extra columns to keep alongside (e.g. the signature
-    itself), so callers never need a post-banding re-join."""
+    itself), so callers never need a post-banding re-join.
+
+    The band array is built as ONE ``F.expr`` SQL string: the
+    column-object form was ~250 py4j round trips (bands x rows element
+    slices), ~0.25 s of every PLAN BUILD -- a third of the whole
+    rebuild-regime driver cost of the gated minhash query (VERDICT r7
+    #5). A single parse produces the identical expression tree."""
     rows = num_perm // bands
-    band_bucket = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.element_at("sig", b * rows + r + 1).cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('-', {els})) AS bucket)".format(
+            b=b,
+            els=", ".join(
+                f"CAST(element_at(sig, {b * rows + r + 1}) AS STRING)"
+                for r in range(rows)
+            ),
+        )
+        for b in range(bands)
     )
+    band_bucket = F.expr(f"array({structs})")
     return sigs_wide.select(
         "id", *carry, F.explode(band_bucket).alias("bb")
     ).select("id", *carry, "bb.band", "bb.bucket")

@@ -941,19 +941,30 @@ def kcore_members(
     truncation, so early truncation only over-approximates -- it never
     drops a true core member.
 
-    Scale shape per round: two semi-joins restricting the (persisted,
-    both-direction) edge list to survivors -- the survivor side is
-    node-sized and broadcasts under AQE, so the cached edges stream
-    with zero edge-side exchange (the label_propagation layout
-    decision) -- then one src-keyed count with map-side partial
-    aggregation. State is one row per surviving vertex; a celebrity
-    vertex is a count, never an array. Each round's survivor set is
-    eagerly localCheckpointed (the khop-frontier discipline): the
-    survivors feed TWO joins the next round, so an unmaterialized
-    lineage would re-execute every earlier round's degree aggregation
+    Scale shape (r8, the PageRank degree-folding trick per VERDICT r7
+    #7): round 1 pays ONE full src-keyed count over the persisted
+    both-direction edge list; every later round updates degrees
+    DECREMENTALLY -- deg_{t+1}(v) = deg_t(v) - |edges from v into the
+    round's DROPPED set|.  The dropped set (vertices whose degree fell
+    below k) is tiny and each of its members holds < k surviving
+    edges, so the per-round aggregation shrinks from a 2|E|-row count
+    to at most k*|dropped| rows flowing out of one broadcast-semi-
+    joined edge scan; the node-sized degree frame then merges the
+    decrements with a broadcast left join.  The explicit broadcasts
+    are right while dropped/decrement sets are vertex-bounded and far
+    under executor memory (true at every measured scale: <= |V| longs,
+    150k rows at 30x); on a corpus whose VERTEX set outgrows broadcast
+    (1e9+ docs) drop the hints and AQE picks the shuffle semi-join --
+    the algebra is hint-independent.  Equivalence to the
+    recompute form is exact (deg_t counts edges into S_t, and
+    S_t \\ S_{t+1} is precisely the dropped set), pinned by the
+    unrolled-CTE oracle.  State is one row per surviving vertex; a
+    celebrity vertex is a count, never an array.  Each round's degree
+    frame is eagerly localCheckpointed (the khop-frontier discipline):
+    it feeds BOTH the dropped set and the next merge, so an
+    unmaterialized lineage would re-execute every earlier round
     2^rounds times -- measured as a >12-minute stall at the 30x corpus
-    (63M-edge graph) before the checkpoint; 24 s steady after (under
-    concurrent-suite load).
+    (63M-edge graph) before the checkpoint.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -962,17 +973,29 @@ def kcore_members(
         edges.select(b.alias("src"), a.alias("dst"))
     )
     ed = und.dropDuplicates().filter(F.col("src") != F.col("dst")).persist()
-    surv = ed.select(F.col("src").alias("id")).distinct()
-    deg = None
-    for t in range(iters):
-        alive = ed.join(
-            surv.withColumnRenamed("id", "src"), "src", "left_semi"
-        ).join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        if t < iters - 1:  # the last deg is the result; no extra barrier
-            surv = deg.filter(F.col("deg") >= k).select(
-                F.col("src").alias("id")
-            ).localCheckpoint(eager=True)
+    # Round 1: the one full-graph degree count (S_0 = every vertex, so
+    # the recompute form's survivor semi-joins are no-ops here).
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    for _t in range(1, iters):
+        deg = deg.localCheckpoint(eager=True)
+        dropped = deg.filter(F.col("deg") < k).select(
+            F.col("src").alias("dst")
+        )
+        dec = (
+            ed.join(F.broadcast(dropped), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        deg = (
+            deg.filter(F.col("deg") >= k)
+            .join(F.broadcast(dec), "src", "left")
+            .select(
+                "src",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias(
+                    "deg"
+                ),
+            )
+        )
     return deg.filter(F.col("deg") >= k).select(
         F.col("src").alias("id"), F.col("deg")
     )

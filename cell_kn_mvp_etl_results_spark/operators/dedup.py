@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
 
 # Modulus for the MinHash permutation family: the Mersenne prime 2^31-1.
 # g < 2^31 and a < 2^31 keep a*g + b inside int64 (no overflow).
@@ -619,6 +620,94 @@ def minhash_cross_match(
     # max() is a pure dedup (deterministic, bounded agg state).
     return collided.groupBy("id", "bench_id").agg(
         F.max("est_jaccard").alias("est_jaccard")
+    )
+
+
+def minhash_bucket_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persisted LSH INDEX of a corpus: (id, band, bucket, sig) --
+    band buckets with the wide signature riding along. This is what a
+    deployment materializes at ingest/compaction time so later delta
+    batches can dedup against the corpus WITHOUT re-pairing it
+    (incremental_minhash_probe); at 100 TB the index is ~num_perm longs
+    + bands hashes per document, bucketed on (bucket) so probe joins
+    co-locate."""
+    sigs = minhash_signatures_wide(df, id_col, text_col, num_perm, shingle_n)
+    return lsh_band_buckets(sigs, num_perm, bands, carry=("sig",))
+
+
+def incremental_minhash_probe(
+    base_index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_est: float = 0.25,
+) -> DataFrame:
+    """Incremental near-dup dedup: probe a DELTA batch against the
+    persisted ``minhash_bucket_index`` of the base corpus and return,
+    per delta document with a qualifying match, its best base match:
+    (delta_id, base_id, est_jaccard), est >= ``min_est``, top-1 by
+    (est desc, base_id).
+
+    This is THE dedup posture at lake scale: when a day's delta lands,
+    the base corpus is NOT re-paired -- delta signatures are computed
+    map-side (zero shuffle), the probe joins the delta's band buckets
+    against the index on (band, bucket), and only collision rows flow
+    into the per-pair estimate + W1 top-1 window. Work scales with
+    |delta| + |collisions|, never |base|; the index scan prunes to the
+    probed buckets under a co-located layout (the materialized table
+    is bucketed on the join key). The same probe then serves
+    within-delta dedup by unioning the delta's own index rows into the
+    base side -- omitted here to keep the gated shape one-directional.
+    """
+    d_sigs = minhash_signatures_wide(delta, id_col, text_col, num_perm, shingle_n)
+    d_buckets = lsh_band_buckets(d_sigs, num_perm, bands, carry=("sig",)).select(
+        F.col("id").alias("delta_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("delta_sig"),
+    )
+    b = base_index.select(
+        F.col("id").alias("base_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("base_sig"),
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("delta_sig"),
+            F.col("base_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    collided = d_buckets.join(b, ["band", "bucket"]).select(
+        "delta_id",
+        "base_id",
+        (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+    )
+    # est_jaccard is band-invariant per pair: max() is a pure dedup.
+    pairs = collided.groupBy("delta_id", "base_id").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+    w = Window.partitionBy("delta_id").orderBy(
+        F.desc("est_jaccard"), "base_id"
+    )
+    return (
+        pairs.filter(F.col("est_jaccard") >= min_est)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("delta_id", "base_id", "est_jaccard")
     )
 
 

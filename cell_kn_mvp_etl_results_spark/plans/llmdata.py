@@ -179,6 +179,91 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_minhash_oracle(
+    num_perm: int = 32, bands: int = 8, base_mod: int = 10, min_est: float = 0.25
+) -> str:
+    perms_values = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, a, b in dd.minhash_perms(num_perm)
+    )
+    rows = num_perm // bands
+    p = dd.MINHASH_P
+    return f"""
+WITH {_SHINGLES_SQL},
+perms(i, a, b) AS (VALUES
+    {perms_values}
+),
+hashed AS (
+  SELECT sh.doc_id, perms.i,
+         (perms.a * (('0x' || substr(md5(sh.shingle), 1, 12))::BIGINT % {p})
+          + perms.b) % {p} AS h
+  FROM sh, perms
+),
+sig AS (SELECT doc_id, i, min(h) AS h FROM hashed GROUP BY doc_id, i),
+bucketed AS (
+  SELECT doc_id, i // {rows} AS band,
+         md5(string_agg(CAST(h AS VARCHAR), '-' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+  FROM bucketed d
+  JOIN bucketed b ON d.band = b.band AND d.bucket = b.bucket
+  WHERE d.doc_id % {base_mod} = 0 AND b.doc_id % {base_mod} != 0
+),
+est AS (
+  SELECT cand.delta_id, cand.base_id,
+         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / {float(num_perm)}
+           AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.delta_id
+  JOIN sig sb ON sb.doc_id = cand.base_id AND sb.i = sa.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT delta_id, base_id, est_jaccard,
+         row_number() OVER (
+           PARTITION BY delta_id ORDER BY est_jaccard DESC, base_id
+         ) AS rk
+  FROM est
+  WHERE est_jaccard >= {min_est}
+)
+SELECT delta_id, base_id, est_jaccard
+FROM ranked WHERE rk = 1
+ORDER BY delta_id
+"""
+
+
+@query(
+    "q_dedup_incremental",
+    tags=("dedup", "scale"),
+    priority=TAIL,  # new in r8 -- pytest-parity now, driver row in the r9 rotation
+    oracle=_incremental_minhash_oracle(),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-base) near-dup dedup -- THE dedup posture
+    at lake scale: a landing delta batch (here doc_id % 10 == 0)
+    probes the base corpus's PERSISTED LSH index
+    (plans/materialized.minhash_index_frame, auto-build-or-reuse,
+    bucketed on the probe key) instead of re-pairing 100 TB; per delta
+    document the best base match at est_jaccard >= 0.25 is returned
+    (delta_id, base_id, est_jaccard). Work scales with |delta| +
+    |collisions|, never |base|: delta signatures are map-side
+    (operators/dedup.minhash_signatures_wide: zero shuffles), the
+    probe is one (band, bucket) join, and the W1 top-1 window runs
+    over collision rows only. SPARK_GRAFT_MATERIALIZE=0 computes the
+    index inline (row-identical; the oracle recomputes everything
+    relationally either way).
+    """
+    from .materialized import minhash_index_frame
+
+    d = read_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_index_frame(spark, sf_dir, base_mod=10)
+    return dd.incremental_minhash_probe(
+        index, delta, "doc_id", "text", num_perm=32, bands=8
+    ).orderBy("delta_id")
+
+
 @query(
     "q_dedup_simhash",
     tags=("dedup",),

@@ -166,6 +166,35 @@ def dedup_components_frame(
     )
 
 
+def minhash_index_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 10,
+    num_perm: int = 32,
+    bands: int = 8,
+    force: bool = False,
+) -> DataFrame:
+    """The persisted LSH index (id, band, bucket, sig) of the BASE
+    corpus slice (doc_id % base_mod != 0) -- what incremental dedup
+    probes instead of re-pairing the lake (operators/dedup.
+    minhash_bucket_index). Bucketed on the probe join's bucket key so
+    delta probes co-locate. Auto-build-or-reuse per corpus fingerprint;
+    ``SPARK_GRAFT_MATERIALIZE=0`` computes it inline."""
+
+    def build() -> DataFrame:
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % base_mod != 0
+        )
+        return dd.minhash_bucket_index(
+            d, "doc_id", "text", num_perm=num_perm, bands=bands
+        )
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("minhash_index_auto", sf_dir, base_mod, num_perm, bands)
+    return ensure_table(spark, table, build, "bucket")
+
+
 def entity_components_frame(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> DataFrame:

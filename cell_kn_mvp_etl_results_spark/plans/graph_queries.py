@@ -209,7 +209,9 @@ def khop_paths_bucketed(
             "n_paths",
             "n_terminals",
         )
-        .orderBy("start")
+        # see the memo-hit path: bounded result, sampling-free sort
+        .repartition(1)
+        .sortWithinPartitions("start")
     )
 
 
@@ -391,7 +393,13 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_paths",
                 "n_terminals",
             )
-            .orderBy("start")
+            # |start vertices|-bounded result: a 1-partition sort gives
+            # the same total order without global-sort RANGE SAMPLING,
+            # which re-submits a sampling job per run (~0.17 s of every
+            # sf0.1 rebuild; r8). At any scale the result stays
+            # per-start-vertex, far under one task's memory.
+            .repartition(1)
+            .sortWithinPartitions("start")
         )
     # Persisted SORTED on the join key: InMemoryTableScan propagates the
     # cached plan's outputPartitioning AND outputOrdering, so every
@@ -447,7 +455,9 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_paths",
             "n_terminals",
         )
-        .orderBy("start")
+        # see the memo-hit path: bounded result, sampling-free sort
+        .repartition(1)
+        .sortWithinPartitions("start")
     )
 
 

@@ -62,6 +62,92 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pair_index_upsert",
+    tags=("dedup", "graph", "scale"),
+    priority=TAIL,  # new in r8 -- pytest-parity now, driver row in the r9 rotation
+    oracle=f"""
+WITH {_SIMHASH_BODY},
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+)
+SELECT id_a, id_b, hamming,
+       CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN 'delta-delta'
+            ELSE 'delta-base' END AS kind
+FROM p
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+ORDER BY id_a, id_b
+""",
+)
+def q_pair_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MAINTENANCE of the near-dup pair graph -- the IVM
+    statement for the dedup layer's materialized tables: when a delta
+    batch (doc_id % 10 == 0) lands, the NEW radius-1 pairs are exactly
+    delta-vs-base plus delta-vs-delta; the base corpus is never
+    re-banded, let alone re-paired. The delta's bit-bands are computed
+    map-side and probe the persisted base BAND index
+    (plans/materialized.simhash_band_index_frame, bucketed on the band
+    value); the delta self-join is delta-sized. Union of the two
+    candidate sets, per-pair dedup, exact hamming check -- identical by
+    pigeonhole-recall to filtering the full corpus pairing down to
+    pairs touching the delta, which is what the oracle does. Appending
+    these rows to the materialized pair table (plans/materialized.
+    simhash_pairs_frame) IS the upsert; the query returns them labeled
+    (id_a, id_b, hamming, kind) so the maintenance job and its monitor
+    share one statement. Work scales with |delta| + |collisions|.
+    """
+    from .materialized import simhash_band_index_frame
+
+    d = read_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    h_delta = dd.simhash(delta, "doc_id", "text", bits=32)
+    bands_delta = dd.simhash_bands(h_delta, bands=2, bits=32)
+    base_idx = simhash_band_index_frame(spark, sf_dir, base_mod=10)
+    hamming = F.bit_count(F.col("sh_x").bitwiseXOR(F.col("sh_y")))
+    dl = bands_delta.select(
+        F.col("id").alias("id_x"), F.col("simhash").alias("sh_x"), "band", "val"
+    )
+    # delta-vs-base: probe the persisted index; normalize id order
+    # BEFORE the dedup (hamming is symmetric).
+    db = dl.join(
+        base_idx.select(
+            F.col("id").alias("id_y"), F.col("simhash").alias("sh_y"), "band", "val"
+        ),
+        ["band", "val"],
+    )
+    # delta-vs-delta: delta-sized self-join on the band keys.
+    dd_pairs = dl.join(
+        bands_delta.select(
+            F.col("id").alias("id_y"), F.col("simhash").alias("sh_y"), "band", "val"
+        ),
+        ["band", "val"],
+    ).filter(F.col("id_x") < F.col("id_y"))
+    cand = db.unionAll(dd_pairs).select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        hamming.alias("hamming"),
+    )
+    return (
+        cand.filter(F.col("hamming") <= 1)
+        .distinct()  # a pair can agree on both bands; hamming is pair-determined
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.when(
+                (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0),
+                "delta-delta",
+            )
+            .otherwise("delta-base")
+            .alias("kind"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "q_token_classes",
     tags=("text",),
     oracle=r"""

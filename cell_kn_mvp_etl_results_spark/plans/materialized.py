@@ -195,6 +195,35 @@ def minhash_index_frame(
     return ensure_table(spark, table, build, "bucket")
 
 
+def simhash_band_index_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 10,
+    bits: int = 32,
+    max_hamming: int = 1,
+    force: bool = False,
+) -> DataFrame:
+    """The persisted SimHash BAND index (id, simhash, band, val) of the
+    BASE corpus slice (doc_id % base_mod != 0) -- what incremental pair
+    maintenance probes: a landing delta joins its own bands against
+    this instead of re-banding the lake (q_pair_index_upsert).
+    Bucketed on val, the probe join's highest-cardinality key."""
+
+    def build() -> DataFrame:
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % base_mod != 0
+        )
+        hashes = dd.simhash(d, "doc_id", "text", bits=bits)
+        return dd.simhash_bands(hashes, bands=max_hamming + 1, bits=bits)
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name(
+        "simhash_band_index_auto", sf_dir, base_mod, bits, max_hamming
+    )
+    return ensure_table(spark, table, build, "val")
+
+
 def entity_components_frame(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> DataFrame:

@@ -189,3 +189,57 @@ def neardup_probe_stream(
         "band",
         (matches / F.lit(float(num_perm))).alias("est_jaccard"),
     )
+
+
+def incremental_probe_stream(
+    docs: DataFrame,
+    base_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental dedup at INGEST: every arriving document is
+    MinHash-signed map-side and probed against the PERSISTED base-corpus
+    LSH index (plans/materialized.minhash_index_frame) -- the streaming
+    twin of ``dedup.incremental_minhash_probe``, for pipelines where
+    the delta arrives as a stream rather than a batch.
+
+    Returns one row PER COLLIDING BAND: (id, base_id, band,
+    est_jaccard) -- a stateless projection + stream-static equi-join on
+    (band, bucket), append-legal with no watermark and no state store.
+    Unlike ``neardup_probe_stream`` (whose static side is a broadcast-
+    sized benchmark) the base index here is corpus-sized, so no
+    broadcast hint: the static side is a bucketed table scan and the
+    join co-locates on the bucket key. The per-delta top-1 cut is a
+    downstream batch aggregation (or ``incremental_minhash_probe``,
+    whose pair set equals this output's distinct (id, base_id) --
+    test-pinned).  The SAME call works on a static frame: batch
+    backfill and live ingest flag byte-identical collisions.
+    """
+    from ..operators.dedup import lsh_band_buckets, minhash_signatures_wide
+
+    b = base_index.select(
+        F.col("id").alias("base_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("base_sig"),
+    )
+    d_sigs = minhash_signatures_wide(docs, id_col, text_col, num_perm, shingle_n)
+    d_buckets = lsh_band_buckets(d_sigs, num_perm, bands, carry=("sig",))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("base_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d_buckets.join(b, ["band", "bucket"]).select(
+        "id",
+        "base_id",
+        "band",
+        (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+    )

@@ -594,3 +594,64 @@ def test_quota_hand_computed(spark):
     # 600 -> admit; 1100 -> admit; 1400 > 1200 -> reject; 1500 (the
     # 100-cent event STILL sits at prefix 1500) -> reject.
     assert got == [(1, 600), (2, 1100)]
+
+
+def test_streaming_incremental_probe_matches_batch_twin(spark, sf_dir, tmp_path):
+    """incremental_probe_stream (delta stream vs persisted base LSH
+    index) availableNow e2e: its distinct (id, base_id) pairs equal the
+    batch incremental_minhash_probe candidate set, and the per-delta
+    top-1 derived from its rows equals the batch operator's output."""
+    import os
+
+    from pyspark.sql import functions as F
+    from cell_kn_mvp_etl_results_spark.operators.dedup import (
+        incremental_minhash_probe,
+    )
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        minhash_index_frame,
+    )
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    from cell_kn_mvp_etl_results_spark.streaming.windows import (
+        incremental_probe_stream,
+    )
+
+    static = read_table(spark, sf_dir, "documents")
+    index = minhash_index_frame(spark, sf_dir, base_mod=10)
+    batch = incremental_minhash_probe(
+        index, static.filter(F.col("doc_id") % 10 == 0), "doc_id", "text"
+    ).collect()
+    assert batch  # gate corpora collide at mod-10 split
+
+    stage = tmp_path / "docs_stream3"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"), stage / "part-0.parquet"
+    )
+    stream_docs = (
+        spark.readStream.schema(static.schema)
+        .parquet(str(stage))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    out = incremental_probe_stream(stream_docs, index)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM inc_probe").collect()
+    # per-delta top-1 at est >= 0.25, (est desc, base_id) order -- the
+    # batch operator's exact cut, derived driver-side from stream rows
+    best: dict = {}
+    for r in rows:
+        if r.est_jaccard < 0.25:
+            continue
+        cur = best.get(r.id)
+        if cur is None or (-r.est_jaccard, r.base_id) < (-cur[1], cur[0]):
+            best[r.id] = (r.base_id, r.est_jaccard)
+    got = sorted((i, b, e) for i, (b, e) in best.items())
+    want = sorted((r.delta_id, r.base_id, r.est_jaccard) for r in batch)
+    assert got == want

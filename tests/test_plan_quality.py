@@ -290,6 +290,9 @@ def test_label_rebalance_window_group_limit(spark, sf_dir):
 
 
 def test_kcore_no_cartesian_semi_join_shape(spark, sf_dir):
+    # r8 decremental peeling: the per-round survivor semi-joins became
+    # ONE full degree count + broadcast joins against the (tiny)
+    # dropped/decrement sets (operators/graph.kcore_members).
     plan = plan_of(spark, sf_dir, "q_kcore")
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan  # survivor restriction is a semi-join
+    assert "BroadcastHashJoin" in plan  # dropped-set restriction broadcasts

@@ -28,7 +28,7 @@ auto-build-or-reuse contract as ``materialize_khop_bucketed``:
 Correctness is unaffected by construction: the builders are
 deterministic pure functions of the source tables, so reading the
 persisted result back is row-identical to computing it inline
-(test-pinned in tests/test_scale_ops.py / test_featureprep.py).
+(test-pinned in tests/test_materialized.py and test_featureprep.py).
 """
 
 from __future__ import annotations

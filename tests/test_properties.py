@@ -372,3 +372,31 @@ def test_ngram_lm_matches_python_mirror(spark, train_docs, score_docs):
         for r in ta.ngram_lm_score(score, "doc_id", "text", pair_m, uni_m).collect()
     }
     assert got == expected
+
+
+# Tiny alphabet + short words force the adversarial BPE cases: count
+# ties everywhere, run pairs (a,a), overlapping pairs sharing symbols,
+# and newly-created pairs that outrank remaining candidates -- exactly
+# the cases the batched trainer's certification rules must refuse to
+# accept early (operators/bpe._accept_batch).
+_bpe_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=10
+).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_bpe_words, st.integers(min_value=2, max_value=6))
+def test_bpe_batched_is_certified_sequential(spark, text, n_merges):
+    from cell_kn_mvp_etl_results_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([(text,)], "text string")
+    seq = [tuple(r) for r in bpe_train_merges(df, n_merges=n_merges).collect()]
+    bat = [
+        tuple(r)
+        for r in bpe_train_merges(df, n_merges=n_merges, batch=4).collect()
+    ]
+    assert seq == bat

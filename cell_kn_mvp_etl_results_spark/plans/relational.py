@@ -1505,3 +1505,69 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
         ]
     )
+
+
+@query(
+    "q_product_profit",
+    tags=("relational", "J1", "A5"),
+    priority=TAIL,  # new in r8 -- pytest-parity now, driver row in the r9 rotation
+    oracle="""
+WITH amounts AS (
+  SELECT s.s_nationkey,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+         - CAST(round(p.p_retailprice * 100) AS BIGINT)
+           * CAST(l.l_quantity AS BIGINT) * 100 AS amount_cp
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE p.p_name LIKE '%red%'
+)
+SELECT n.n_name AS nation, a.o_year,
+       sum(a.amount_cp) / 10000.0 AS profit
+FROM amounts a JOIN nation n ON n.n_nationkey = a.s_nationkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted to this lake's
+    schema: no partsupp, so cost = retail price x quantity): per
+    (nation, year), sum of discounted revenue minus part cost over
+    lineitems whose part name contains 'red' -- the classic 5-table
+    join-ordering stressor (two dimension filters, one fact-fact
+    equi-join).
+
+    Plan shape: part is FILTERED THEN BROADCAST (the LIKE prunes it
+    dimension-side before any fact work), supplier and nation
+    broadcast, so lineitem is probed map-side by three dims and the
+    only corpus-sized exchange is the lineitem-orders equi-join on
+    orderkey -- the key both facts bucket on at lake scale
+    (operators/scale.write_bucketed), where this query becomes
+    exchange-free. Money stays in exact integer cent-percent units
+    (functions/money.cents doctrine); the single final division is the
+    one IEEE op, so profit hashes bit-identically to the oracle.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    amount = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    ) - cents("p_retailprice") * qty_long("l_quantity") * F.lit(100)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg((F.sum(amount) / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )

@@ -76,3 +76,36 @@ def test_stale_fingerprint_gets_its_own_table(spark, sf_dir, tmp_path):
     n1 = _auto_name("x", sf_dir)
     n2 = _auto_name("x", sf_dir, "other-params")
     assert n1 != n2
+
+
+def test_ensure_table_recovers_from_partial_write(spark, sf_dir):
+    # An orphaned directory WITHOUT _SUCCESS (a crashed write) must be
+    # deleted and rebuilt, not served or fatal.
+    import uuid
+
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        _warehouse_dir,
+        ensure_table,
+    )
+
+    table = f"mat_test_{uuid.uuid4().hex[:8]}"
+    path = _warehouse_dir(spark, table)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/part-orphan.parquet")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(b"not parquet"))
+    out.close()
+
+    def build():
+        return spark.range(5).selectExpr("id", "id * 2 AS v")
+
+    got = sorted(map(tuple, ensure_table(spark, table, build, "id").collect()))
+    assert got == [(i, 2 * i) for i in range(5)]
+    # second call serves tier 1 (catalog) -- same rows, no rebuild error
+    again = sorted(map(tuple, ensure_table(spark, table, build, "id").collect()))
+    assert again == got
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(root):
+        fs.delete(root, True)

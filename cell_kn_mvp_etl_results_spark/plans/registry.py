@@ -272,11 +272,12 @@ assert len(set(_R7_GATED)) == GATE_BUDGET
 # r6, one round old).
 # Demoted to TAIL: the 38 r7-gated veterans (fresh r7 rows).
 #
-# r9 rotation plan: promote the 4 overflow queries above plus the
-# queries ADDED in r8 (q_dedup_incremental, ...; grep "new in r8" for
-# the authoritative list), then the stalest veterans (latest row r6:
-# the 44 non-headliner r6 gates) newest-first until the budget fills;
-# keep the 6 headliners; demote the r8 gates.
+# r9 rotation plan: promote the 4 overflow queries above plus the 3
+# queries ADDED in r8 (q_dedup_incremental, q_pair_index_upsert,
+# q_product_profit -- all pytest-parity green at sf0.001 and sf0.01),
+# then the stalest veterans (latest row r6: the 44 non-headliner r6
+# gates) newest-first until the budget fills; keep the 6 headliners;
+# demote the r8 gates. 6 headliners + 4 + 3 + 37 veterans = 50.
 _R8_GATED = (
     # --- 6 bench headliners ---
     "q_pricing_summary",

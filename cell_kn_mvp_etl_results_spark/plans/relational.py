@@ -81,6 +81,54 @@ def _broadcast_map_ok(sf_dir: str, table: str, selectivity: float) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# SQL-string builders (r8). The scan/join-agg headliners are expressed
+# as Spark SQL text over fingerprint-registered temp views instead of
+# DataFrame call chains: the logical plan is IDENTICAL (Catalyst parses
+# to the same operators; value-hash equality vs the old builders is
+# pinned in tests/test_plan_gates.py), but plan CONSTRUCTION is one
+# py4j call instead of 100-250 -- profiled at 0.15-0.28 s of every
+# rebuild-regime run per query, pure driver-side Python-API chatter
+# that no engine's own SQL front end pays. This is also the symmetric
+# methodology: scripts/oracle_bench.py measures DuckDB parsing SQL text
+# per run against pre-registered views; now Spark does exactly the
+# same. The SQL is parsed + analyzed + optimized PER CALL (spark.sql
+# returns a fresh plan every time) -- no plan reuse; the prepared-plan
+# cache sits above this in registry._memoized and stays off in the
+# rebuild/cold regimes. View registration is catalog state keyed on
+# (application, sf_dir, table fingerprint): a regenerated file gets a
+# new view name, so stale data can never serve (read_table's
+# cache-invalidation contract carries through).
+# ---------------------------------------------------------------------------
+
+_SQL_VIEWS: dict[tuple, str] = {}
+
+
+def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
+    import hashlib
+
+    from ..sources.readers import _fingerprint
+
+    fp = _fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, table, fp)
+    name = _SQL_VIEWS.get(key)
+    if name is None:
+        tag = hashlib.md5(repr((sf_dir, fp)).encode()).hexdigest()[:8]
+        name = f"{table}_v{tag}"
+        read_table(spark, sf_dir, table).createOrReplaceTempView(name)
+        _SQL_VIEWS[key] = name
+    return name
+
+
+# Exact-integer money/quantity idioms, the SQL spelling of
+# functions.money.cents / qty_long (identical arithmetic, see the
+# cents() docstring for the round-half-away-by-signum construction;
+# form-equality over every money column is pinned by
+# tests/test_money_contract.py).
+_CENTS = "CAST({c} * 100 + SIGN({c}) * 0.5 AS BIGINT)"
+_QTY = "CAST({c} + SIGN({c}) * 0.5 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
 # Aggregations (A5/A7-style) -- TPC-H Q1-shaped pricing summary.
 # ---------------------------------------------------------------------------
 
@@ -128,36 +176,30 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions.money.money()`` converts at the edge when a human
     needs them.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    price_c = cents("l_extendedprice")
-    disc_bp = F.lit(100) - cents("l_discount")  # discount in basis points
-    tax_bp = F.lit(100) + cents("l_tax")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty_long("l_quantity")).alias("sum_qty"),
-            F.sum(price_c).alias("sum_base_price_cents"),
-            F.sum(price_c * disc_bp).alias("sum_disc_price_x10000"),
-            F.sum(price_c * disc_bp * tax_bp).alias("sum_charge_x1000000"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .withColumn(
-            "avg_price_cents",
-            F.expr("sum_base_price_cents div count_order"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "sum_qty",
-            "sum_base_price_cents",
-            "sum_disc_price_x10000",
-            "sum_charge_x1000000",
-            "avg_price_cents",
-            "count_order",
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    # SQL-string form (r8): same logical plan as the former DataFrame
+    # chain (scan -> partial agg -> 6-group final agg), one parse call.
+    li = _view(spark, sf_dir, "lineitem")
+    pc = _CENTS.format(c="l_extendedprice")
+    db = "(100 - " + _CENTS.format(c="l_discount") + ")"
+    tb = "(100 + " + _CENTS.format(c="l_tax") + ")"
+    q = _QTY.format(c="l_quantity")
+    return spark.sql(f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(q) AS sum_qty,
+       SUM(pc) AS sum_base_price_cents,
+       SUM(pc * db) AS sum_disc_price_x10000,
+       SUM(pc * db * tb) AS sum_charge_x1000000,
+       SUM(pc) DIV COUNT(*) AS avg_price_cents,
+       COUNT(*) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus, {q} AS q, {pc} AS pc,
+         {db} AS db, {tb} AS tb
+  FROM {li}
+  WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -423,30 +465,30 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       locally it measured +-20%, within run variance, so the query does
       not override them).
     """
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    # SQL-string form (r8): same two size-gated plan shapes, one parse.
+    cust = _view(spark, sf_dir, "customer")
+    orders = _view(spark, sf_dir, "orders")
+    li = _view(spark, sf_dir, "lineitem")
+    supp = _view(spark, sf_dir, "supplier")
+    nat = _view(spark, sf_dir, "nation")
+    reg = _view(spark, sf_dir, "region")
+    amount = (
+        _CENTS.format(c="l_extendedprice")
+        + " * (100 - "
+        + _CENTS.format(c="l_discount")
+        + ")"
     )
-    li = read_table(spark, sf_dir, "lineitem")
-    s = read_table(spark, sf_dir, "supplier")
-    n = read_table(spark, sf_dir, "nation")
-    r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
-    disc_bp = F.lit(100) - cents("l_discount")
-    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name"
-    )
-    omap = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select(
-            F.col("o_orderkey"),
-            F.col("c_nationkey").alias("cust_nation"),
-            "n_name",
-        )
-    )
-    if _broadcast_map_ok(sf_dir, "orders", _SEL_ORDERS_SINCE_1996):
-        omap = F.broadcast(omap)
-    # else: the same map, shuffled into a sort-merge join. A
+    omap = f"""
+  SELECT /*+ BROADCAST(c), BROADCAST(n2) */
+         o.o_orderkey, c.c_nationkey AS cust_nation, n2.n_name
+  FROM {orders} o
+  JOIN {cust} c ON o.o_custkey = c.c_custkey
+  JOIN (SELECT /*+ BROADCAST(r) */ n.n_nationkey, n.n_name
+        FROM {nat} n JOIN {reg} r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')) n2
+    ON c.c_nationkey = n2.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"""
+    # Above the gate: the same map, shuffled into a sort-merge join. A
     # shuffle-hash hint on the map side was A/B-tested at the 100x
     # corpus twice (r6 with raw filtered orders: 8.9-9.5 s vs SMJ's
     # 6.5-7.1; r7 with this reduced map: 15.4 s vs 8.0) and LOST both
@@ -454,18 +496,23 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential scans only on much smaller builds. At lake scale both
     # sides bucket on orderkey instead (operators/scale.write_bucketed)
     # and the exchange+sort disappear entirely.
-    joined = li.join(omap, li.l_orderkey == omap.o_orderkey).join(
-        F.broadcast(s),
-        (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("cust_nation")),
+    hint = (
+        "/*+ BROADCAST(omap), BROADCAST(s) */"
+        if _broadcast_map_ok(sf_dir, "orders", _SEL_ORDERS_SINCE_1996)
+        else "/*+ BROADCAST(s) */"
     )
-    return (
-        joined.groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            (F.sum(cents("l_extendedprice") * disc_bp) / F.lit(10000.0)).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.desc("revenue"), "nation")
-    )
+    return spark.sql(f"""
+SELECT {hint} omap.n_name AS nation,
+       SUM({amount}) / CAST(10000.0 AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM {li} l
+JOIN ({omap}
+) omap ON l.l_orderkey = omap.o_orderkey
+JOIN {supp} s
+  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = omap.cust_nation
+GROUP BY omap.n_name
+ORDER BY revenue DESC, nation
+""")
 
 
 @query(
@@ -505,37 +552,48 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Measured at the 30x corpus: 1.22 -> 0.86 s. Above the
     gate, the classic equi-join shape.
     """
-    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    # SQL-string form (r8): same two size-gated plan shapes, one parse.
+    cust = _view(spark, sf_dir, "customer")
+    orders = _view(spark, sf_dir, "orders")
+    li = _view(spark, sf_dir, "lineitem")
+    amount = (
+        _CENTS.format(c="l_extendedprice")
+        + " * (100 - "
+        + _CENTS.format(c="l_discount")
+        + ")"
     )
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
-    )
-    disc_bp = F.lit(100) - cents("l_discount")
     if _broadcast_map_ok(sf_dir, "orders", _SEL_BUILDING_ORDERS):
-        omap = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-            "o_orderkey", "o_orderdate", "o_orderpriority"
-        )
-        joined = li.join(F.broadcast(omap), li.l_orderkey == omap.o_orderkey)
+        joins = f"""
+FROM (SELECT * FROM {li} WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00') l
+JOIN (
+  SELECT /*+ BROADCAST(c) */ o.o_orderkey, o.o_orderdate, o.o_orderpriority
+  FROM {orders} o
+  JOIN {cust} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+) omap ON l.l_orderkey = omap.o_orderkey"""
+        hint = "/*+ BROADCAST(omap) */"
     else:
-        # Sort-merge, same rationale as q_local_supplier_volume's
-        # above-gate branch (shuffle-hash A/B-tested and slower there).
-        joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
-            F.broadcast(c), o.o_custkey == c.c_custkey
-        )
-    return (
-        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(cents("l_extendedprice") * disc_bp) / F.lit(10000.0)).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
+        # Sort-merge on orderkey, same rationale as
+        # q_local_supplier_volume's above-gate branch (shuffle-hash
+        # A/B-tested and slower there).
+        joins = f"""
+FROM (SELECT * FROM {li} WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00') l
+JOIN (SELECT * FROM {orders}
+      WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00') o
+  ON l.l_orderkey = o.o_orderkey
+JOIN {cust} c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'"""
+        hint = "/*+ BROADCAST(c) */"
+    return spark.sql(f"""
+SELECT {hint} l.l_orderkey,
+       SUM({amount}) / CAST(10000.0 AS DOUBLE) AS revenue,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+       o_orderpriority
+{joins}
+GROUP BY l.l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
 
 
 # ---------------------------------------------------------------------------

@@ -442,6 +442,26 @@ def minhash_signatures(
     return wide.select("id", F.posexplode("sig").alias("i", "h"))
 
 
+def band_structs_sql(num_perm: int = 32, bands: int = 8) -> str:
+    """The banding expression as SQL text: ``bands`` struct(band,
+    bucket) terms, each bucket the md5 of the band's ordered minhash
+    slice of a wide ``sig`` array column. Shared by the column form
+    (``lsh_band_buckets``: one ``F.expr`` over it) and the SQL-text
+    plan builders (plans/llmdata q_dedup_minhash_lsh), so the two can
+    never drift."""
+    rows = num_perm // bands
+    return ", ".join(
+        "struct({b} AS band, md5(concat_ws('-', {els})) AS bucket)".format(
+            b=b,
+            els=", ".join(
+                f"CAST(element_at(sig, {b * rows + r + 1}) AS STRING)"
+                for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
 def lsh_band_buckets(
     sigs_wide: DataFrame, num_perm: int = 32, bands: int = 8, carry: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -456,18 +476,7 @@ def lsh_band_buckets(
     slices), ~0.25 s of every PLAN BUILD -- a third of the whole
     rebuild-regime driver cost of the gated minhash query (VERDICT r7
     #5). A single parse produces the identical expression tree."""
-    rows = num_perm // bands
-    structs = ", ".join(
-        "struct({b} AS band, md5(concat_ws('-', {els})) AS bucket)".format(
-            b=b,
-            els=", ".join(
-                f"CAST(element_at(sig, {b * rows + r + 1}) AS STRING)"
-                for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
-    band_bucket = F.expr(f"array({structs})")
+    band_bucket = F.expr(f"array({band_structs_sql(num_perm, bands)})")
     return sigs_wide.select(
         "id", *carry, F.explode(band_bucket).alias("bb")
     ).select("id", *carry, "bb.band", "bb.bucket")

@@ -921,12 +921,29 @@ def label_propagation(
     return labels
 
 
+def _frame_under_bytes(df: DataFrame, budget: int) -> bool:
+    """True when ``df``'s optimizer size estimate fits ``budget``
+    bytes. Used to gate explicit broadcast hints: a hint bypasses
+    AQE's own size check, so it must only be issued for frames the
+    driver can actually hold (ADVICE r8, kcore). Fails CLOSED --
+    unreadable stats mean no hint, and AQE decides from runtime
+    sizes."""
+    try:
+        return (
+            int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            <= budget
+        )
+    except Exception:
+        return False
+
+
 def kcore_members(
     edges: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     k: int = 2,
     iters: int = 3,
+    broadcast_threshold: int = 64 << 20,
 ) -> DataFrame:
     """k-core membership after ``iters`` synchronous peeling rounds
     over an undirected edge list: each round recomputes every vertex's
@@ -950,12 +967,18 @@ def kcore_members(
     edges, so the per-round aggregation shrinks from a 2|E|-row count
     to at most k*|dropped| rows flowing out of one broadcast-semi-
     joined edge scan; the node-sized degree frame then merges the
-    decrements with a broadcast left join.  The explicit broadcasts
-    are right while dropped/decrement sets are vertex-bounded and far
-    under executor memory (true at every measured scale: <= |V| longs,
-    150k rows at 30x); on a corpus whose VERTEX set outgrows broadcast
-    (1e9+ docs) drop the hints and AQE picks the shuffle semi-join --
-    the algebra is hint-independent.  Equivalence to the
+    decrements with a broadcast left join.  The broadcast hints are
+    GATED per round (ADVICE r8): round 1's dropped set is every vertex
+    with degree < k, which for large k or a sparse graph can approach
+    |V| -- an unconditional hint would bypass AQE's size check and can
+    OOM the driver.  The gate reads the checkpointed degree frame's
+    plan-stat size (exact after eager localCheckpoint, no job) against
+    ``broadcast_threshold`` bytes; the dropped and decrement frames
+    are subsets/aggregates of it, so a degree frame under the budget
+    bounds both.  Above the budget -- or when stats are unreadable --
+    the joins go in UNHINTED (fail closed) and AQE picks the
+    shuffle/broadcast strategy from runtime sizes; the algebra is
+    hint-independent.  Equivalence to the
     recompute form is exact (deg_t counts edges into S_t, and
     S_t \\ S_{t+1} is precisely the dropped set), pinned by the
     unrolled-CTE oracle.  State is one row per surviving vertex; a
@@ -978,17 +1001,19 @@ def kcore_members(
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     for _t in range(1, iters):
         deg = deg.localCheckpoint(eager=True)
+        small = _frame_under_bytes(deg, broadcast_threshold)
+        hint = F.broadcast if small else (lambda df: df)
         dropped = deg.filter(F.col("deg") < k).select(
             F.col("src").alias("dst")
         )
         dec = (
-            ed.join(F.broadcast(dropped), "dst")
+            ed.join(hint(dropped), "dst")
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("dec"))
         )
         deg = (
             deg.filter(F.col("deg") >= k)
-            .join(F.broadcast(dec), "src", "left")
+            .join(hint(dec), "src", "left")
             .select(
                 "src",
                 (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias(

@@ -96,14 +96,50 @@ def cosine_topk(
     )
 
 
+def prepare_cosine_queries(
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 4,
+    exclude_label_col: str | None = None,
+) -> tuple:
+    """Collect + quantize the (small, broadcastable) query side ONCE:
+    (q_ids, q_mat, q_labels, q_norm) as numpy arrays. The query matrix
+    is DATA, not plan -- a serving deployment prepares it per query-set
+    and scores every corpus batch against it; re-collecting it per call
+    was one full Spark job of every ``q_cosine_topk`` rebuild-regime
+    run (VERDICT r8 #2). Pass the result to ``cosine_topk_arrow``'s
+    ``prepared=``."""
+    import numpy as np
+
+    scale = float(10**quantize) if quantize is not None else None
+    q_cols = [id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    q_rows = queries.select(*q_cols).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_labels = (
+        np.array([r[2] for r in q_rows], dtype=object)
+        if exclude_label_col
+        else None
+    )
+    if scale is not None:
+        q_mat = _np_quantize(q_mat, scale)
+    q_norm = (q_mat * q_mat).sum(axis=1)
+    return (q_ids, q_mat, q_labels, q_norm)
+
+
 def cosine_topk_arrow(
     emb: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     quantize: int | None = 4,
     exclude_label_col: str | None = None,
+    prepared: tuple | None = None,
+    coalesce_to: int | None = None,
 ) -> DataFrame:
     """Arrow-batched cosine top-k: the query matrix (small) is captured
     in the closure; each corpus Arrow batch is scored against it with
@@ -122,22 +158,23 @@ def cosine_topk_arrow(
     the hard-negative-mining variant (per query, the most similar
     vectors of a DIFFERENT class). Same plan shape: the mask is one
     more vectorized compare inside the batch scorer.
+
+    ``prepared``: a ``prepare_cosine_queries`` result; skips the query
+    collect (one Spark job). ``coalesce_to``: precomputed corpus batch
+    target (skips the per-call RDD/stats py4j round trips; 0 = leave
+    the scan partitioning untouched). Both let a serving caller make
+    the per-call plan build a handful of py4j calls (VERDICT r8 #2).
     """
     import numpy as np
     import pandas as pd
 
     scale = float(10 ** quantize) if quantize is not None else None
 
-    q_cols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
-    q_rows = queries.select(*q_cols).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_labels = (
-        np.array([r[2] for r in q_rows], dtype=object) if exclude_label_col else None
-    )
-    if scale is not None:
-        q_mat = _np_quantize(q_mat, scale)
-    q_norm = (q_mat * q_mat).sum(axis=1)
+    if prepared is None:
+        prepared = prepare_cosine_queries(
+            queries, id_col, vec_col, quantize, exclude_label_col
+        )
+    q_ids, q_mat, q_labels, q_norm = prepared
 
     def score(batches):
         for pdf in batches:
@@ -183,17 +220,22 @@ def cosine_topk_arrow(
     # small corpora into ~8MB batches (driver-side plan stats, no job);
     # a 100 TB corpus keeps its scan partitioning untouched.
     n_out = None
-    try:
-        n_part = corpus.rdd.getNumPartitions()
-        size = int(
-            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        want = max(1, min(n_part, size // (8 << 20) + 1))
-        if want < n_part:
-            corpus = corpus.coalesce(want)
-        n_out = min(want, n_part)
-    except Exception:
-        pass
+    if coalesce_to is not None:
+        if coalesce_to > 0:
+            corpus = corpus.coalesce(coalesce_to)
+            n_out = coalesce_to
+    else:
+        try:
+            n_part = corpus.rdd.getNumPartitions()
+            size = int(
+                corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            want = max(1, min(n_part, size // (8 << 20) + 1))
+            if want < n_part:
+                corpus = corpus.coalesce(want)
+            n_out = min(want, n_part)
+        except Exception:
+            pass
     scored = corpus.mapInPandas(
         score, "q_id long, cand_id long, score double"
     )
@@ -210,7 +252,7 @@ def cosine_topk_arrow(
     # collapsed to ONE partition above, the scorer's output is a single
     # partition -- which satisfies any required distribution -- so the
     # merge shuffle is skipped entirely (one fewer stage per run).
-    if len(q_rows) * k <= 100_000 and n_out != 1:
+    if len(q_ids) * k <= 100_000 and n_out != 1:
         scored = scored.repartition(1)
     return (
         scored.withColumn("rank", F.row_number().over(w))

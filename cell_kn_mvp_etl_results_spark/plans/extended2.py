@@ -61,27 +61,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_pair_index_upsert",
-    tags=("dedup", "graph", "scale"),
-    priority=TAIL,  # new in r8 -- pytest-parity now, driver row in the r9 rotation
-    oracle=f"""
-WITH {_SIMHASH_BODY},
-p AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-  FROM sim a JOIN sim b ON a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
-)
-SELECT id_a, id_b, hamming,
-       CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN 'delta-delta'
-            ELSE 'delta-base' END AS kind
-FROM p
-WHERE id_a % 10 = 0 OR id_b % 10 = 0
-ORDER BY id_a, id_b
-""",
-)
-def q_pair_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pair_index_upsert_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MAINTENANCE of the near-dup pair graph -- the IVM
     statement for the dedup layer's materialized tables: when a delta
     batch (doc_id % 10 == 0) lands, the NEW radius-1 pairs are exactly
@@ -92,11 +72,15 @@ def q_pair_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     value); the delta self-join is delta-sized. Union of the two
     candidate sets, per-pair dedup, exact hamming check -- identical by
     pigeonhole-recall to filtering the full corpus pairing down to
-    pairs touching the delta, which is what the oracle does. Appending
-    these rows to the materialized pair table (plans/materialized.
-    simhash_pairs_frame) IS the upsert; the query returns them labeled
-    (id_a, id_b, hamming, kind) so the maintenance job and its monitor
-    share one statement. Work scales with |delta| + |collisions|.
+    pairs touching the delta. This frame -- (id_a, id_b, hamming,
+    kind) -- is the operator-level API: appending it to the
+    materialized pair table (plans/materialized.simhash_pairs_frame)
+    IS the upsert, a distributed write that never visits the driver
+    (measured 6.77 s at the 30x corpus, BENCH_NOTES r8). The
+    registered GATE over it is ``q_pair_index_upsert`` below, which
+    aggregates -- collecting the raw pair frame was the r8 artifact's
+    scale dishonesty (17.59M rows / 104.8 s of driver transfer at 30x,
+    VERDICT r8 #4). Work scales with |delta| + |collisions|.
     """
     from .materialized import simhash_band_index_frame
 
@@ -144,6 +128,75 @@ def q_pair_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kind"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_pair_index_upsert",
+    tags=("dedup", "graph", "scale"),
+    priority=TAIL,  # added r8; r9 gate form is this aggregate (VERDICT r8 #4)
+    oracle=f"""
+WITH {_SIMHASH_BODY},
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+up AS (
+  SELECT id_a, id_b, hamming,
+         CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN 'delta-delta'
+              ELSE 'delta-base' END AS kind
+  FROM p
+  WHERE id_a % 10 = 0 OR id_b % 10 = 0
+)
+SELECT kind,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END)
+            AS BIGINT) AS n_delta_docs,
+       CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+       CAST(sum((id_a * 1000003 + id_b) % 1000000007) % 1000000007
+            AS BIGINT) AS pair_checksum
+FROM up
+GROUP BY kind
+ORDER BY kind
+""",
+)
+def q_pair_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-honest REGISTERED gate over the pair-graph IVM
+    (``pair_index_upsert_pairs`` above is the full-row operator API
+    that the maintenance job appends to the materialized pair table):
+    per-kind pair counts, distinct delta docs touched, hamming total,
+    and an order-insensitive modular checksum of the (id_a, id_b) pair
+    set -- at most 2 rows cross the driver regardless of corpus size,
+    while the checksum still pins the exact pair SET (any missing,
+    extra, or mislabeled pair moves it). Checksum terms are reduced
+    mod 1e9+7 BEFORE the sum, so each term < 2^30 and the running
+    bigint sum has ~2^33 pairs of headroom -- exact at every measured
+    scale and far past it (DuckDB sums into HUGEINT; the final mod is
+    taken on the exact sum on both engines).
+    """
+    up = pair_index_upsert_pairs(spark, sf_dir)
+    delta_doc = F.when(F.col("id_a") % 10 == 0, F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return (
+        up.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(delta_doc).cast("long").alias("n_delta_docs"),
+            F.sum("hamming").cast("long").alias("sum_hamming"),
+            (
+                F.sum(
+                    (F.col("id_a") * F.lit(1000003) + F.col("id_b"))
+                    % F.lit(1000000007)
+                )
+                % F.lit(1000000007)
+            )
+            .cast("long")
+            .alias("pair_checksum"),
+        )
+        .orderBy("kind")
     )
 
 
@@ -737,16 +790,16 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact counts + total (count desc, label) tie order keep the labels
     bit-identical to the unrolled-CTE oracle.
     """
-    from ..operators import graph as gr
+    from .materialized import community_labels_frame
 
-    from .materialized import simhash_pairs_frame
-
-    # r8 (VERDICT r7 #4): the radius-1 pair graph is served from the
-    # shared auto-materialized bucketed table -- its banded generation
-    # (~114 s at 30x) is paid once across ALL graph consumers.
-    # SPARK_GRAFT_MATERIALIZE=0 regenerates inline (row-identical).
-    pairs = simhash_pairs_frame(spark, sf_dir)
-    return gr.label_propagation(pairs, "id_a", "id_b", iters=2).orderBy("id")
+    # r9 (VERDICT r8 #3): the LABELS themselves are now the
+    # materialized artifact -- the 2 synchronous LPA rounds (the last
+    # per-call recompute hazard, 30.9 s steady at 30x) are paid once
+    # per corpus fingerprint; steady calls are a bucketed scan + sort.
+    # The pair graph underneath is still the shared auto-materialized
+    # table (r8). SPARK_GRAFT_MATERIALIZE=0 recomputes both inline
+    # (row-identity pinned in tests/test_materialized.py).
+    return community_labels_frame(spark, sf_dir, iters=2).orderBy("id")
 
 
 def _bpe_oracle(

@@ -46,8 +46,11 @@ _HOP_FRAMES: dict = {}
 def _khop_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
     from ..sources.readers import _fingerprint
 
+    # Session OBJECT, not applicationId: the memo carries temp-view
+    # names (session-scoped catalog state), which a newSession sibling
+    # sharing the applicationId must never be handed (ADVICE r8).
     return (
-        spark.sparkContext.applicationId,
+        spark,
         sf_dir,
         _fingerprint(f"{sf_dir}/orders.parquet"),
         _fingerprint(f"{sf_dir}/lineitem.parquet"),
@@ -381,84 +384,112 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 23%, BENCH_NOTES.md r5), and each already satisfies the join's
     # required distribution so only the frontier shuffles per hop.
     cache_key = _khop_cache_key(spark, sf_dir)
-    if cache_key in _HOP_FRAMES:
-        hops, term = _HOP_FRAMES[cache_key]
-        return (
-            k_hop_counts(
-                hops, _khop_start(spark, sf_dir), ["O", "P", "S"],
-                terminal=term, compress_frontier=False,
-            )
-            .select(
-                F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
-                "n_paths",
-                "n_terminals",
-            )
-            # |start vertices|-bounded result: a 1-partition sort gives
-            # the same total order without global-sort RANGE SAMPLING,
-            # which re-submits a sampling job per run (~0.17 s of every
-            # sf0.1 rebuild; r8). At any scale the result stays
-            # per-start-vertex, far under one task's memory.
-            .repartition(1)
-            .sortWithinPartitions("start")
-        )
-    # Persisted SORTED on the join key: InMemoryTableScan propagates the
-    # cached plan's outputPartitioning AND outputOrdering, so every
-    # traversal's sort-merge join skips re-sorting the (large) edge side
-    # -- only the frontier sorts per run. The sort is paid once at build
-    # (cache layout = join layout, extended to ordering; measured
-    # 7.47 -> 6.67 s steady at the 30x corpus).
-    rels = khop_edge_relations(spark, sf_dir)
-    hops = {
-        coll: rels[coll]
-        .repartition(F.col("src_coll"), F.col("src_key"))
-        .sortWithinPartitions("src_coll", "src_key")
-        .persist()
-        for coll in ("O", "P")
-    }
-    # The LAST hop never materializes: k_hop_counts aggregates paths
-    # under the final join (counting semiring + exact terminal bitmaps,
-    # see operators/graph.py). The per-part terminal summary is pure
-    # edge data, so it persists beside the hop relations, partitioned on
-    # the key the counting join probes -- at the 10x corpus this plan
-    # replaced a 37M-row path materialization + 20.8M-pair distinct
-    # shuffle (BENCH_NOTES.md r5).
-    term = (
-        terminal_stats(rels["S"], "S")
-        .repartition(F.col("node_coll"), F.col("node_key"))
-        .sortWithinPartitions("node_coll", "node_key")
-    ).persist()
-    # Materialize the deduped relations once: the dedup shuffles run as
-    # a single parallel job, and the hop joins then read cached
-    # partitions with exact size stats (measured ~25% faster than
-    # recomputing per hop at sf0.1; scripts/khop_experiment.py).
-    # Spark's ContextCleaner unpersists when the plan is GC'd. The
-    # count() jobs cost ~0.13s warm, so repeated builds of this query
-    # in one application (the bench's steady-state runs) skip them: the
-    # CacheManager has already plan-matched the persisted relations.
-    key = (spark.sparkContext.applicationId, sf_dir, "khop_edges")
-    if key not in _MATERIALIZED:
-        for h in hops.values():
-            h.count()
-        term.count()
-        _MATERIALIZED.add(key)
-    _HOP_FRAMES[cache_key] = (hops, term)
-    return (
-        k_hop_counts(
-            hops, _khop_start(spark, sf_dir), ["O", "P", "S"], terminal=term,
-            # (start, part) frontier multiplicity is ~1.06 in this star
-            # schema -- the pre-agg would shuffle the whole frontier to
-            # remove 6%; see k_hop_counts docstring.
-            compress_frontier=False,
-        )
-        .select(
-            F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
-            "n_paths",
-            "n_terminals",
-        )
-        # see the memo-hit path: bounded result, sampling-free sort
-        .repartition(1)
-        .sortWithinPartitions("start")
+    if cache_key not in _HOP_FRAMES:
+        # Persisted SORTED on the join key: InMemoryTableScan propagates
+        # the cached plan's outputPartitioning AND outputOrdering, so
+        # every traversal's sort-merge join skips re-sorting the (large)
+        # edge side -- only the frontier sorts per run. The sort is paid
+        # once at build (cache layout = join layout, extended to
+        # ordering; measured 7.47 -> 6.67 s steady at the 30x corpus).
+        rels = khop_edge_relations(spark, sf_dir)
+        hops = {
+            coll: rels[coll]
+            .repartition(F.col("src_coll"), F.col("src_key"))
+            .sortWithinPartitions("src_coll", "src_key")
+            .persist()
+            for coll in ("O", "P")
+        }
+        # The LAST hop never materializes: the counting plan aggregates
+        # paths under the final join (counting semiring + exact terminal
+        # bitmaps, see operators/graph.k_hop_counts). The per-part
+        # terminal summary is pure edge data, so it persists beside the
+        # hop relations, partitioned on the key the counting join probes
+        # -- at the 10x corpus this plan replaced a 37M-row path
+        # materialization + 20.8M-pair distinct shuffle (BENCH_NOTES r5).
+        term = (
+            terminal_stats(rels["S"], "S")
+            .repartition(F.col("node_coll"), F.col("node_key"))
+            .sortWithinPartitions("node_coll", "node_key")
+        ).persist()
+        # Materialize the deduped relations once: the dedup shuffles run
+        # as a single parallel job, and the hop joins then read cached
+        # partitions with exact size stats (measured ~25% faster than
+        # recomputing per hop at sf0.1; scripts/khop_experiment.py).
+        # Spark's ContextCleaner unpersists when the plan is GC'd.
+        key = (spark.sparkContext.applicationId, sf_dir, "khop_edges")
+        if key not in _MATERIALIZED:
+            for h in hops.values():
+                h.count()
+            term.count()
+            _MATERIALIZED.add(key)
+        # SQL-text serving posture (r9, VERDICT r8 #2): register the
+        # persisted frames as temp views ONCE per fingerprint; every
+        # call then constructs its plan with a single spark.sql parse
+        # instead of the ~0.2 s of py4j plan-construction chatter the
+        # DataFrame counting chain paid per rebuild-regime run (the
+        # relational.py `_view` posture extended to the traversal
+        # headliner). The temp views wrap the EXACT persisted
+        # DataFrames, so the CacheManager plan-matches them and the
+        # physical plan -- InMemoryTableScan-fed SMJs, semiring
+        # aggregation, bitmap_or -- is unchanged (pinned by
+        # tests/test_plan_quality.test_khop_counts_never_materializes_
+        # last_hop and test_khop_sql_text_plan_shape).
+        import hashlib
+
+        tag = hashlib.md5(repr(cache_key).encode()).hexdigest()[:8]
+        views = {
+            "hop_o": f"khop_hop_o_{tag}",
+            "hop_p": f"khop_hop_p_{tag}",
+            "term": f"khop_term_{tag}",
+        }
+        hops["O"].createOrReplaceTempView(views["hop_o"])
+        hops["P"].createOrReplaceTempView(views["hop_p"])
+        term.createOrReplaceTempView(views["term"])
+        _HOP_FRAMES[cache_key] = (hops, term, views)
+    _hops, _term, views = _HOP_FRAMES[cache_key]
+    from .relational import _view
+
+    cust = _view(spark, sf_dir, "customer")
+    # Bitmap partial states are ~512B objects aggregated by
+    # ObjectHashAggregate; raise its sort-based fallback so bitmap rows
+    # are never sorted (same setting k_hop_counts applies).
+    spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072"
     )
+    # Same logical plan as k_hop_counts(hops, start, ["O","P","S"],
+    # terminal=term, compress_frontier=False) + the C_ projection:
+    # start carries a literal coll so each hop join is on the
+    # (src_coll, src_key) pair the persisted layout is partitioned on.
+    # The final REPARTITION(1) + SORT BY gives the |start|-bounded
+    # result a total order without global-sort RANGE SAMPLING, which
+    # re-submits a sampling job per run (~0.17 s of every sf0.1
+    # rebuild; r8).
+    return spark.sql(f"""
+SELECT start, n_paths, n_terminals FROM (
+  SELECT /*+ REPARTITION(1) */
+         concat('C_', v0_key) AS start,
+         sum(_np) AS n_paths,
+         sum(bitmap_count(_bm)) AS n_terminals
+  FROM (
+    SELECT f.v0_key, t._bkt,
+           bitmap_or_agg(t._bm) AS _bm, sum(t._deg) AS _np
+    FROM (
+      SELECT s.v0_key, p.dst_coll AS node_coll, p.dst_key AS node_key
+      FROM (SELECT c_custkey AS v0_key, 'C' AS node_coll,
+                   c_custkey AS node_key
+            FROM {cust} WHERE c_mktsegment = 'MACHINERY') s
+      JOIN {views["hop_o"]} o
+        ON o.src_coll = s.node_coll AND o.src_key = s.node_key
+      JOIN {views["hop_p"]} p
+        ON p.src_coll = o.dst_coll AND p.src_key = o.dst_key
+    ) f
+    JOIN {views["term"]} t
+      ON t.node_coll = f.node_coll AND t.node_key = f.node_key
+    GROUP BY f.v0_key, t._bkt
+  )
+  GROUP BY v0_key
+) SORT BY start
+""")
 
 
 @query(

@@ -83,6 +83,19 @@ def ensure_table(
        it) -> read the surviving parquet directly; rows identical, only
        the bucketing metadata is lost to this session's planner;
     3. miss -> build bucketed+sorted via ``write_bucketed``.
+
+    Concurrency contract (ADVICE r8): the warehouse assumes a SINGLE
+    WRITER per table name -- the standard posture for a local
+    warehouse dir, and at lake scale the build belongs to the ingest/
+    compaction job, not ad-hoc sessions. The name is
+    fingerprint-derived, so concurrent processes over the same corpus
+    race on the SAME table; tier 3 therefore tolerates losing that
+    race: if the write fails because the other writer created the
+    table/directory first, the winner's (deterministically identical)
+    rows are re-read instead of raising. What is NOT defended: a
+    second process deleting the first's still-_SUCCESS-less in-flight
+    directory as orphaned -- distinguishing a crash from an in-flight
+    writer needs a lock service the engine does not assume.
     """
     from ..operators.scale import write_bucketed
 
@@ -97,13 +110,23 @@ def ensure_table(
         return spark.read.parquet(path)
     if fs.exists(jpath):  # partial/orphaned write: rebuild from scratch
         fs.delete(jpath, True)
-    write_bucketed(
-        build().repartition(num_buckets, bucket_col),
-        table,
-        bucket_col,
-        num_buckets=num_buckets,
-        sort_col=bucket_col,
-    )
+    try:
+        write_bucketed(
+            build().repartition(num_buckets, bucket_col),
+            table,
+            bucket_col,
+            num_buckets=num_buckets,
+            sort_col=bucket_col,
+        )
+    except Exception:
+        # Lost a concurrent-creation race: serve the winner's table
+        # (same fingerprint -> deterministically identical rows).
+        # Anything else genuinely failed -- re-raise.
+        if spark.catalog.tableExists(table):
+            return spark.table(table)
+        if fs.exists(success):
+            return spark.read.parquet(path)
+        raise
     return spark.table(table)
 
 
@@ -222,6 +245,43 @@ def simhash_band_index_frame(
         "simhash_band_index_auto", sf_dir, base_mod, bits, max_hamming
     )
     return ensure_table(spark, table, build, "val")
+
+
+def community_labels_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 2,
+    force: bool = False,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic-LPA community labels (id, label) over the SimHash
+    radius-1 near-dup pair graph -- the q_communities machinery, served
+    from a materialized bucketed table by default (VERDICT r8 #3: the
+    2 synchronous LPA rounds were the last per-call recompute hazard,
+    30.9 s steady at 30x). Community assignment, like components and
+    entity resolution, is computed once per corpus snapshot in
+    production; every consumer (q_communities, q_modularity's label
+    side, exemplar serving) reads the persisted assignment. Fingerprint
+    covers documents.parquet + iters, so a regenerated corpus or a
+    different round count can never serve stale labels.
+
+    ``pairs`` lets an inline-mode caller that already holds (and
+    persisted) the radius-1 pair frame share it with the LPA build
+    instead of regenerating it; it MUST be row-identical to
+    ``simhash_pairs_frame``'s output (q_modularity passes exactly
+    that), so the fingerprinted name stays truthful.
+    """
+
+    def build() -> DataFrame:
+        from ..operators import graph as gr
+
+        p = pairs if pairs is not None else simhash_pairs_frame(spark, sf_dir)
+        return gr.label_propagation(p, "id_a", "id_b", iters=iters)
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("lpa_labels_auto", sf_dir, iters)
+    return ensure_table(spark, table, build, "id")
 
 
 def entity_components_frame(

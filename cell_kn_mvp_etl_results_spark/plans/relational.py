@@ -84,8 +84,10 @@ def _broadcast_map_ok(sf_dir: str, table: str, selectivity: float) -> bool:
 # SQL-string builders (r8). The scan/join-agg headliners are expressed
 # as Spark SQL text over fingerprint-registered temp views instead of
 # DataFrame call chains: the logical plan is IDENTICAL (Catalyst parses
-# to the same operators; value-hash equality vs the old builders is
-# pinned in tests/test_plan_gates.py), but plan CONSTRUCTION is one
+# to the same operators; correctness of the rewrite is guarded by the
+# DuckDB oracle-parity gates over every query, and the two gate
+# BRANCHES of each SQL form agree row-for-row per
+# tests/test_plan_gates.py), but plan CONSTRUCTION is one
 # py4j call instead of 100-250 -- profiled at 0.15-0.28 s of every
 # rebuild-regime run per query, pure driver-side Python-API chatter
 # that no engine's own SQL front end pays. This is also the symmetric
@@ -109,7 +111,13 @@ def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
     from ..sources.readers import _fingerprint
 
     fp = _fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
-    key = (spark.sparkContext.applicationId, sf_dir, table, fp)
+    # Keyed on the SparkSession OBJECT, not applicationId: temp views
+    # are session-scoped while applicationId is shared across
+    # spark.newSession() siblings -- an id-keyed cache would hand a
+    # sibling a view name its catalog never registered (ADVICE r8).
+    # Holding the session in the key is intentional: the cached view
+    # is only valid while that exact session lives.
+    key = (spark, sf_dir, table, fp)
     name = _SQL_VIEWS.get(key)
     if name is None:
         tag = hashlib.md5(repr((sf_dir, fp)).encode()).hexdigest()[:8]

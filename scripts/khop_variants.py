@@ -32,7 +32,7 @@ spark.range(1_000_000).selectExpr("sum(id)").collect()
 spec = REGISTRY["q_khop_paths"]
 spec.builder(spark, sf_dir).collect()  # build caches
 
-hops, term = gq._HOP_FRAMES[list(gq._HOP_FRAMES)[0]]
+hops, term, _views = gq._HOP_FRAMES[list(gq._HOP_FRAMES)[0]]
 
 
 def counts():

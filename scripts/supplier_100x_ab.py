@@ -155,6 +155,78 @@ def shape_omap_shj():
     return finish(joined)
 
 
+# r9 (VERDICT r8 #5): aggregate-below-join -- collapse the fact-fact
+# join's output to (suppkey, cust_nation, n_name) partial sums BEFORE
+# the supplier join, so the broadcast probe + final agg run over
+# |S|x|nations| rows instead of |li| rows.
+def shape_agg_below_join():
+    c, o, li, s, n, r = tables()
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    omap = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("c_nationkey").alias("cust_nation"),
+            "n_name",
+        )
+    )
+    disc_bp = F.lit(100) - cents("l_discount")
+    pre = (
+        li.join(omap, li.l_orderkey == omap.o_orderkey)
+        .groupBy("l_suppkey", "cust_nation", "n_name")
+        .agg(
+            F.sum(cents("l_extendedprice") * disc_bp).alias("amt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        pre.join(
+            F.broadcast(s),
+            (pre.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("cust_nation")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum("amt") / F.lit(10000.0)).alias("revenue"),
+            F.sum("n").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# r9 (VERDICT r8 #5): semi-join-reduced fact scan -- broadcast the
+# reduced map's (unique) orderkeys into a left-semi BHJ over lineitem
+# first, so the SMJ's exchange+sort runs over only qualifying fact
+# rows (~34% after the date+region filters).
+def shape_semi_reduced():
+    c, o, li, s, n, r = tables()
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    omap = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("c_nationkey").alias("cust_nation"),
+            "n_name",
+        )
+    )
+    okeys = omap.select(F.col("o_orderkey").alias("ok"))
+    li_red = li.join(
+        F.broadcast(okeys), li.l_orderkey == F.col("ok"), "left_semi"
+    )
+    joined = li_red.join(omap, li_red.l_orderkey == omap.o_orderkey).join(
+        F.broadcast(s),
+        (li_red.l_suppkey == s.s_suppkey)
+        & (s.s_nationkey == F.col("cust_nation")),
+    )
+    return finish(joined)
+
+
 a = med(shape_current, "current li-join-o       ")
 b = med(shape_omap, "pre-reduced omap        ")
 c_ = med(
@@ -166,5 +238,7 @@ c_ = med(
     },
 )
 d_ = med(shape_omap_shj, "omap SHJ hint           ")
-print("identical:", a == b == c_ == d_)
+e_ = med(shape_agg_below_join, "agg-below-supplier-join ")
+f_ = med(shape_semi_reduced, "semi-reduced fact scan  ")
+print("identical:", a == b == c_ == d_ == e_ == f_)
 spark.stop()

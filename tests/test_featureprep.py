@@ -199,11 +199,17 @@ def test_leakage_split_bucketed_is_row_identical(spark, sf_dir):
 
     # Force the safe form down its ORIGINAL in-query path (since r8 its
     # default also reads the materialized table) so this pin still
-    # compares the two distinct computations.
+    # compares the two distinct computations. Save/restore any value
+    # the caller had exported (ADVICE r8: an unconditional pop
+    # clobbered it).
+    prior = os.environ.get("SPARK_GRAFT_MATERIALIZE")
     os.environ["SPARK_GRAFT_MATERIALIZE"] = "0"
     try:
         a = sorted(map(tuple, q_split_leakage_safe(spark, sf_dir).collect()))
     finally:
-        os.environ.pop("SPARK_GRAFT_MATERIALIZE", None)
+        if prior is None:
+            os.environ.pop("SPARK_GRAFT_MATERIALIZE", None)
+        else:
+            os.environ["SPARK_GRAFT_MATERIALIZE"] = prior
     b = sorted(map(tuple, q_split_leakage_bucketed(spark, sf_dir).collect()))
     assert a == b

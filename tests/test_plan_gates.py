@@ -134,3 +134,97 @@ def test_decayed_rollup_clamps_shift_out_of_range(spark, tmp_path):
     # user 1: 9000 cents aged 100 days -> fully decayed to 0; 250 at age 0
     # user 2: 400 cents post-anchor -> age 0; 8000 >> 3 = 1000
     assert got == [(1, 250), (2, 1400)]
+
+
+# ---------------------------------------------------------------------------
+# SQL-text headliner builders vs their DataFrame-operator twins (r9).
+# The r8/r9 rewrites express the headliners' plans as one spark.sql
+# parse over fingerprint-registered views; these pins keep the SQL text
+# row-identical to the DataFrame operators it replaced (the operators
+# remain the package API and stay covered by their own unit tests).
+# ---------------------------------------------------------------------------
+
+
+def test_sql_text_minhash_matches_dataframe_operator(spark, sf_dir):
+    from cell_kn_mvp_etl_results_spark.operators import dedup as dd
+    from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    df_form = sorted(
+        map(
+            tuple,
+            dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=32, bands=8)
+            .select("id_a", "id_b", "est_jaccard")
+            .collect(),
+        )
+    )
+    sql_form = sorted(
+        map(tuple, REGISTRY["q_dedup_minhash_lsh"].builder(spark, sf_dir).collect())
+    )
+    assert df_form == sql_form
+    assert len(sql_form) > 0
+
+
+def test_sql_text_khop_matches_dataframe_operator(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators.graph import (
+        k_hop_counts,
+        terminal_stats,
+    )
+    from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+    from cell_kn_mvp_etl_results_spark.plans.graph_queries import (
+        _khop_start,
+        khop_edge_relations,
+    )
+
+    rels = khop_edge_relations(spark, sf_dir)
+    term = terminal_stats(rels["S"], "S")
+    df_form = sorted(
+        map(
+            tuple,
+            k_hop_counts(
+                {c: rels[c] for c in ("O", "P")},
+                _khop_start(spark, sf_dir),
+                ["O", "P", "S"],
+                terminal=term,
+                compress_frontier=False,
+            )
+            .select(
+                F.concat(F.lit("C_"), F.col("v0_key")).alias("start"),
+                "n_paths",
+                "n_terminals",
+            )
+            .collect(),
+        )
+    )
+    sql_form = sorted(
+        map(tuple, REGISTRY["q_khop_paths"].builder(spark, sf_dir).collect())
+    )
+    assert df_form == sql_form
+    assert len(sql_form) > 0
+
+
+def test_cosine_prepared_matches_self_contained_operator(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators import similarity as sim
+    from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    op_form = sorted(
+        map(
+            tuple,
+            sim.cosine_topk_arrow(
+                e, q, "vec_id", "embedding", k=5, quantize=4
+            ).collect(),
+        )
+    )
+    prepared_form = sorted(
+        map(tuple, REGISTRY["q_cosine_topk"].builder(spark, sf_dir).collect())
+    )
+    assert op_form == prepared_form
+    assert len(prepared_form) > 0

@@ -461,17 +461,21 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-executor copy of orders no longer fits): the SAME derived
       map is built -- orders joined map-side to the broadcast dims,
       narrowing to 3 columns x ~40% of rows BEFORE any fact shuffle --
-      but shuffled into the lineitem equi-join instead of broadcast
-      (the key both sides can be bucketed by at scale); the tiny final
-      agg is the only other exchange. Measured at the 100x corpus
-      (rebuild-per-run medians, scripts/supplier_100x_ab.py): 10.3-13.3 s
-      for the old li-JOIN-raw-orders shape -> 5.6-8.0 s pre-reduced --
-      the r6 verdict's above-gate regression halved. At lake scale the
-      optimizer's runtime Bloom filter additionally injects a
-      lineitem-side semi-join reduction from this filtered map for free
-      (its default thresholds need application-side scans >10 GB;
-      locally it measured +-20%, within run variance, so the query does
-      not override them).
+      shuffled into the lineitem equi-join (the key both sides can be
+      bucketed by at scale), and the join output is AGGREGATED BELOW
+      the supplier join (r9, VERDICT r8 #5): partial sums per
+      (l_suppkey, cust_nation, n_name) collapse the fact-sized stream
+      to |S| x |nations| rows before the broadcast supplier probe and
+      the final 6-row agg. A/B at the 100x corpus (interleaved
+      medians, scripts/supplier_combo_ab.py): omap-SMJ 6.1-8.3 s ->
+      agg-below 4.5-5.9 s, consistent across rounds. Losers recorded:
+      runtime-Bloom injection 12.7 s (filter build cost exceeds the
+      34%-selectivity savings); broadcast-okeys semi-reduction 9.2 s
+      (same reason, paid as a BHJ); a shuffle_hash hint on the fact
+      join measured 6.0-6.3 s this session but 15.4 s in the r7
+      session under load -- SMJ is kept: its spill path is robust at
+      lake scale and bucketing removes the exchange+sort entirely,
+      while SHJ's build side must fit one task's memory.
     """
     # SQL-string form (r8): same two size-gated plan shapes, one parse.
     cust = _view(spark, sf_dir, "customer")
@@ -496,21 +500,11 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name IN ('ASIA', 'EUROPE')) n2
     ON c.c_nationkey = n2.n_nationkey
   WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"""
-    # Above the gate: the same map, shuffled into a sort-merge join. A
-    # shuffle-hash hint on the map side was A/B-tested at the 100x
-    # corpus twice (r6 with raw filtered orders: 8.9-9.5 s vs SMJ's
-    # 6.5-7.1; r7 with this reduced map: 15.4 s vs 8.0) and LOST both
-    # times -- the hash probe's random access beats the merge's
-    # sequential scans only on much smaller builds. At lake scale both
-    # sides bucket on orderkey instead (operators/scale.write_bucketed)
-    # and the exchange+sort disappear entirely.
-    hint = (
-        "/*+ BROADCAST(omap), BROADCAST(s) */"
-        if _broadcast_map_ok(sf_dir, "orders", _SEL_ORDERS_SINCE_1996)
-        else "/*+ BROADCAST(s) */"
-    )
-    return spark.sql(f"""
-SELECT {hint} omap.n_name AS nation,
+    if _broadcast_map_ok(sf_dir, "orders", _SEL_ORDERS_SINCE_1996):
+        # Below the gate: broadcast map, zero fact shuffle, one 6-row
+        # agg exchange. A pre-agg would only ADD an exchange here.
+        return spark.sql(f"""
+SELECT /*+ BROADCAST(omap), BROADCAST(s) */ omap.n_name AS nation,
        SUM({amount}) / CAST(10000.0 AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM {li} l
@@ -519,6 +513,27 @@ JOIN ({omap}
 JOIN {supp} s
   ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = omap.cust_nation
 GROUP BY omap.n_name
+ORDER BY revenue DESC, nation
+""")
+    # Above the gate: aggregate below the supplier join (see docstring
+    # A/B). Integer partial sums regrouped by nation -- associative,
+    # so revenue is bit-identical to the single-agg form (both gate
+    # branches row-compared in tests/test_plan_gates.py).
+    return spark.sql(f"""
+SELECT /*+ BROADCAST(s) */ pre.n_name AS nation,
+       SUM(pre.amt) / CAST(10000.0 AS DOUBLE) AS revenue,
+       SUM(pre.n) AS n_items
+FROM (
+  SELECT l.l_suppkey, omap.cust_nation, omap.n_name,
+         SUM({amount}) AS amt, COUNT(*) AS n
+  FROM {li} l
+  JOIN ({omap}
+  ) omap ON l.l_orderkey = omap.o_orderkey
+  GROUP BY l.l_suppkey, omap.cust_nation, omap.n_name
+) pre
+JOIN {supp} s
+  ON pre.l_suppkey = s.s_suppkey AND s.s_nationkey = pre.cust_nation
+GROUP BY pre.n_name
 ORDER BY revenue DESC, nation
 """)
 

@@ -651,7 +651,30 @@ def minhash_bucket_index(
     return lsh_band_buckets(sigs, num_perm, bands, carry=("sig",))
 
 
-def incremental_minhash_probe(
+def upsert_minhash_index(
+    base_index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The index-maintenance half of the incremental dedup cycle: the
+    landing delta's own (id, band, bucket, sig) rows unioned into the
+    base index, so the NEXT delta's probe sees this one's documents.
+    In the lake posture this is a bucketed APPEND to the persisted
+    index table (partition-aligned on the bucket key: only the delta's
+    rows are written -- measured as the write posture in BENCH_NOTES
+    r8); the returned frame is the logical view of that table after
+    the append, which the two-batch composition test pins against a
+    from-scratch pairing (tests/test_llm_ops.py)."""
+    return base_index.unionByName(
+        minhash_bucket_index(delta, id_col, text_col, num_perm, bands, shingle_n)
+    )
+
+
+def incremental_minhash_pairs(
     base_index: DataFrame,
     delta: DataFrame,
     id_col: str,
@@ -661,22 +684,15 @@ def incremental_minhash_probe(
     shingle_n: int = 3,
     min_est: float = 0.25,
 ) -> DataFrame:
-    """Incremental near-dup dedup: probe a DELTA batch against the
-    persisted ``minhash_bucket_index`` of the base corpus and return,
-    per delta document with a qualifying match, its best base match:
-    (delta_id, base_id, est_jaccard), est >= ``min_est``, top-1 by
-    (est desc, base_id).
-
-    This is THE dedup posture at lake scale: when a day's delta lands,
-    the base corpus is NOT re-paired -- delta signatures are computed
-    map-side (zero shuffle), the probe joins the delta's band buckets
-    against the index on (band, bucket), and only collision rows flow
-    into the per-pair estimate + W1 top-1 window. Work scales with
-    |delta| + |collisions|, never |base|; the index scan prunes to the
-    probed buckets under a co-located layout (the materialized table
-    is bucketed on the join key). The same probe then serves
-    within-delta dedup by unioning the delta's own index rows into the
-    base side -- omitted here to keep the gated shape one-directional.
+    """All qualifying (delta_id, base_id, est_jaccard) collision pairs
+    of a delta batch against the persisted base index -- the pair-level
+    incremental probe (``incremental_minhash_probe`` adds the W1 top-1
+    per delta doc on top). This is the frame the two-batch e2e
+    composition is stated over: probe(delta1, idx0) UNION
+    probe(delta2, upsert(idx0, delta1)) equals the from-scratch pair
+    set restricted to (later-batch doc, earlier-batch doc) -- LSH
+    collisions depend only on per-document band buckets, so batch
+    composition is exact, not approximate.
     """
     d_sigs = minhash_signatures_wide(delta, id_col, text_col, num_perm, shingle_n)
     d_buckets = lsh_band_buckets(d_sigs, num_perm, bands, carry=("sig",)).select(
@@ -706,15 +722,48 @@ def incremental_minhash_probe(
         (matches / F.lit(float(num_perm))).alias("est_jaccard"),
     )
     # est_jaccard is band-invariant per pair: max() is a pure dedup.
-    pairs = collided.groupBy("delta_id", "base_id").agg(
-        F.max("est_jaccard").alias("est_jaccard")
+    return (
+        collided.groupBy("delta_id", "base_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est)
+    )
+
+
+def incremental_minhash_probe(
+    base_index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_est: float = 0.25,
+) -> DataFrame:
+    """Incremental near-dup dedup: probe a DELTA batch against the
+    persisted ``minhash_bucket_index`` of the base corpus and return,
+    per delta document with a qualifying match, its best base match:
+    (delta_id, base_id, est_jaccard), est >= ``min_est``, top-1 by
+    (est desc, base_id).
+
+    This is THE dedup posture at lake scale: when a day's delta lands,
+    the base corpus is NOT re-paired -- delta signatures are computed
+    map-side (zero shuffle), the probe joins the delta's band buckets
+    against the index on (band, bucket), and only collision rows flow
+    into the per-pair estimate + W1 top-1 window. Work scales with
+    |delta| + |collisions|, never |base|; the index scan prunes to the
+    probed buckets under a co-located layout (the materialized table
+    is bucketed on the join key). The same probe then serves
+    within-delta dedup by unioning the delta's own index rows into the
+    base side -- omitted here to keep the gated shape one-directional.
+    """
+    pairs = incremental_minhash_pairs(
+        base_index, delta, id_col, text_col, num_perm, bands, shingle_n, min_est
     )
     w = Window.partitionBy("delta_id").orderBy(
         F.desc("est_jaccard"), "base_id"
     )
     return (
-        pairs.filter(F.col("est_jaccard") >= min_est)
-        .withColumn("rk", F.row_number().over(w))
+        pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("delta_id", "base_id", "est_jaccard")
     )

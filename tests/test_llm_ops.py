@@ -1008,3 +1008,58 @@ def test_doc_stitch_posting_cap_drops_boilerplate(spark):
     assert capped == []
     uncapped = dd.doc_stitch_pairs(d, "doc_id", "text", n=3, max_posting=None).collect()
     assert {(r.id_a, r.id_b) for r in uncapped} == {(100, i) for i in range(5)}
+
+
+def test_incremental_dedup_two_batch_cycle_composes_exactly(spark, sf_dir):
+    """The compaction-cycle contract the lake posture claims (VERDICT
+    r8 #6): two delta batches chained through the upserted index --
+    delta2 probes upsert(idx0, delta1), so it MUST see delta1's docs --
+    compose to exactly the from-scratch pair set restricted to
+    (later-batch doc, earlier-batch doc). LSH collisions depend only on
+    per-document band buckets, so the equality is exact, not
+    approximate."""
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    delta1 = d.filter(F.col("doc_id") % 10 == 0)
+    delta2 = d.filter(F.col("doc_id") % 10 == 5)
+
+    idx0 = dd.minhash_bucket_index(base, "doc_id", "text")
+    p1 = dd.incremental_minhash_pairs(idx0, delta1, "doc_id", "text")
+    idx1 = dd.upsert_minhash_index(idx0, delta1, "doc_id", "text")
+    p2 = dd.incremental_minhash_pairs(idx1, delta2, "doc_id", "text")
+    composed = {
+        (r.delta_id, r.base_id, r.est_jaccard)
+        for r in p1.unionByName(p2).collect()
+    }
+
+    # From-scratch: band the WHOLE corpus at once (uncapped, like the
+    # probes), keep pairs where one side is a delta doc and the other
+    # landed in an earlier-or-base batch, oriented (later, earlier).
+    full = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=32, bands=8, max_bucket=None
+    ).filter(F.col("est_jaccard") >= 0.25)
+
+    def batch(i):
+        return 1 if i % 10 == 0 else (2 if i % 10 == 5 else 0)
+
+    scratch = set()
+    for r in full.collect():
+        ba, bb = batch(r.id_a), batch(r.id_b)
+        if ba == bb:
+            continue  # within-batch pairs are out of the probes' scope
+        later, earlier = (
+            (r.id_a, r.id_b) if ba > bb else (r.id_b, r.id_a)
+        )
+        # delta1 probes only the base index; a (delta2, delta1) or
+        # (delta2, base) pair probes idx1 -- all cross-batch pairs
+        # where the later side is a delta are in scope.
+        scratch.add((later, earlier, r.est_jaccard))
+
+    assert composed == scratch
+    assert len(composed) > 0
+    # delta2 genuinely saw delta1's docs through the upsert:
+    assert any(e % 10 == 0 for (_l, e, _j) in composed)

@@ -80,6 +80,7 @@ def bpe_train_merges(
     n_merges: int = 8,
     max_word_syms: int = 64,
     batch: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from a document corpus.
 
@@ -106,8 +107,12 @@ def bpe_train_merges(
     BENCH_NOTES r7).  Equality is pinned by construction-independent
     tests (tests/test_bpe.py) and the unrolled-CTE oracle gates the
     sequential semantics itself.
+
+    ``stats``, when a dict is passed, is filled with
+    {"rounds": <recount rounds run>} so callers can observe the
+    batching's driver-sync savings (BENCH_NOTES rounds-vs-merges rows).
     """
-    merges, _vocab = _train(df, text_col, n_merges, max_word_syms, batch)
+    merges, _vocab = _train(df, text_col, n_merges, max_word_syms, batch, stats)
     return df.sparkSession.createDataFrame(
         merges,
         "step long, left string, right string, merged string, pair_count long",
@@ -120,6 +125,7 @@ def _train(
     n_merges: int,
     max_word_syms: int,
     batch: int = 1,
+    stats: dict | None = None,
 ) -> tuple[list[tuple], DataFrame]:
     """Run the merge-learning loop; returns (merge rows, final vocab
     DataFrame with (word, seq, freq) -- the trained segmentation of
@@ -199,6 +205,8 @@ def _train(
         if rounds % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=False)
         superseded, vocab = vocab, nxt.persist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges, vocab
 
 

@@ -941,6 +941,43 @@ def simhash_bands(
     ).select("id", hash_col, "bb.band", "bb.val")
 
 
+def first_band_collision(
+    bands: int, bits: int, band_col, xor_col
+) -> "F.Column":
+    """Predicate: this row's ``band_col`` is the FIRST band on which the
+    two hashes (whose XOR is ``xor_col``) agree. A candidate pair that
+    collides on several bands is emitted by the band join once per
+    colliding band; keeping only the first-collision row dedups the
+    candidate set MAP-SIDE -- replacing the ``distinct()`` that
+    otherwise shuffles every candidate pair (17.6M rows / most of 18 s
+    in q_pair_index_upsert's 30x steady before this, r9). Band j
+    collides iff the XOR's band-j bit slice is zero, a pure projection
+    of data already in the row, so the filter adds no shuffle and no
+    join. Exactness: emitted rows partition the candidate pair set by
+    first colliding band, so each qualifying pair survives exactly
+    once -- the same set distinct() produced.
+    """
+    base, rem = divmod(bits, bands)
+    slices, start = [], 0
+    for i in range(bands):
+        width = base + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        slices.append(
+            F.shiftright(xor_col, start).bitwiseAND(F.lit(mask)) != 0
+        )
+        start += width
+    # band k is first iff every slice j < k is nonzero (no earlier band
+    # collided): conds[k] = AND of slices[0..k-1], True for k=0.
+    conds, acc = [], None
+    for k in range(bands):
+        conds.append(acc if acc is not None else F.lit(True))
+        acc = slices[k] if acc is None else (acc & slices[k])
+    expr = F.lit(False)
+    for k in reversed(range(bands)):
+        expr = F.when(band_col == k, conds[k]).otherwise(expr)
+    return expr
+
+
 def simhash_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -994,14 +1031,22 @@ def simhash_pairs(
     bbj = bb.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "val"
     )
+    cand = ba.join(bbj, ["band", "val"]).filter(F.col("id_a") < F.col("id_b"))
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    if max_bucket is None:
+        # a pair can agree on several bands: keep only its FIRST
+        # colliding band -- a map-side projection filter, replacing a
+        # full candidate-set distinct() shuffle (first_band_collision).
+        cand = cand.filter(
+            first_band_collision(max_hamming + 1, bits, F.col("band"), xor)
+        ).select("id_a", "id_b", "sh_a", "sh_b")
+    else:
+        # with degenerate buckets dropped per (band, val), a pair's
+        # earlier colliding band may have been removed, so "first
+        # collision" is not statically decidable: dedup by shuffle.
+        cand = cand.select("id_a", "id_b", "sh_a", "sh_b").distinct()
     return (
-        ba.join(bbj, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can agree on several bands: dedup BEFORE the hamming
-        # compute so each candidate is checked once
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

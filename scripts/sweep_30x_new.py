@@ -42,8 +42,16 @@ DEFAULT_NAMES = [
     "q_zscore_by_source",
 ]
 # Oracles skipped at 30x: quadratic in corpus size (all-pairs joins the
-# Spark plan avoids by construction).
-ORACLE_SKIP = {"q_degree_hist": "all-pairs simhash join, O(n^2) at 150k docs"}
+# Spark plan avoids by construction). The r9 session measured the
+# q_communities oracle climbing past 500 CPU-minutes / 27 GB RSS at the
+# 30x corpus before being killed -- every oracle built on the all-pairs
+# `sim a JOIN sim b ON a.id < b.id` body shares that shape.
+ORACLE_SKIP = {
+    "q_degree_hist": "all-pairs simhash join, O(n^2) at 150k docs",
+    "q_communities": "all-pairs simhash join feeding LPA, O(n^2) at 186k docs",
+    "q_modularity": "all-pairs simhash join feeding modularity, O(n^2)",
+    "q_pair_index_upsert": "all-pairs simhash join in the oracle, O(n^2)",
+}
 # Results too large to ship through Python collect: noop-write instead.
 BIG_OUTPUT = {"q_truncate_budget", "q_zscore_by_source", "q_ingest_quota"}
 

@@ -1063,3 +1063,20 @@ def test_incremental_dedup_two_batch_cycle_composes_exactly(spark, sf_dir):
     assert len(composed) > 0
     # delta2 genuinely saw delta1's docs through the upsert:
     assert any(e % 10 == 0 for (_l, e, _j) in composed)
+
+
+def test_first_band_collision_dedups_exactly_once(spark):
+    # r9: the map-side first-colliding-band filter replaces the
+    # candidate distinct(). Identical hashes collide on EVERY band --
+    # each pair must still be emitted exactly once (via band 0), and
+    # the banded result must stay duplicate-free and equal to the
+    # explicit-dedup branch (max_bucket forces the distinct path).
+    rows = [(i, 0) for i in range(8)] + [(100 + i, (1 << 20) + i % 2) for i in range(4)]
+    hashes = spark.createDataFrame(rows, "id long, simhash long")
+    got = [(r.id_a, r.id_b, r.hamming) for r in dd.simhash_pairs(hashes, max_hamming=2).collect()]
+    assert len(got) == len(set(got))  # no duplicate pair rows
+    via_distinct = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.simhash_pairs(hashes, max_hamming=2, max_bucket=10**9).collect()
+    }
+    assert set(got) == via_distinct

@@ -8,15 +8,27 @@ that the shuffles MUST spill, and records that the builds complete
 behavior a 1000-executor job relies on when a skewed partition
 outgrows its executor.
 
-Protocol: driver/executor heap capped (default 3g for a corpus whose
-uncapped 30x builds already use more), spark.memory.fraction=0.2 (so
-unified execution+storage memory is ~20% of heap, split across 32
-threads), UI enabled so stage-level memoryBytesSpilled /
-diskBytesSpilled aggregate over the REST API. A fresh warehouse dir
-per run forces tier-3 builds (no catalog/disk reuse).
+Protocol: driver/executor heap capped (default 4g for a corpus whose
+uncapped builds use far more), spark.memory.fraction=0.3 (unified
+execution+storage memory ~1.2 GiB split across the task slots), UI
+enabled so stage-level memoryBytesSpilled / diskBytesSpilled aggregate
+over the REST API. A fresh warehouse dir per run forces tier-3 builds
+(no catalog/disk reuse).
 
-Run: python scripts/spill_100x_builds.py [sf_dir] [heap]
-Defaults: /root/repo/scale_data100/sf1 3g.
+Run: python scripts/spill_100x_builds.py [sf_dir] [heap] [cpus] [build ...]
+Defaults: /root/repo/scale_data100/sf1 4g 8 <all three builds>.
+Naming builds runs just those -- one process per build isolates a
+failing build's JVM from the others' results and lets each build get
+its own cap (the components CC fixpoint needs more headroom than the
+band joins).
+
+The cpus knob matters: the constraint models ONE executor of a large
+cluster, and a real executor runs ~4-8 task slots against this much
+heap. 32 slots on a 3g heap (the first attempt) is ~90 MB/slot -- the
+JVM dies in GCLocker retries before the spill machinery can engage
+(observed SIGSEGV under allocation pressure), which demonstrates
+mis-sizing, not spill behavior. 8 slots on 4g (0.5 g/slot, memory
+fraction 0.3) is the realistic constrained-executor shape.
 """
 
 from __future__ import annotations
@@ -31,8 +43,10 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_data100/sf1"
-heap = sys.argv[2] if len(sys.argv) > 2 else "3g"
+heap = sys.argv[2] if len(sys.argv) > 2 else "4g"
+cpus = sys.argv[3] if len(sys.argv) > 3 else "8"
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap
+os.environ["SPARK_GRAFT_CPUS"] = cpus
 os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "")  # no table caching:
 # storage memory would compete with execution under the cap.
 
@@ -48,7 +62,7 @@ spark = get_spark(
     extra_conf={
         "spark.sql.warehouse.dir": WH,
         "spark.ui.enabled": "true",
-        "spark.memory.fraction": "0.2",
+        "spark.memory.fraction": "0.3",
         # Keep the constrained run honest: no in-memory relation cache.
         "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
     },
@@ -73,7 +87,7 @@ def stage_totals() -> dict:
     }
 
 
-BUILDS = [
+ALL_BUILDS = [
     (
         "simhash_pair_graph",
         lambda: mz.simhash_pairs_frame(spark, sf_dir, force=True),
@@ -87,6 +101,8 @@ BUILDS = [
         lambda: mz.minhash_index_frame(spark, sf_dir, force=True),
     ),
 ]
+wanted = set(sys.argv[4:])
+BUILDS = [b for b in ALL_BUILDS if not wanted or b[0] in wanted]
 
 rows = []
 for name, fn in BUILDS:
@@ -110,7 +126,8 @@ print(
     json.dumps(
         {
             "heap": heap,
-            "memory_fraction": 0.2,
+            "memory_fraction": 0.3,
+            "cpus": cpus,
             "sf_dir": sf_dir,
             "builds": [
                 {

@@ -518,22 +518,41 @@ ORDER BY revenue DESC, nation
     # Above the gate: aggregate below the supplier join (see docstring
     # A/B). Integer partial sums regrouped by nation -- associative,
     # so revenue is bit-identical to the single-agg form (both gate
-    # branches row-compared in tests/test_plan_gates.py).
+    # branches row-compared in tests/test_plan_gates.py). The shuffled
+    # order map carries ONLY (o_orderkey, cust_nation) -- n_name rides
+    # the 100x omap exchange as ~2x the bytes for information that is
+    # 1:1 with cust_nation, so the name lookup joins the 6-row
+    # aggregate at the very end instead (stage profile: the omap
+    # exchange is the dominant cost, 1.09 GB at 100x with the name vs
+    # the fact scan's ~MB pruned input; interleaved A/B at 100x:
+    # 6.66/5.73 s named -> 5.79/5.28 s slim, rows identical).
     return spark.sql(f"""
-SELECT /*+ BROADCAST(s) */ pre.n_name AS nation,
-       SUM(pre.amt) / CAST(10000.0 AS DOUBLE) AS revenue,
-       SUM(pre.n) AS n_items
+SELECT /*+ BROADCAST(nn) */ nn.n_name AS nation, agg.revenue, agg.n_items
 FROM (
-  SELECT l.l_suppkey, omap.cust_nation, omap.n_name,
-         SUM({amount}) AS amt, COUNT(*) AS n
-  FROM {li} l
-  JOIN ({omap}
-  ) omap ON l.l_orderkey = omap.o_orderkey
-  GROUP BY l.l_suppkey, omap.cust_nation, omap.n_name
-) pre
-JOIN {supp} s
-  ON pre.l_suppkey = s.s_suppkey AND s.s_nationkey = pre.cust_nation
-GROUP BY pre.n_name
+  SELECT /*+ BROADCAST(s) */ pre.cust_nation,
+         SUM(pre.amt) / CAST(10000.0 AS DOUBLE) AS revenue,
+         SUM(pre.n) AS n_items
+  FROM (
+    SELECT l.l_suppkey, omap.cust_nation, SUM({amount}) AS amt, COUNT(*) AS n
+    FROM {li} l
+    JOIN (
+      SELECT /*+ BROADCAST(c), BROADCAST(n2) */
+             o.o_orderkey, c.c_nationkey AS cust_nation
+      FROM {orders} o
+      JOIN {cust} c ON o.o_custkey = c.c_custkey
+      JOIN (SELECT /*+ BROADCAST(r) */ n.n_nationkey
+            FROM {nat} n JOIN {reg} r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('ASIA', 'EUROPE')) n2
+        ON c.c_nationkey = n2.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    ) omap ON l.l_orderkey = omap.o_orderkey
+    GROUP BY l.l_suppkey, omap.cust_nation
+  ) pre
+  JOIN {supp} s
+    ON pre.l_suppkey = s.s_suppkey AND s.s_nationkey = pre.cust_nation
+  GROUP BY pre.cust_nation
+) agg
+JOIN {nat} nn ON nn.n_nationkey = agg.cust_nation
 ORDER BY revenue DESC, nation
 """)
 

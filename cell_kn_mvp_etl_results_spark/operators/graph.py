@@ -1031,6 +1031,7 @@ def modularity(
     labels: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Newman modularity of a vertex partition over an undirected
     simple graph, as ONE summary row -- the standard quality score for
@@ -1071,27 +1072,43 @@ def modularity(
     re-running the detector.
     """
     a, b = F.col(a_col), F.col(b_col)
-    e = (
-        edges.select(
-            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
-    ).persist()
+    if assume_canonical:
+        # Caller guarantees (a < b, deduplicated, no self loops) -- the
+        # contract every pair-graph producer in this package already
+        # meets (simhash_pairs/jaccard_pairs emit id_a < id_b distinct,
+        # and the materialized tables persist exactly those rows).
+        # Skipping the defensive canonicalization removes a full
+        # edge-set exchange per call: at the 30x graph (89.6M pairs)
+        # the dropDuplicates shuffle was ~3 s of every q_modularity
+        # evaluation of an already-canonical table (BENCH_NOTES r9).
+        e = edges.select(a.alias("u"), b.alias("v")).persist()
+    else:
+        e = (
+            edges.select(
+                F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        ).persist()
     e.count()  # fill the cache once, before the three consumers race
     lab = labels.select(F.col("id"), F.col("label")).persist()
     lab.count()
+    # One explode pass over the cached edge list instead of a two-scan
+    # union (same doubled rows, half the cache scans).
     deg = (
-        e.select(F.col("u").alias("id"))
-        .unionAll(e.select(F.col("v").alias("id")))
+        e.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Persisted: consumed by both the per-community frame and the
+    # handshake-identity m below; |labels| rows. The m broadcast build
+    # runs first (driver blocks on it), filling this cache before the
+    # main job's join reads it -- no lazy-cache race.
     d_c = (
         deg.join(lab, "id")
         .groupBy("label")
         .agg(F.sum("d").alias("d_sum"))
-    )
+    ).persist()
     e_c = (
         e.join(lab.select(F.col("id").alias("u"), F.col("label").alias("la")), "u")
         .join(lab.select(F.col("id").alias("v"), F.col("label").alias("lb")), "v")
@@ -1099,7 +1116,11 @@ def modularity(
         .groupBy(F.col("la").alias("label"))
         .agg(F.count(F.lit(1)).alias("e_in"))
     )
-    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    # m from the handshake identity over the per-community degree sums
+    # (every edge contributes exactly 2 to total degree; labels cover
+    # every endpoint) -- |labels|-row input instead of another full
+    # edge-set pass.
+    m_df = d_c.agg((F.sum("d_sum") / 2).cast("long").alias("m"))
     n_v = lab.agg(F.count(F.lit(1)).alias("n_vertices"))
     per = (
         d_c.join(e_c, "label", "left")

@@ -253,7 +253,9 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not materialize_enabled():
         pairs = pairs.persist()
     labels = community_labels_frame(spark, sf_dir, iters=2, pairs=pairs)
-    return gr.modularity(pairs, labels, "id_a", "id_b")
+    # simhash_pairs_frame's contract is (id_a < id_b, distinct): skip
+    # the operator's defensive re-canonicalization exchange.
+    return gr.modularity(pairs, labels, "id_a", "id_b", assume_canonical=True)
 
 
 def _mmr_oracle(n_candidates: int = 16, k: int = 8) -> str:

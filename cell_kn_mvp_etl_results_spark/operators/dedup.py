@@ -1004,6 +1004,14 @@ def simhash_pairs(
 
     ``block=False`` keeps the O(n^2) theta join -- acceptable below
     ~1e5 rows, never at corpus scale.
+
+    Precondition: ``hashes`` has UNIQUE ids (one row per document --
+    what ``simhash`` emits). The ``max_bucket=None`` fast path dedups
+    candidate pairs purely by first-colliding-band (ADVICE r9): a
+    duplicate id ROW in the input would yield duplicate output pair
+    rows, where the ``max_bucket`` path's ``distinct()`` used to mask
+    it. The canonical-contract note on ``first_band_collision`` covers
+    bands; this covers input ids.
     """
     a = hashes.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = hashes.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))

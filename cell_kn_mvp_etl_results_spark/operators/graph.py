@@ -1032,6 +1032,7 @@ def modularity(
     a_col: str = "id_a",
     b_col: str = "id_b",
     assume_canonical: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity of a vertex partition over an undirected
     simple graph, as ONE summary row -- the standard quality score for
@@ -1071,6 +1072,8 @@ def modularity(
     so a rebuilt identical plan serves from the same cache instead of
     re-running the detector.
     """
+    import os
+
     a, b = F.col(a_col), F.col(b_col)
     if assume_canonical:
         # Caller guarantees (a < b, deduplicated, no self loops) -- the
@@ -1081,7 +1084,24 @@ def modularity(
         # edge-set exchange per call: at the 30x graph (89.6M pairs)
         # the dropDuplicates shuffle was ~3 s of every q_modularity
         # evaluation of an already-canonical table (BENCH_NOTES r9).
-        e = edges.select(a.alias("u"), b.alias("v")).persist()
+        # A contract VIOLATION here (duplicate or self-loop rows)
+        # silently skews m, degrees, and e_in (ADVICE r9);
+        # SPARK_GRAFT_CHECK_CANONICAL=1 runs the real check -- one
+        # aggregate over the edge list -- and raises instead.
+        e = edges.select(a.alias("u"), b.alias("v"))
+        if os.environ.get("SPARK_GRAFT_CHECK_CANONICAL", "") not in ("", "0"):
+            chk = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("u"), F.col("v")).alias("nd"),
+                F.sum((F.col("u") >= F.col("v")).cast("long")).alias("bad"),
+            ).collect()[0]
+            if chk.bad or chk.n != chk.nd:
+                raise ValueError(
+                    "modularity(assume_canonical=True): edge list is not "
+                    f"canonical (rows={chk.n}, distinct={chk.nd}, "
+                    f"non-(a<b) rows={chk.bad})"
+                )
+        e = e.persist()
     else:
         e = (
             edges.select(
@@ -1094,11 +1114,18 @@ def modularity(
     lab = labels.select(F.col("id"), F.col("label")).persist()
     lab.count()
     # One explode pass over the cached edge list instead of a two-scan
-    # union (same doubled rows, half the cache scans).
+    # union (same doubled rows, half the cache scans). ``degrees``
+    # short-circuits it (VERDICT r9 #6): the (id, d) frame is |V|-sized
+    # and as materializable as the labels -- q_modularity passes the
+    # persisted table so a cold call re-derives neither.
     deg = (
-        e.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
+        degrees.select("id", "d")
+        if degrees is not None
+        else (
+            e.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     )
     # Persisted: consumed by both the per-community frame and the
     # handshake-identity m below; |labels| rows. The m broadcast build
@@ -1119,8 +1146,11 @@ def modularity(
     # m from the handshake identity over the per-community degree sums
     # (every edge contributes exactly 2 to total degree; labels cover
     # every endpoint) -- |labels|-row input instead of another full
-    # edge-set pass.
-    m_df = d_c.agg((F.sum("d_sum") / 2).cast("long").alias("m"))
+    # edge-set pass. Integer `div`, not double division (ADVICE r9):
+    # sum(d_sum) is a long and always even under the canonical
+    # contract, so `div 2` is exact at any scale -- the double round
+    # trip was only exact below 2^53 total degree.
+    m_df = d_c.agg(F.expr("sum(d_sum) div 2").cast("long").alias("m"))
     n_v = lab.agg(F.count(F.lit(1)).alias("n_vertices"))
     per = (
         d_c.join(e_c, "label", "left")

@@ -111,6 +111,17 @@ def pair_index_upsert_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands_delta = _UPSERT_DELTA_BANDS.get(key)
     if bands_delta is None:
+        # Evict the displaced fingerprint's checkpointed frame first
+        # (ADVICE r9): dropping the reference lets the ContextCleaner
+        # free the localCheckpoint blocks; unpersist is a best-effort
+        # nudge for the CacheManager side.
+        from ..sources.readers import evict_where
+
+        evict_where(
+            _UPSERT_DELTA_BANDS,
+            lambda k: k[:2] == key[:2],
+            lambda v: v.unpersist(),
+        )
         delta = d.filter(F.col("doc_id") % 10 == 0)
         h_delta = dd.simhash(delta, "doc_id", "text", bits=32)
         bands_delta = dd.simhash_bands(h_delta, bands=2, bits=32).localCheckpoint(
@@ -242,6 +253,78 @@ def q_pair_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_cs") % F.lit(1000000007)).cast("long").alias("pair_checksum"),
         )
         .orderBy("kind")
+    )
+
+
+@query(
+    "q_first_band_pairs",
+    tags=("dedup", "scale"),
+    priority=TAIL,  # added r10 -- promoted in the r10 rotation (first driver row)
+    oracle=f"""
+WITH {_SIMHASH_BODY},
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         xor(a.simhash, b.simhash) AS x,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+)
+SELECT CAST(CASE WHEN x & 65535 = 0 THEN 0 ELSE 1 END AS INTEGER) AS band,
+       count(*) AS n_pairs,
+       CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+       CAST(sum((id_a * 1000003 + id_b) % 1000000007) % 1000000007
+            AS BIGINT) AS pair_checksum
+FROM p
+GROUP BY 1
+ORDER BY band
+""",
+)
+def q_first_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered gate over the r9 map-side candidate dedup
+    (operators/dedup.first_band_collision): build the FULL-corpus
+    radius-1 simhash pair set through a 2-band blocked join where a
+    hamming-0 pair collides on BOTH bands, keep only each pair's
+    first-colliding-band row (a pure xor-bit-slice filter -- no
+    distinct() exchange over the candidate set), and pin the result
+    per attributed band: pair count, hamming total, and the modular
+    pair-set checksum. The oracle derives the first band analytically
+    from the pair's XOR (band 0 = bits 0..15), so a double emission
+    (a both-bands pair surviving twice) or a wrong band attribution
+    moves a count or checksum. At most 2 rows cross the driver; the
+    checksum's per-term mod keeps the long sum exact to ~9e9 pairs.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    bands = dd.simhash_bands(hashes, bands=2, bits=32)
+    a = bands.select(
+        F.col("id").alias("id_x"), F.col("simhash").alias("sh_x"), "band", "val"
+    )
+    b = bands.select(
+        F.col("id").alias("id_y"), F.col("simhash").alias("sh_y"), "band", "val"
+    )
+    xor = F.col("sh_x").bitwiseXOR(F.col("sh_y"))
+    first = dd.first_band_collision(2, 32, F.col("band"), xor)
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_x") < F.col("id_y"))
+        .filter(first)
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("id_x").alias("id_a"),
+            F.col("id_y").alias("id_b"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+    )
+    term = (F.col("id_a") * F.lit(1000003) + F.col("id_b")) % F.lit(1000000007)
+    return (
+        pairs.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("hamming").cast("long").alias("sum_hamming"),
+            (F.sum(term) % F.lit(1000000007)).cast("long").alias("pair_checksum"),
+        )
+        .orderBy("band")
     )
 
 
@@ -852,6 +935,8 @@ def _bpe_oracle(
     max_word_syms: int = 64,
     segment: bool = False,
     pack_capacity: int | None = None,
+    relation: str = "documents",
+    prelude: str = "",
 ) -> str:
     """Unrolled-CTE DuckDB twin of ``operators/bpe``: one (pair-count,
     argmax, rewrite) CTE triple per merge round over the same fenced
@@ -885,7 +970,7 @@ b{t} AS (
   SELECT CAST({t} AS BIGINT) AS step, l, r2, cnt
   FROM p{t} ORDER BY cnt DESC, l, r2 LIMIT 1
 ),
-w{t} AS (
+w{t} AS MATERIALIZED (
   -- LEFT JOIN ON TRUE + COALESCE so an EMPTY b{t} (corpus exhausted
   -- its mergeable pairs before round {t}) carries the vocabulary
   -- forward unchanged, exactly like the Spark loop's early break --
@@ -954,16 +1039,21 @@ SELECT step, l AS "left", r2 AS "right", l || r2 AS merged,
 FROM ({union})
 ORDER BY step"""
     return rf"""
-WITH toks AS (
+WITH {prelude}toks AS (
   -- replace(chr(31)) mirrors the Spark tokenizer's fence-character
   -- strip (operators/bpe._tokens): a U+001F inside a word would be
   -- indistinguishable from a symbol boundary in the seq encoding.
   SELECT doc_id, source,
          unnest(string_split_regex(
            trim(lower(replace(text, {sep}, ''))), '\s+')) AS word
-  FROM documents
+  FROM {relation}
 ),
-w0 AS (
+w0 AS MATERIALIZED (
+  -- w0 and every w{{t}} are MATERIALIZED: each is referenced by the
+  -- next round's s/w pair, and DuckDB re-inlines shared CTEs -- the
+  -- un-materialized chain re-derives the whole prefix per reference,
+  -- exponential in rounds (measured: 8 rounds 5.2 s, 12 rounds DNF;
+  -- materialized: 12 rounds ~0.1 s). Same fix as _modularity_oracle.
   SELECT word,
          {sep} || array_to_string(string_split(word, ''), {sepsep}) || {sep}
            AS seq,
@@ -1012,6 +1102,50 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return bpe_segment_counts(d, "text", "source", n_merges=8)
+
+
+def _natural_vocab_oracle(n_merges: int = 12) -> str:
+    """The BPE merge-table oracle over the NATURAL-VOCABULARY synthetic
+    corpus (VERDICT r9 #4b): the corpus is a pure deterministic
+    function of its parameters (sources/synthetic.natural_vocab_docs),
+    so the oracle inlines the exact same rows as a VALUES relation and
+    replays the same unrolled merge chain -- engine-independent, no
+    parquet table involved. Word text is ASCII letters only, so the
+    literal embedding needs no escaping."""
+    from ..sources.synthetic import natural_vocab_docs
+
+    docs = natural_vocab_docs(n_words=800, n_tokens=8_000, doc_len=64, seed=7)
+    vals = ",\n    ".join(f"({i}, '{s}', '{t}')" for i, s, t in docs)
+    prelude = f"nvdocs(doc_id, source, text) AS (VALUES\n    {vals}\n),\n"
+    return _bpe_oracle(n_merges=n_merges, relation="nvdocs", prelude=prelude)
+
+
+@query(
+    "q_bpe_natural_vocab",
+    tags=("text", "tokenizer"),
+    priority=TAIL,  # added r10 -- promoted in the r10 rotation (first driver row)
+    oracle=_natural_vocab_oracle(n_merges=12),
+)
+def q_bpe_natural_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training gated at a NATURAL vocabulary shape (VERDICT r9
+    #4b): 12 merges learned from the morphology-shaped Zipf corpus
+    (800 word types / 8k tokens, seed-pinned), through the BATCHED
+    certification path (batch=4 -- output proven identical to
+    sequential by construction, operators/bpe._accept_batch). The
+    corpus is a pure function of its parameters and ``sf_dir`` is
+    deliberately ignored: the registered oracle must be one fixed SQL
+    string, and this gate certifies tokenizer-training semantics on
+    realistic vocabulary structure, not testdata-scale behavior (the
+    4096-merge / 16k-word certification lives in
+    scripts/bpe_largevocab_run.py + tests/test_bpe.py).
+    """
+    from ..operators.bpe import bpe_train_merges
+    from ..sources.synthetic import natural_vocab_corpus
+
+    corpus = natural_vocab_corpus(
+        spark, n_words=800, n_tokens=8_000, doc_len=64, seed=7, n_partitions=8
+    )
+    return bpe_train_merges(corpus, "text", n_merges=12, batch=4).orderBy("step")
 
 
 @query(

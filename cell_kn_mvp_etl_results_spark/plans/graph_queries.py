@@ -385,6 +385,22 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # required distribution so only the frontier shuffles per hop.
     cache_key = _khop_cache_key(spark, sf_dir)
     if cache_key not in _HOP_FRAMES:
+        # A regenerated lake means a new cache_key: unpersist the
+        # displaced hop/terminal frames and drop their temp views
+        # before building fresh ones (VERDICT r9 #3) -- the old entry
+        # pinned two persisted edge relations plus the terminal summary
+        # for the application's lifetime.
+        from ..sources.readers import evict_where
+
+        def _drop(v):
+            old_hops, old_term, old_views = v
+            for h in old_hops.values():
+                h.unpersist()
+            old_term.unpersist()
+            for vn in old_views.values():
+                spark.catalog.dropTempView(vn)
+
+        evict_where(_HOP_FRAMES, lambda k: k[:2] == (spark, sf_dir), _drop)
         # Persisted SORTED on the join key: InMemoryTableScan propagates
         # the cached plan's outputPartitioning AND outputOrdering, so
         # every traversal's sort-merge join skips re-sorting the (large)
@@ -416,7 +432,16 @@ def q_khop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partitions with exact size stats (measured ~25% faster than
         # recomputing per hop at sf0.1; scripts/khop_experiment.py).
         # Spark's ContextCleaner unpersists when the plan is GC'd.
-        key = (spark.sparkContext.applicationId, sf_dir, "khop_edges")
+        # Fingerprints in the key (r10): a regenerated lake must
+        # re-run the eager materialization, not skip it because a
+        # previous generation already counted.
+        key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            "khop_edges",
+            cache_key[2],
+            cache_key[3],
+        )
         if key not in _MATERIALIZED:
             for h in hops.values():
                 h.count()

@@ -184,6 +184,19 @@ def _minhash_sigs_view(spark: SparkSession, sf_dir: str) -> str:
     key = (spark, sf_dir, fp)
     hit = _MINHASH_SIG_VIEWS.get(key)
     if hit is None:
+        # Unpersist the displaced fingerprint's signatures and drop its
+        # view before pinning fresh ones (VERDICT r9 #3): the old entry
+        # held a persisted frame alive for the application's lifetime.
+        from ..sources.readers import evict_where
+
+        def _drop(v):
+            old_sigs, old_name = v
+            old_sigs.unpersist()
+            spark.catalog.dropTempView(old_name)
+
+        evict_where(
+            _MINHASH_SIG_VIEWS, lambda k: k[:2] == (spark, sf_dir), _drop
+        )
         d = read_table(spark, sf_dir, "documents")
         sigs = dd.minhash_signatures_wide(
             d, "doc_id", "text", num_perm=32
@@ -338,6 +351,108 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("delta_id")
 
 
+def _incremental_cycle_oracle(
+    num_perm: int = 32, bands: int = 8, min_est: float = 0.25
+) -> str:
+    """From-scratch DuckDB twin of the TWO-BATCH incremental cycle:
+    batch = 0 (base), 1 (doc_id%10==0), 2 (doc_id%10==5). delta1
+    probes the base-only index; delta2 probes the UPSERTED index
+    (base + delta1) -- so the composed pair set is exactly every
+    cross-batch collision pair oriented (later batch, earlier batch).
+    LSH collisions depend only on per-document band buckets, so the
+    composition is exact (the property tests/test_llm_ops.py
+    test_incremental_dedup_two_batch_cycle_composes_exactly pins; this
+    registered gate makes the same claim oracle-checked by the
+    driver)."""
+    perms_values = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, a, b in dd.minhash_perms(num_perm)
+    )
+    rows = num_perm // bands
+    p = dd.MINHASH_P
+    return f"""
+WITH {_SHINGLES_SQL},
+perms(i, a, b) AS (VALUES
+    {perms_values}
+),
+hashed AS (
+  SELECT sh.doc_id, perms.i,
+         (perms.a * (('0x' || substr(md5(sh.shingle), 1, 12))::BIGINT % {p})
+          + perms.b) % {p} AS h
+  FROM sh, perms
+),
+sig AS (SELECT doc_id, i, min(h) AS h FROM hashed GROUP BY doc_id, i),
+bucketed AS (
+  SELECT doc_id, i // {rows} AS band,
+         md5(string_agg(CAST(h AS VARCHAR), '-' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // {rows}
+),
+bat AS (
+  SELECT doc_id, band, bucket,
+         CASE WHEN doc_id % 10 = 0 THEN 1
+              WHEN doc_id % 10 = 5 THEN 2 ELSE 0 END AS batch
+  FROM bucketed
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, d.batch AS delta_batch,
+         b.doc_id AS base_id
+  FROM bat d JOIN bat b ON d.band = b.band AND d.bucket = b.bucket
+  WHERE d.batch > b.batch
+),
+est AS (
+  SELECT cand.delta_id, cand.delta_batch, cand.base_id,
+         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / {float(num_perm)}
+           AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.delta_id
+  JOIN sig sb ON sb.doc_id = cand.base_id AND sb.i = sa.i
+  GROUP BY 1, 2, 3
+)
+SELECT delta_id, base_id, est_jaccard,
+       'delta' || delta_batch AS kind
+FROM est WHERE est_jaccard >= {min_est}
+ORDER BY delta_id, base_id
+"""
+
+
+@query(
+    "q_incremental_cycle",
+    tags=("dedup", "scale"),
+    priority=TAIL,  # added r10 -- promoted in the r10 rotation (first driver row)
+    oracle=_incremental_cycle_oracle(),
+)
+def q_incremental_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-batch incremental-dedup CYCLE as a registered gate
+    (VERDICT r9 #4c): delta1 (doc_id%10==0) probes the base corpus's
+    LSH index; the index is UPSERTED with delta1's rows
+    (operators/dedup.upsert_minhash_index -- a bucketed append in the
+    lake posture); delta2 (doc_id%10==5) probes the upserted index and
+    therefore must see delta1's documents. Returns the composed pair
+    set (delta_id, base_id, est_jaccard, kind) -- the oracle recomputes
+    it from scratch as all cross-batch collision pairs oriented
+    (later, earlier), which is exactly what the chained probes emit
+    because LSH collisions depend only on per-document band buckets.
+    Work per landing scales with |delta| + |collisions|, never |base|.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    base = d.filter((m != 0) & (m != 5))
+    delta1 = d.filter(m == 0)
+    delta2 = d.filter(m == 5)
+    idx0 = dd.minhash_bucket_index(base, "doc_id", "text")
+    p1 = dd.incremental_minhash_pairs(idx0, delta1, "doc_id", "text").withColumn(
+        "kind", F.lit("delta1")
+    )
+    idx1 = dd.upsert_minhash_index(idx0, delta1, "doc_id", "text")
+    p2 = dd.incremental_minhash_pairs(idx1, delta2, "doc_id", "text").withColumn(
+        "kind", F.lit("delta2")
+    )
+    return (
+        p1.unionByName(p2)
+        .select("delta_id", "base_id", "est_jaccard", "kind")
+        .orderBy("delta_id", "base_id")
+    )
+
+
 @query(
     "q_dedup_simhash",
     tags=("dedup",),
@@ -434,6 +549,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, fp)
     hit = _COSINE_PREP.get(key)
     if hit is None:
+        # Displaced fingerprints' prepared matrices are plain driver
+        # data -- still evict so a long-lived multi-corpus service
+        # doesn't accumulate one per regeneration (VERDICT r9 #3).
+        from ..sources.readers import evict_where
+
+        evict_where(_COSINE_PREP, lambda k: k[:2] == key[:2])
         q = e.filter(F.col("vec_id") < 10)
         prepared = sim.prepare_cosine_queries(q, "vec_id", "embedding", quantize=4)
         corpus = e.select("vec_id", "embedding")

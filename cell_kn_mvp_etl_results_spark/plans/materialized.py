@@ -284,6 +284,36 @@ def community_labels_frame(
     return ensure_table(spark, table, build, "id")
 
 
+def pair_degrees_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    force: bool = False,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Vertex degrees (id, d) of the SimHash radius-1 near-dup pair
+    graph -- the |V|-sized frame q_modularity's metric needs beside the
+    LPA labels, served from a materialized bucketed table by default
+    (VERDICT r9 #6: the cold path re-derived degrees from the 89.6M-edge
+    list per call even though community_labels_frame already walks the
+    same edges). Like the labels, degrees are a once-per-snapshot
+    product in production. ``pairs`` lets an inline-mode caller share
+    its persisted pair frame; it MUST be row-identical to
+    ``simhash_pairs_frame``'s output."""
+
+    def build() -> DataFrame:
+        p = pairs if pairs is not None else simhash_pairs_frame(spark, sf_dir)
+        return (
+            p.select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("pair_degrees_auto", sf_dir)
+    return ensure_table(spark, table, build, "id")
+
+
 def entity_components_frame(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> DataFrame:

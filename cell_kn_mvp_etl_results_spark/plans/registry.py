@@ -423,9 +423,95 @@ _R9_GATED = (
 assert len(_R9_GATED) == GATE_BUDGET, len(_R9_GATED)
 assert len(set(_R9_GATED)) == GATE_BUDGET
 
+# ROTATION (round 10): executes the r9 plan above exactly. Composition
+# (6 + 7 + 3 + 34 = 50):
+#   * the 6 bench headliners (graded for perf every round);
+#   * the 7 EXPLICIT r10 overflow veterans (latest row r6, the stalest
+#     in the registry): q_tuple_generation, q_fuzzy_name_pairs,
+#     q_cohort_retention, q_event_funnel, q_decayed_rollup,
+#     q_hyphenate, q_compound_predicate;
+#   * the 3 queries ADDED in r10 (never had a driver row; VERDICT r9
+#     #4): q_first_band_pairs (map-side first-band candidate dedup),
+#     q_bpe_natural_vocab (natural-vocabulary merge table),
+#     q_incremental_cycle (two-batch upsert composition);
+#   * the 34 stalest veterans -- of the 44 non-headliner r7 gates
+#     (latest row r7), taken newest-first by registration order until
+#     the budget fills.
+# The 10 r7-gate veterans that do not fit (oldest registrations:
+# q_json_props, q_rolling_window, q_hourly_rollup, q_sessionize,
+# q_top1_per_group, q_lookup_first_of_many, q_semi_join, q_anti_join,
+# q_equi_join, q_min_size_filter) are the EXPLICIT r11 overflow; each
+# holds green rows through r7 and stays pytest-parity-gated meanwhile.
+# Demoted to TAIL: the 44 non-headliner r9 gates (all holding fresh
+# green r9 rows). After r10, no query's latest green row is older
+# than r7.
+#
+# r11 rotation plan: promote the 10 overflow veterans above plus any
+# queries added in r10 that lack a driver row, then the stalest
+# veterans (latest row r8) newest-first until the budget fills; keep
+# the 6 headliners; demote the r10 gates.
+_R10_GATED = (
+    # --- 6 bench headliners ---
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_khop_paths",
+    "q_dedup_minhash_lsh",
+    "q_cosine_topk",
+    # --- 7 explicit r10 overflow (latest row r6) ---
+    "q_tuple_generation",
+    "q_fuzzy_name_pairs",
+    "q_cohort_retention",
+    "q_event_funnel",
+    "q_decayed_rollup",
+    "q_hyphenate",
+    "q_compound_predicate",
+    # --- 3 r10 additions (first driver row) ---
+    "q_first_band_pairs",
+    "q_bpe_natural_vocab",
+    "q_incremental_cycle",
+    # --- 34 stalest veterans (latest row r7), newest-first by seq ---
+    "q_pivot",
+    "q_percentiles",
+    "q_asof_join",
+    "q_bpe_segment",
+    "q_bpe_merges",
+    "q_communities",
+    "q_cluster_exemplars",
+    "q_semantic_clusters",
+    "q_graph_edges",
+    "q_search_prefix",
+    "q_search_grams",
+    "q_decontaminate",
+    "q_mixture_sample",
+    "q_chunk_stats",
+    "q_scrub",
+    "q_sketch_profile",
+    "q_collocations",
+    "q_embedding_normalize",
+    "q_zorder_key",
+    "q_tfidf_keywords",
+    "q_curation_funnel",
+    "q_adaptive_quality",
+    "q_token_stats_by_source",
+    "q_lang_id",
+    "q_khop_paths_bucketed",
+    "q_attr_pivot",
+    "q_collect_sorted_set",
+    "q_acctbal_stats",
+    "q_ngram_index",
+    "q_distinct_tokens",
+    "q_stable_uuid",
+    "q_except",
+    "q_except_all",
+    "q_union_distinct",
+)
+assert len(_R10_GATED) == GATE_BUDGET, len(_R10_GATED)
+assert len(set(_R10_GATED)) == GATE_BUDGET
+
 
 def _effective_priority(s: "QuerySpec") -> int:
-    return 10 if s.name in _R9_GATED else TAIL
+    return 10 if s.name in _R10_GATED else TAIL
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +605,7 @@ def query(
 
 
 def _ordered() -> list[QuerySpec]:
-    unknown = set(_R9_GATED) - set(REGISTRY)
+    unknown = set(_R10_GATED) - set(REGISTRY)
     if unknown:  # a typo here would silently burn gate slots
         raise ValueError(f"rotation names not registered: {sorted(unknown)}")
     return sorted(

@@ -120,6 +120,17 @@ def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
     key = (spark, sf_dir, table, fp)
     name = _SQL_VIEWS.get(key)
     if name is None:
+        # A regenerated table gets a NEW view name; the displaced
+        # fingerprint's view is catalog state nothing can reach through
+        # this cache anymore -- drop it instead of letting the session
+        # catalog grow one orphan view per regeneration (VERDICT r9 #3).
+        from ..sources.readers import evict_where
+
+        evict_where(
+            _SQL_VIEWS,
+            lambda k: k[:3] == (spark, sf_dir, table),
+            lambda v: spark.catalog.dropTempView(v),
+        )
         tag = hashlib.md5(repr((sf_dir, fp)).encode()).hexdigest()[:8]
         name = f"{table}_v{tag}"
         read_table(spark, sf_dir, table).createOrReplaceTempView(name)
@@ -416,11 +427,7 @@ def q_lookup_first_of_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_local_supplier_volume",
-    headline=True,
-    tags=("join", "agg", "J10"),
-    oracle="""
+_SUPPLIER_ORACLE = """
 SELECT
   n.n_name AS nation,
   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -437,7 +444,14 @@ WHERE r.r_name IN ('ASIA', 'EUROPE')
   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY n.n_name
 ORDER BY revenue DESC, nation
-""",
+"""
+
+
+@query(
+    "q_local_supplier_volume",
+    headline=True,
+    tags=("join", "agg", "J10"),
+    oracle=_SUPPLIER_ORACLE,
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way join chain + agg (TPC-H Q5 shape; exercises the J10
@@ -546,6 +560,111 @@ FROM (
         ON c.c_nationkey = n2.n_nationkey
       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     ) omap ON l.l_orderkey = omap.o_orderkey
+    GROUP BY l.l_suppkey, omap.cust_nation
+  ) pre
+  JOIN {supp} s
+    ON pre.l_suppkey = s.s_suppkey AND s.s_nationkey = pre.cust_nation
+  GROUP BY pre.cust_nation
+) agg
+JOIN {nat} nn ON nn.n_nationkey = agg.cust_nation
+ORDER BY revenue DESC, nation
+""")
+
+
+def materialize_supplier_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    num_buckets: int = 32,
+) -> tuple[str, str]:
+    """One-time steady-state build for the supplier-volume family
+    (VERDICT r9 #3 on the query's 100x floor): write the fact side
+    (l_orderkey, l_suppkey, l_extendedprice, l_discount) and the
+    filtered ORDER MAP (o_orderkey, cust_nation -- orders joined
+    map-side to the broadcast customer/nation/region dims, date filter
+    applied) as co-BUCKETED + per-bucket-sorted tables on the
+    orderkey. The 1.09 GB omap exchange + sort that stage-profiling
+    showed as q_local_supplier_volume's dominant 100x cost
+    (BENCH_NOTES r9) is paid HERE once, at ingest/compaction time;
+    every subsequent run's fact-fact SMJ reads co-located buckets with
+    NO exchange and NO sort on either side
+    (``operators/scale.write_bucketed`` doctrine -- the
+    ``materialize_khop_bucketed`` posture applied to the relational
+    headliner). Returns the two table names."""
+    from .materialized import _auto_name, ensure_table
+
+    files = ("orders", "lineitem", "customer", "nation", "region")
+
+    def build_li() -> DataFrame:
+        return read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+
+    def build_omap() -> DataFrame:
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate")
+            >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        c = read_table(spark, sf_dir, "customer")
+        n = read_table(spark, sf_dir, "nation")
+        r = read_table(spark, sf_dir, "region").filter(
+            F.col("r_name").isin("ASIA", "EUROPE")
+        )
+        n2 = n.join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        ).select("n_nationkey")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                "o_orderkey", F.col("c_nationkey").alias("cust_nation")
+            )
+        )
+
+    li_t = _auto_name("supb_li_auto", sf_dir, num_buckets, files=files)
+    omap_t = _auto_name("supb_omap_auto", sf_dir, num_buckets, files=files)
+    ensure_table(spark, li_t, build_li, "l_orderkey", num_buckets)
+    ensure_table(spark, omap_t, build_omap, "o_orderkey", num_buckets)
+    return li_t, omap_t
+
+
+@query(
+    "q_supplier_volume_bucketed",
+    tags=("join", "agg", "J10", "scale"),
+    priority=TAIL,  # added r10 -- r11 rotation promotes it (same posture as khop's twin)
+    oracle=_SUPPLIER_ORACLE,
+)
+def q_supplier_volume_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_local_supplier_volume`` in its STEADY-STATE DEPLOYMENT
+    posture: fact and order map live on disk co-bucketed on the
+    orderkey, so the fact-fact join -- the exchange+sort that is the
+    query's entire 100x floor -- runs with no exchange and no sort on
+    either side; only the |suppkey x nations| partial-aggregate rows
+    shuffle (the agg-below-join shape of the shipped above-gate
+    branch, unchanged). Row-identical to q_local_supplier_volume
+    (same oracle; the integer-cents partial sums are associative).
+    First use per (sf_dir, fingerprints) auto-materializes the tables
+    -- a deployment runs ``materialize_supplier_bucketed`` at ingest
+    time instead. Measured at 100x: see BENCH_NOTES r10 (the r9
+    verdict asked for this twin measured, not asserted)."""
+    li_t, omap_t = materialize_supplier_bucketed(spark, sf_dir)
+    supp = _view(spark, sf_dir, "supplier")
+    nat = _view(spark, sf_dir, "nation")
+    amount = (
+        _CENTS.format(c="l_extendedprice")
+        + " * (100 - "
+        + _CENTS.format(c="l_discount")
+        + ")"
+    )
+    return spark.sql(f"""
+SELECT /*+ BROADCAST(nn) */ nn.n_name AS nation, agg.revenue, agg.n_items
+FROM (
+  SELECT /*+ BROADCAST(s) */ pre.cust_nation,
+         SUM(pre.amt) / CAST(10000.0 AS DOUBLE) AS revenue,
+         SUM(pre.n) AS n_items
+  FROM (
+    SELECT l.l_suppkey, omap.cust_nation, SUM({amount}) AS amt, COUNT(*) AS n
+    FROM {li_t} l
+    JOIN {omap_t} omap ON l.l_orderkey = omap.o_orderkey
     GROUP BY l.l_suppkey, omap.cust_nation
   ) pre
   JOIN {supp} s

@@ -25,7 +25,7 @@ from itertools import accumulate
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["natural_vocab_corpus", "natural_vocab_words"]
+__all__ = ["natural_vocab_corpus", "natural_vocab_docs", "natural_vocab_words"]
 
 _ONSETS = list("bcdfghjklmnprstvwz") + ["ch", "sh", "th", "st", "br", "tr"]
 _VOWELS = ["a", "e", "i", "o", "u", "ai", "ea", "ou"]
@@ -54,6 +54,31 @@ def natural_vocab_words(n_words: int, seed: int = 0) -> list[str]:
     return words
 
 
+def natural_vocab_docs(
+    n_words: int = 16384,
+    n_tokens: int = 400_000,
+    doc_len: int = 256,
+    seed: int = 0,
+) -> list[tuple[int, str, str]]:
+    """The pure-Python (doc_id, source, text) rows behind
+    ``natural_vocab_corpus`` -- split out so an engine-independent
+    consumer (the DuckDB oracle of ``q_bpe_natural_vocab``, which
+    inlines the corpus as a VALUES relation) sees byte-for-byte the
+    rows the Spark frame is built from."""
+    words = natural_vocab_words(n_words, seed)
+    cum = list(accumulate(1.0 / (r + 1) for r in range(n_words)))
+    total = cum[-1]
+    rng = random.Random(seed + 1)
+    docs: list[tuple[int, str, str]] = []
+    tok: list[str] = []
+    for i in range(n_tokens):
+        tok.append(words[bisect_left(cum, rng.random() * total)])
+        if len(tok) == doc_len or i == n_tokens - 1:
+            docs.append((len(docs), f"src{len(docs) % 4}", " ".join(tok)))
+            tok = []
+    return docs
+
+
 def natural_vocab_corpus(
     spark: SparkSession,
     n_words: int = 16384,
@@ -67,17 +92,7 @@ def natural_vocab_corpus(
     of ``doc_len`` tokens. Word rank r is drawn with probability
     proportional to 1/(r+1) (inverse-CDF over the exact harmonic
     cumulative, so the draw is exact, not approximate)."""
-    words = natural_vocab_words(n_words, seed)
-    cum = list(accumulate(1.0 / (r + 1) for r in range(n_words)))
-    total = cum[-1]
-    rng = random.Random(seed + 1)
-    docs = []
-    tok: list[str] = []
-    for i in range(n_tokens):
-        tok.append(words[bisect_left(cum, rng.random() * total)])
-        if len(tok) == doc_len or i == n_tokens - 1:
-            docs.append((len(docs), f"src{len(docs) % 4}", " ".join(tok)))
-            tok = []
+    docs = natural_vocab_docs(n_words, n_tokens, doc_len, seed)
     return spark.createDataFrame(
         docs, "doc_id long, source string, text string"
     ).repartition(n_partitions)

@@ -570,7 +570,24 @@ def q_khop_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:8]
     prefix = f"khop_auto_{fp}"
     if not spark.catalog.tableExists(f"{prefix}_term_s"):
-        materialize_khop_bucketed(spark, sf_dir, prefix=prefix)
+        # r10: a previous session's tables may survive on disk with
+        # their catalog entries gone -- re-register the bucketed layout
+        # instead of re-paying the build (materialized.
+        # register_surviving_bucketed); rebuild only what's missing.
+        from .materialized import register_surviving_bucketed
+
+        specs = {
+            f"{prefix}_hop_o": "src_key",
+            f"{prefix}_hop_p": "src_key",
+            f"{prefix}_term_s": "node_key",
+        }
+        recovered = {
+            t: register_surviving_bucketed(spark, t, key) is not None
+            for t, key in specs.items()
+            if not spark.catalog.tableExists(t)
+        }
+        if not all(recovered.values()):
+            materialize_khop_bucketed(spark, sf_dir, prefix=prefix)
     return khop_paths_bucketed(spark, sf_dir, prefix=prefix)
 
 

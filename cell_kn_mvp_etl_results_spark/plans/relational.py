@@ -582,14 +582,14 @@ def materialize_supplier_bucketed(
     filtered ORDER MAP (o_orderkey, cust_nation -- orders joined
     map-side to the broadcast customer/nation/region dims, date filter
     applied) as co-BUCKETED + per-bucket-sorted tables on the
-    orderkey. The 1.09 GB omap exchange + sort that stage-profiling
-    showed as q_local_supplier_volume's dominant 100x cost
-    (BENCH_NOTES r9) is paid HERE once, at ingest/compaction time;
-    every subsequent run's fact-fact SMJ reads co-located buckets with
-    NO exchange and NO sort on either side
-    (``operators/scale.write_bucketed`` doctrine -- the
+    orderkey. The 1.09 GB omap exchange that stage-profiling showed as
+    q_local_supplier_volume's dominant 100x cost (BENCH_NOTES r9) is
+    paid HERE once, at ingest/compaction time; every subsequent run's
+    fact-fact SMJ reads co-located buckets with NO exchange on either
+    side (``operators/scale.write_bucketed`` doctrine -- the
     ``materialize_khop_bucketed`` posture applied to the relational
-    headliner). Returns the two table names."""
+    headliner; per-bucket Sorts remain, see q_supplier_volume_bucketed).
+    Returns the two VIEW names to query."""
     from .materialized import _auto_name, ensure_table
 
     files = ("orders", "lineitem", "customer", "nation", "region")
@@ -622,9 +622,20 @@ def materialize_supplier_bucketed(
 
     li_t = _auto_name("supb_li_auto", sf_dir, num_buckets, files=files)
     omap_t = _auto_name("supb_omap_auto", sf_dir, num_buckets, files=files)
-    ensure_table(spark, li_t, build_li, "l_orderkey", num_buckets)
-    ensure_table(spark, omap_t, build_omap, "o_orderkey", num_buckets)
-    return li_t, omap_t
+    li_df = ensure_table(spark, li_t, build_li, "l_orderkey", num_buckets)
+    omap_df = ensure_table(spark, omap_t, build_omap, "o_orderkey", num_buckets)
+    # Query through temp views over the RETURNED frames, not the raw
+    # catalog names: in a fresh session the tables exist only on disk
+    # (ensure_table tier 2 reads the surviving parquet; the in-memory
+    # catalog died with the builder's session), so SQL against the
+    # saved name would fail. Tier-1 hits keep the bucketed scan -- the
+    # view wraps the catalog relation; tier-2 falls back to a plain
+    # parquet scan with identical rows (ensure_table's documented
+    # metadata-loss caveat).
+    li_v, omap_v = f"{li_t}_v", f"{omap_t}_v"
+    li_df.createOrReplaceTempView(li_v)
+    omap_df.createOrReplaceTempView(omap_v)
+    return li_v, omap_v
 
 
 @query(
@@ -636,16 +647,21 @@ def materialize_supplier_bucketed(
 def q_supplier_volume_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``q_local_supplier_volume`` in its STEADY-STATE DEPLOYMENT
     posture: fact and order map live on disk co-bucketed on the
-    orderkey, so the fact-fact join -- the exchange+sort that is the
-    query's entire 100x floor -- runs with no exchange and no sort on
-    either side; only the |suppkey x nations| partial-aggregate rows
-    shuffle (the agg-below-join shape of the shipped above-gate
-    branch, unchanged). Row-identical to q_local_supplier_volume
+    orderkey, so the fact-fact join -- whose 1.09 GB omap exchange is
+    the query's profiled 100x floor -- runs with NO Exchange on either
+    side; only the |suppkey x nations| partial-aggregate rows shuffle
+    (the agg-below-join shape of the shipped above-gate branch,
+    unchanged). MEASURED at 100x (scripts/supplier_bucketed_100x.py,
+    BENCH_NOTES r10): the docstring claim the r9 verdict flagged read
+    "bucketing removes the exchange+sort entirely" -- the measured
+    truth is exchange YES, sort NO: Spark 4 no longer propagates disk
+    sortBy ordering, so the SMJ keeps cheap per-bucket Sorts of
+    already-sorted runs. Row-identical to q_local_supplier_volume
     (same oracle; the integer-cents partial sums are associative).
     First use per (sf_dir, fingerprints) auto-materializes the tables
     -- a deployment runs ``materialize_supplier_bucketed`` at ingest
-    time instead. Measured at 100x: see BENCH_NOTES r10 (the r9
-    verdict asked for this twin measured, not asserted)."""
+    time instead; a later SESSION recovers the layout from disk via
+    ``materialized.register_surviving_bucketed``."""
     li_t, omap_t = materialize_supplier_bucketed(spark, sf_dir)
     supp = _view(spark, sf_dir, "supplier")
     nat = _view(spark, sf_dir, "nation")

@@ -109,3 +109,68 @@ def test_ensure_table_recovers_from_partial_write(spark, sf_dir):
     root = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(root):
         fs.delete(root, True)
+
+
+def test_register_surviving_bucketed_restores_layout(spark):
+    # r10: a bucketed table whose catalog entry died with a previous
+    # session must be re-registered from its surviving directory WITH
+    # its bucketed+sorted layout -- the copy simulates "files on disk,
+    # no catalog entry".
+    import os
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        _warehouse_dir,
+        register_surviving_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS rsb_src")
+    spark.sql("DROP TABLE IF EXISTS rsb_copy")
+    df = spark.range(5000).selectExpr("id AS k", "id * 3 AS v")
+    (
+        df.repartition(8, "k")
+        .write.mode("overwrite")
+        .bucketBy(8, "k")
+        .sortBy("k")
+        .saveAsTable("rsb_src")
+    )
+    src = _warehouse_dir(spark, "rsb_src").replace("file:", "")
+    dst = _warehouse_dir(spark, "rsb_copy").replace("file:", "")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+
+    rec = register_surviving_bucketed(spark, "rsb_copy", "k", 8)
+    assert rec is not None
+    assert sorted(map(tuple, rec.collect())) == sorted(
+        map(tuple, spark.table("rsb_src").collect())
+    )
+    # the recovered layout must satisfy the join's required
+    # DISTRIBUTION: with broadcast off, the self-join's SMJ reads both
+    # sides from the bucketed scan with no Exchange. (Ordering is NOT
+    # asserted: Spark 4 no longer propagates disk sortBy ordering, so
+    # an SMJ keeps its cheap per-bucket Sorts even on a freshly
+    # written bucketed+sorted managed table -- verified r10.)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = rec.join(rec.selectExpr("k", "v AS v2"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    spark.sql("DROP TABLE rsb_copy")  # external -- files stay
+    assert os.path.isdir(dst)
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_src")
+
+
+def test_register_surviving_bucketed_missing_returns_none(spark):
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    assert (
+        register_surviving_bucketed(spark, "rsb_never_written", "k", 8) is None
+    )

@@ -1027,12 +1027,13 @@ def kcore_members(
 
 
 def modularity(
-    edges: DataFrame,
+    edges: DataFrame | None,
     labels: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     assume_canonical: bool = False,
     degrees: DataFrame | None = None,
+    intra: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity of a vertex partition over an undirected
     simple graph, as ONE summary row -- the standard quality score for
@@ -1074,8 +1075,15 @@ def modularity(
     """
     import os
 
+    if edges is None and not (degrees is not None and intra is not None):
+        raise ValueError(
+            "modularity: edges may only be omitted when both degrees "
+            "and intra are supplied (the fully-materialized metric path)"
+        )
     a, b = F.col(a_col), F.col(b_col)
-    if assume_canonical:
+    if edges is None:
+        e = None
+    elif assume_canonical:
         # Caller guarantees (a < b, deduplicated, no self loops) -- the
         # contract every pair-graph producer in this package already
         # meets (simhash_pairs/jaccard_pairs emit id_a < id_b distinct,
@@ -1101,7 +1109,13 @@ def modularity(
                     f"canonical (rows={chk.n}, distinct={chk.nd}, "
                     f"non-(a<b) rows={chk.bad})"
                 )
-        e = e.persist()
+        # With ``degrees`` supplied the edge list has at most ONE
+        # consumer left (the intra-community join, itself absent when
+        # ``intra`` is supplied): persist only when multiple consumers
+        # would otherwise race the cache and re-derive the upstream.
+        if degrees is None:
+            e = e.persist()
+            e.count()  # fill the cache once, before the consumers race
     else:
         e = (
             edges.select(
@@ -1110,7 +1124,7 @@ def modularity(
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates()
         ).persist()
-    e.count()  # fill the cache once, before the three consumers race
+        e.count()
     lab = labels.select(F.col("id"), F.col("label")).persist()
     lab.count()
     # One explode pass over the cached edge list instead of a two-scan
@@ -1136,12 +1150,28 @@ def modularity(
         .groupBy("label")
         .agg(F.sum("d").alias("d_sum"))
     ).persist()
+    # ``intra`` short-circuits the per-edge label join (r10): with
+    # labels, degrees, AND the (label, e_in) rollup all materialized
+    # snapshot products, the metric touches no per-edge data at all --
+    # |communities|-row arithmetic only (the 30x profile put this join
+    # at 13 s of the 20 s cold; plans/materialized.
+    # community_stats_frame is the once-per-snapshot build).
     e_c = (
-        e.join(lab.select(F.col("id").alias("u"), F.col("label").alias("la")), "u")
-        .join(lab.select(F.col("id").alias("v"), F.col("label").alias("lb")), "v")
-        .filter(F.col("la") == F.col("lb"))
-        .groupBy(F.col("la").alias("label"))
-        .agg(F.count(F.lit(1)).alias("e_in"))
+        intra.select("label", "e_in")
+        if intra is not None
+        else (
+            e.join(
+                lab.select(F.col("id").alias("u"), F.col("label").alias("la")),
+                "u",
+            )
+            .join(
+                lab.select(F.col("id").alias("v"), F.col("label").alias("lb")),
+                "v",
+            )
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).alias("e_in"))
+        )
     )
     # m from the handshake identity over the per-community degree sums
     # (every edge contributes exactly 2 to total degree; labels cover

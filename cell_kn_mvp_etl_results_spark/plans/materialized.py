@@ -326,6 +326,54 @@ def community_labels_frame(
     return ensure_table(spark, table, build, "id")
 
 
+def community_stats_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 2,
+    force: bool = False,
+    pairs: DataFrame | None = None,
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """Intra-community edge counts (label, e_in) of the LPA partition
+    over the radius-1 pair graph -- the LAST per-edge pass q_modularity
+    paid per cold call (r10 profile at 30x: the two-broadcast-join scan
+    of the 89.6M-row pair table was 13 s of the 20 s cold; everything
+    else is |labels|-sized). Like the labels and degrees it joins,
+    e_in is a once-per-snapshot product: the same ingest job that
+    assigns communities emits their edge rollup. With labels, degrees,
+    and stats materialized, the modularity METRIC is pure
+    |communities|-row arithmetic -- the shape it would have at 100 TB,
+    where nobody re-walks the edge set to re-score a fixed partition.
+    ``pairs``/``labels`` let inline-mode callers share their persisted
+    frames; they MUST be row-identical to the sibling frames' output."""
+
+    def build() -> DataFrame:
+        p = pairs if pairs is not None else simhash_pairs_frame(spark, sf_dir)
+        lab = (
+            labels
+            if labels is not None
+            else community_labels_frame(spark, sf_dir, iters=iters)
+        )
+        return (
+            p.join(
+                lab.select(F.col("id").alias("id_a"), F.col("label").alias("la")),
+                "id_a",
+            )
+            .join(
+                lab.select(F.col("id").alias("id_b"), F.col("label").alias("lb")),
+                "id_b",
+            )
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).alias("e_in"))
+        )
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("community_stats_auto", sf_dir, iters)
+    return ensure_table(spark, table, build, "label")
+
+
 def pair_degrees_frame(
     spark: SparkSession,
     sf_dir: str,

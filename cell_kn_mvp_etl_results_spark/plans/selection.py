@@ -237,6 +237,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .materialized import (
         community_labels_frame,
+        community_stats_frame,
         materialize_enabled,
         pair_degrees_frame,
         simhash_pairs_frame,
@@ -252,15 +253,31 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPARK_GRAFT_MATERIALIZE=0 the inline pair regeneration is
     # persisted and passed into the inline LPA + degree builds so all
     # three consumers still share one computation.
-    pairs = simhash_pairs_frame(spark, sf_dir)
-    if not materialize_enabled():
-        pairs = pairs.persist()
+    if materialize_enabled():
+        # Fully-materialized metric path: labels, degrees, and the
+        # intra-community rollup are all snapshot tables, so the pair
+        # table is never touched -- don't even resolve it (its
+        # schema-recovery registration was ~3 s of the 30x cold).
+        pairs = None
+    else:
+        # Inline mode: ONE persisted pair regeneration feeds the LPA
+        # build, the degree build, the stats build, and the metric.
+        pairs = simhash_pairs_frame(spark, sf_dir).persist()
     labels = community_labels_frame(spark, sf_dir, iters=2, pairs=pairs)
     degrees = pair_degrees_frame(spark, sf_dir, pairs=pairs)
+    intra = community_stats_frame(
+        spark, sf_dir, iters=2, pairs=pairs, labels=labels
+    )
     # simhash_pairs_frame's contract is (id_a < id_b, distinct): skip
     # the operator's defensive re-canonicalization exchange.
     return gr.modularity(
-        pairs, labels, "id_a", "id_b", assume_canonical=True, degrees=degrees
+        pairs,
+        labels,
+        "id_a",
+        "id_b",
+        assume_canonical=True,
+        degrees=degrees,
+        intra=intra,
     )
 
 

@@ -434,9 +434,17 @@ assert len(set(_R9_GATED)) == GATE_BUDGET
 #     #4): q_first_band_pairs (map-side first-band candidate dedup),
 #     q_bpe_natural_vocab (natural-vocabulary merge table),
 #     q_incremental_cycle (two-batch upsert composition);
-#   * the 34 stalest veterans -- of the 44 non-headliner r7 gates
+#   * q_modularity (latest row r8): its PLAN changed materially in r10
+#     (fully-materialized metric path -- community_stats_frame +
+#     degrees short-circuits, edges never resolved) -- changed plans
+#     stay correctness-gated, the same doctrine that kept the r9
+#     headliners gated through their SQL-text posture change;
+#   * the 33 stalest veterans -- of the 44 non-headliner r7 gates
 #     (latest row r7), taken newest-first by registration order until
-#     the budget fills.
+#     the budget fills (q_union_distinct, the oldest-registered of the
+#     34 that would have fit, yields its slot to q_modularity; its U1
+#     family stays covered by q_except/q_except_all in-budget and the
+#     parity suite).
 # The 10 r7-gate veterans that do not fit (oldest registrations:
 # q_json_props, q_rolling_window, q_hourly_rollup, q_sessionize,
 # q_top1_per_group, q_lookup_first_of_many, q_semi_join, q_anti_join,
@@ -470,7 +478,9 @@ _R10_GATED = (
     "q_first_band_pairs",
     "q_bpe_natural_vocab",
     "q_incremental_cycle",
-    # --- 34 stalest veterans (latest row r7), newest-first by seq ---
+    # --- plan changed in r10 (materialized metric path) ---
+    "q_modularity",
+    # --- 33 stalest veterans (latest row r7), newest-first by seq ---
     "q_pivot",
     "q_percentiles",
     "q_asof_join",
@@ -504,7 +514,6 @@ _R10_GATED = (
     "q_stable_uuid",
     "q_except",
     "q_except_all",
-    "q_union_distinct",
 )
 assert len(_R10_GATED) == GATE_BUDGET, len(_R10_GATED)
 assert len(set(_R10_GATED)) == GATE_BUDGET

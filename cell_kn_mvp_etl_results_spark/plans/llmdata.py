@@ -438,7 +438,13 @@ def q_incremental_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.filter((m != 0) & (m != 5))
     delta1 = d.filter(m == 0)
     delta2 = d.filter(m == 5)
-    idx0 = dd.minhash_bucket_index(base, "doc_id", "text")
+    # The base index feeds BOTH probes (p1 directly; p2 through the
+    # upsert union): persist so the base corpus signs once per
+    # evaluation. In the lake posture this frame IS a persisted
+    # bucketed table (materialized.minhash_index_frame's doctrine);
+    # the gate keeps it in-plan because its batch split (base
+    # excludes two residues) differs from the standing index's.
+    idx0 = dd.minhash_bucket_index(base, "doc_id", "text").persist()
     p1 = dd.incremental_minhash_pairs(idx0, delta1, "doc_id", "text").withColumn(
         "kind", F.lit("delta1")
     )

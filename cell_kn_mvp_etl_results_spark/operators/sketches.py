@@ -261,3 +261,98 @@ def bloom_probe(
         .agg(F.sum(hit).alias("_hits"))
         .select("key", (F.col("_hits") == k_hashes).alias("maybe_member"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. '07) -- the cardinality member
+# of the portable-sketch family beside count-min and Bloom: md5-derived
+# hashes, integer-exact register math, so the sketch and its estimate
+# are oracle-gateable (q_hll_distinct), unlike the engine-specific
+# built-in HLL++ above.
+# ---------------------------------------------------------------------------
+
+HLL_P = 9  # 2^9 = 512 registers; std err ~ 1.04/sqrt(512) ~ 4.6%
+HLL_M = 1 << HLL_P
+_HLL_W = 48 - HLL_P  # bits of the 48-bit portable hash left for rho
+HLL_RMAX = _HLL_W + 1  # rho of the all-zero suffix
+# alpha_m * m^2 * 2^RMAX, precomputed HERE and inlined as the SAME
+# float literal into the Spark plan and the DuckDB oracle, so neither
+# engine evaluates the constant expression itself -- the estimator is
+# then one exact-integer division per group on both sides.
+HLL_CONST = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << HLL_RMAX)
+# linear-counting threshold 2.5 * m, the published small-range switch
+HLL_SMALL = 2.5 * HLL_M
+
+
+def hll_registers(df: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
+    """HLL register table (*group_cols, bucket, r): bucket = low
+    ``HLL_P`` bits of the portable 48-bit md5 hash, r = max over the
+    group of rho(w) where w is the remaining bits and rho = position of
+    the LOWEST set bit (1-based; RMAX for w == 0) -- trailing-zero rank
+    is geometric(1/2) exactly like the classical leading-zero rank and
+    is expressible as the same branch chain in Spark and SQL. Absent
+    buckets mean register 0 (no key hashed there).
+
+    Duplicates of a key produce identical (bucket, rho) rows, so the
+    max-aggregation makes the register table a function of the DISTINCT
+    key set -- the sketch property. Registers of corpus shards merge by
+    per-bucket max; the aggregation key space is bounded by
+    |groups| x m, never corpus-sized (map-side combine collapses each
+    task to <= m rows per group before the exchange).
+    """
+    from .dedup import portable_hash48
+
+    h = portable_hash48(F.col(key_col))
+    bucket = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(h, HLL_P)
+    rho = F.lit(HLL_RMAX)
+    for k in reversed(range(_HLL_W)):
+        rho = F.when(
+            F.shiftright(w, k).bitwiseAND(F.lit(1)) == 1, F.lit(k + 1)
+        ).otherwise(rho)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
+    """Distinct-count estimate per group from an ``hll_registers``
+    table: (*group_cols, est_distinct).
+
+    Exact-shape arithmetic: S = sum_j 2^(RMAX - M[j]) with empty
+    registers contributing 2^RMAX is an exact long (<= m * 2^RMAX ~
+    2^49); the raw estimate is ONE double division HLL_CONST / S of the
+    inlined literal by that integer -- bit-identical across engines.
+    The published small-range switch applies linear counting
+    m * ln(m / V) when the raw estimate <= 2.5m and V (empty registers)
+    > 0; ln is the one transcendental in the family and is within
+    1 ulp on both engines, so the floor() to integer could in principle
+    differ when m*ln(m/V) sits within a ulp of an integer -- the same
+    accepted boundary class as q_modularity's q_ppm floor.
+    """
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - r AS INT))")
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(term).alias("_s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("_n_present")
+    s_total = F.col("_s_present") + v.cast("long") * F.lit(1 << HLL_RMAX)
+    e_raw = F.lit(HLL_CONST) / s_total.cast("double")
+    e_lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
+    est = F.when((e_raw <= F.lit(HLL_SMALL)) & (v > 0), e_lin).otherwise(e_raw)
+    return per.select(
+        *group_cols, F.floor(est).cast("long").alias("est_distinct")
+    )
+
+
+def hll_rho_case_sql(w_expr: str) -> str:
+    """The DuckDB spelling of the rho branch chain over ``w_expr`` --
+    generated from the same constants as the Spark chain so the two
+    cannot drift."""
+    whens = "\n         ".join(
+        f"WHEN ({w_expr} >> {k}) & 1 = 1 THEN {k + 1}"
+        for k in range(_HLL_W)
+    )
+    return f"CASE {whens}\n         ELSE {HLL_RMAX} END"

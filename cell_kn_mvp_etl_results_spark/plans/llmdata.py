@@ -1674,6 +1674,115 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    """DuckDB twin of the portable-HLL audit, generated from the SAME
+    constants as operators/sketches (HLL_CONST/HLL_SMALL inlined as
+    identical float literals; the rho branch chain from
+    hll_rho_case_sql) so the two spellings cannot drift."""
+    from ..operators import sketches as sk
+
+    rho = sk.hll_rho_case_sql("w")
+    shift = f"(CAST(1 AS BIGINT) << {sk.HLL_RMAX})"
+    s_total = (
+        f"CAST(s_present + ({sk.HLL_M} - n_present) * {shift} AS DOUBLE)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+wb AS (
+  SELECT source,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT % {sk.HLL_M} AS bucket,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT // {sk.HLL_M} AS w
+  FROM nz
+),
+regs AS (
+  SELECT source, bucket,
+         max({rho}) AS r
+  FROM wb GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({sk.HLL_RMAX} - r)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source,
+         CAST(floor(
+           CASE WHEN {sk.HLL_CONST!r} / {s_total} <= {sk.HLL_SMALL!r}
+                 AND ({sk.HLL_M} - n_present) > 0
+                THEN {float(sk.HLL_M)!r}
+                     * ln({float(sk.HLL_M)!r}
+                          / CAST({sk.HLL_M} - n_present AS DOUBLE))
+                ELSE {sk.HLL_CONST!r} / {s_total}
+           END) AS BIGINT) AS est_distinct
+  FROM per
+),
+exact AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM nz GROUP BY source
+)
+SELECT exact.source, exact_distinct, est_distinct,
+       CAST(floor(1000.0 * abs(est_distinct - exact_distinct)
+                  / exact_distinct) AS BIGINT) AS err_permille
+FROM exact JOIN est USING (source)
+ORDER BY source
+"""
+
+
+@query(
+    "q_hll_distinct",
+    tags=("sketch", "text"),
+    priority=TAIL,  # added r10 -- r11 rotation promotes it (registry plan)
+    oracle=_hll_oracle(),
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL cardinality audit (operators/sketches.hll_*): per
+    source, the 512-register HyperLogLog estimate of distinct tokens
+    next to the exact count and the error in integer permille -- the
+    cardinality member of the portable-sketch family beside
+    q_countmin_tokens and q_bloom_decontaminate, with the same
+    doctrine: md5-derived hashes and exact-shape arithmetic make the
+    sketch itself oracle-gateable, while the audit columns make its
+    error concrete instead of asserted. At 100 TB the register table
+    is the whole point: |sources| x 512 rows flow through the
+    aggregation regardless of corpus size, and shard registers merge
+    by per-bucket max where exact distinct needs a corpus-wide
+    shuffle.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    regs = sk.hll_registers(toks, "tok", "source")
+    est = sk.hll_estimate(regs, "source")
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    err = F.floor(
+        F.lit(1000.0)
+        * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    ).cast("long")
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "est_distinct",
+            err.alias("err_permille"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "q_bloom_decontaminate",
     tags=("sketch", "dedup"),

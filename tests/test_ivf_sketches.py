@@ -215,3 +215,51 @@ def test_countmin_absent_key_estimates_zero(spark):
            sk.countmin_estimates(cells, keys, "k", depth=4, width=4096).collect()}
     assert est["present"] == 7
     assert est["absent-key"] == 0
+
+
+def test_hll_registers_merge_by_max(spark):
+    # The sketch property that makes HLL the distributed cardinality
+    # structure: registers of two shards merged by per-bucket max must
+    # equal the whole-set registers.
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    df = spark.range(3000).selectExpr("CAST(id AS STRING) AS k")
+    a = df.filter(F.col("k").cast("long") % 2 == 0)
+    b = df.filter(F.col("k").cast("long") % 2 == 1)
+    whole = {
+        (r.bucket, r.r) for r in sk.hll_registers(df, "k").collect()
+    }
+    merged = {
+        (r.bucket, r.r)
+        for r in (
+            sk.hll_registers(a, "k")
+            .unionByName(sk.hll_registers(b, "k"))
+            .groupBy("bucket")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        )
+    }
+    assert merged == whole
+
+
+def test_hll_estimate_duplicates_do_not_move_it(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    df = spark.range(2000).selectExpr("CAST(id AS STRING) AS k")
+    dup = df.unionAll(df).unionAll(df)
+    est1 = sk.hll_estimate(sk.hll_registers(df, "k")).collect()[0].est_distinct
+    est3 = sk.hll_estimate(sk.hll_registers(dup, "k")).collect()[0].est_distinct
+    assert est1 == est3
+
+
+def test_hll_estimate_accuracy_both_branches(spark):
+    # 512 registers -> std err ~4.6%; assert a generous 4-sigma bound on
+    # one small-range (linear-counting) and one raw-branch cardinality.
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    for n in (300, 20000):  # 300 < 2.5m = 1280 (linear); 20000 raw
+        df = spark.range(n).selectExpr("CAST(id AS STRING) AS k")
+        est = sk.hll_estimate(sk.hll_registers(df, "k")).collect()[0]
+        assert abs(est.est_distinct - n) < max(0.20 * n, 30), (n, est)

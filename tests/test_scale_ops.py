@@ -320,3 +320,56 @@ def test_fk_integrity_counts_orphans_and_nulls(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk long")
     got = fk_integrity([("child.fk->parent", child, "fk", parent, "pk")]).collect()
     assert [tuple(r) for r in got] == [("child.fk->parent", 4, 2)]
+
+
+def test_supplier_bucketed_matches_and_fact_join_is_exchange_free(
+    spark, sf_dir
+):
+    """The r10 supplier deployment twin: fact + order map co-bucketed on
+    the orderkey. Output must equal q_local_supplier_volume row-for-row,
+    and -- broadcast disabled to force the at-scale SMJ shape -- the
+    fact-fact join must read BOTH sides from bucketed scans with no
+    shuffle Exchange between scan and join. Ordering is NOT asserted
+    (Spark 4 drops disk sortBy propagation; the cheap per-bucket Sorts
+    remain -- see q_supplier_volume_bucketed's docstring)."""
+    from cell_kn_mvp_etl_results_spark.plans import relational as rel
+
+    want = sorted(
+        map(tuple, rel.q_local_supplier_volume(spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(tuple, rel.q_supplier_volume_bucketed(spark, sf_dir).collect())
+    )
+    assert got == want
+    assert len(want) > 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            rel.q_supplier_volume_bucketed(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i
+        for i, ln in enumerate(lines)
+        if "FileScan parquet" in ln and "supb_" in ln
+    ]
+    assert len(scans) == 2, plan
+    for i in scans:
+        assert "Bucketed: true" in lines[i], lines[i]
+        indent = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+        j = i - 1
+        while j >= 0:
+            pind = len(lines[j]) - len(lines[j].lstrip(" :+-"))
+            if pind < indent:
+                if "SortMergeJoin" in lines[j]:
+                    break
+                assert "Exchange hashpartitioning" not in lines[j], lines[j]
+                indent = pind
+            j -= 1

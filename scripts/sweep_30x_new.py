@@ -51,6 +51,8 @@ ORACLE_SKIP = {
     "q_communities": "all-pairs simhash join feeding LPA, O(n^2) at 186k docs",
     "q_modularity": "all-pairs simhash join feeding modularity, O(n^2)",
     "q_pair_index_upsert": "all-pairs simhash join in the oracle, O(n^2)",
+    "q_first_band_pairs": "all-pairs simhash join in the oracle, O(n^2)",
+    "q_incremental_cycle": "full cross-batch banding oracle, heavy at 30x",
 }
 # Results too large to ship through Python collect: noop-write instead.
 BIG_OUTPUT = {"q_truncate_budget", "q_zscore_by_source", "q_ingest_quota"}

@@ -1783,6 +1783,95 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_est_oracle() -> str:
+    """Estimate-only twin of ``_hll_oracle`` for the incremental gate:
+    the oracle recomputes the FULL-corpus estimate from scratch; the
+    Spark side merges the materialized base registers with the delta's
+    map-side registers -- exactly equal because HLL registers are a
+    function of the distinct key set and merge by per-bucket max."""
+    from ..operators import sketches as sk
+
+    rho = sk.hll_rho_case_sql("w")
+    shift = f"(CAST(1 AS BIGINT) << {sk.HLL_RMAX})"
+    s_total = (
+        f"CAST(s_present + ({sk.HLL_M} - n_present) * {shift} AS DOUBLE)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+wb AS (
+  SELECT source,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT % {sk.HLL_M} AS bucket,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT // {sk.HLL_M} AS w
+  FROM nz
+),
+regs AS (
+  SELECT source, bucket,
+         max({rho}) AS r
+  FROM wb GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({sk.HLL_RMAX} - r)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY source
+)
+SELECT source,
+       CAST(floor(
+         CASE WHEN {sk.HLL_CONST!r} / {s_total} <= {sk.HLL_SMALL!r}
+               AND ({sk.HLL_M} - n_present) > 0
+              THEN {float(sk.HLL_M)!r}
+                   * ln({float(sk.HLL_M)!r}
+                        / CAST({sk.HLL_M} - n_present AS DOUBLE))
+              ELSE {sk.HLL_CONST!r} / {s_total}
+         END) AS BIGINT) AS est_distinct
+FROM per
+ORDER BY source
+"""
+
+
+@query(
+    "q_hll_incremental",
+    tags=("sketch", "scale"),
+    priority=TAIL,  # added r10 -- r11 rotation promotes it (registry plan)
+    oracle=_hll_est_oracle(),
+)
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cardinality maintenance -- the sketch family's IVM
+    statement: when a delta batch (doc_id % 10 == 0) lands, its HLL
+    registers are computed map-side over DELTA tokens only and merged
+    by per-bucket max into the persisted base register table
+    (plans/materialized.hll_registers_frame, |sources| x 512 rows).
+    Because registers are a function of the distinct key set and merge
+    by max, the merged table -- and therefore the estimate -- is
+    EXACTLY the from-scratch full-corpus value the oracle recomputes;
+    the lake is never re-hashed. This is what q_dedup_incremental /
+    q_pair_index_upsert are to the dedup layer, for the cardinality
+    profile: per landing, work scales with |delta| + |sources| x 512.
+    """
+    from ..operators import sketches as sk
+
+    from .materialized import hll_registers_frame
+
+    d = read_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    toks = delta.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    base = hll_registers_frame(spark, sf_dir, base_mod=10)
+    merged = (
+        base.unionByName(sk.hll_registers(toks, "tok", "source"))
+        .groupBy("source", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    return sk.hll_estimate(merged, "source").orderBy("source")
+
+
 @query(
     "q_bloom_decontaminate",
     tags=("sketch", "dedup"),

@@ -326,6 +326,41 @@ def community_labels_frame(
     return ensure_table(spark, table, build, "id")
 
 
+def hll_registers_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 10,
+    force: bool = False,
+) -> DataFrame:
+    """The persisted HLL register table (source, bucket, r) of the BASE
+    corpus slice (doc_id % base_mod != 0) -- the cardinality profile's
+    incremental posture (q_hll_incremental): a landing delta computes
+    its own registers map-side and MERGES by per-bucket max instead of
+    re-hashing the lake; the merged table equals the full-corpus
+    registers exactly (sketch property, unit-pinned), so the estimate
+    is identical to from-scratch. |sources| x 512 rows regardless of
+    corpus size; bucketed on the merge join's bucket key."""
+
+    def build() -> DataFrame:
+        from ..operators import sketches as sk
+
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % base_mod != 0
+        )
+        toks = d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        ).filter(F.col("tok") != "")
+        return sk.hll_registers(toks, "tok", "source")
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("hll_registers_auto", sf_dir, base_mod)
+    return ensure_table(spark, table, build, "bucket")
+
+
 def community_stats_frame(
     spark: SparkSession,
     sf_dir: str,

@@ -356,3 +356,22 @@ def hll_rho_case_sql(w_expr: str) -> str:
         for k in range(_HLL_W)
     )
     return f"CASE {whens}\n         ELSE {HLL_RMAX} END"
+
+
+def hll_estimate_sql(n_present: str, s_present: str) -> str:
+    """The DuckDB spelling of ``hll_estimate``'s estimator over a
+    register-count column and a register-sum column -- generated from
+    the same constants as the Spark expression so oracle and plan
+    cannot drift. Yields a BIGINT (floored) expression."""
+    s_total = (
+        f"CAST({s_present} + ({HLL_M} - {n_present})"
+        f" * (CAST(1 AS BIGINT) << {HLL_RMAX}) AS DOUBLE)"
+    )
+    return f"""CAST(floor(
+           CASE WHEN {HLL_CONST!r} / {s_total} <= {HLL_SMALL!r}
+                 AND ({HLL_M} - {n_present}) > 0
+                THEN {float(HLL_M)!r}
+                     * ln({float(HLL_M)!r}
+                          / CAST({HLL_M} - {n_present} AS DOUBLE))
+                ELSE {HLL_CONST!r} / {s_total}
+           END) AS BIGINT)"""

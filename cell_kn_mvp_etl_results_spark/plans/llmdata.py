@@ -1872,6 +1872,161 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_estimate(merged, "source").orderBy("source")
 
 
+def _hll_overlap_oracle() -> str:
+    """Pairwise cross-source overlap by HLL inclusion-exclusion:
+    |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union estimate
+    comes from merge-by-max of the two sources' registers -- an EXACT
+    sketch operation, so the whole estimator is a deterministic
+    function of the register tables. The exact intersection rides
+    along as the audit column."""
+    from ..operators import sketches as sk
+
+    rho = sk.hll_rho_case_sql("w")
+    est = sk.hll_estimate_sql("n_present", "s_present")
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+wb AS (
+  SELECT source,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT % {sk.HLL_M} AS bucket,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT // {sk.HLL_M} AS w
+  FROM nz
+),
+regs AS (
+  SELECT source, bucket,
+         max({rho}) AS r
+  FROM wb GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM regs),
+prs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uregs AS (
+  SELECT p.src_a, p.src_b, r.bucket, max(r.r) AS r
+  FROM prs p JOIN regs r ON r.source IN (p.src_a, p.src_b)
+  GROUP BY 1, 2, 3
+),
+uper AS (
+  SELECT src_a, src_b,
+         count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({sk.HLL_RMAX} - r)) AS BIGINT)
+           AS s_present
+  FROM uregs GROUP BY 1, 2
+),
+uest AS (SELECT src_a, src_b, {est} AS est_union FROM uper),
+sper AS (
+  SELECT source,
+         count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({sk.HLL_RMAX} - r)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY source
+),
+sest AS (SELECT source, {est} AS est_distinct FROM sper),
+dt AS (SELECT DISTINCT source, tok FROM nz),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS exact_overlap
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       CAST(ea.est_distinct + eb.est_distinct - u.est_union AS BIGINT)
+         AS est_overlap,
+       u.est_union,
+       CAST(COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM prs p
+JOIN uest u USING (src_a, src_b)
+JOIN sest ea ON ea.source = p.src_a
+JOIN sest eb ON eb.source = p.src_b
+LEFT JOIN ov USING (src_a, src_b)
+ORDER BY src_a, src_b
+"""
+
+
+@query(
+    "q_hll_overlap",
+    tags=("sketch", "text", "scale"),
+    priority=TAIL,  # added r10 -- r11 rotation promotes it (registry plan)
+    oracle=_hll_overlap_oracle(),
+)
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source vocabulary overlap WITHOUT pairing the
+    corpus: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union
+    sketch is the per-bucket max of the two sources' HLL registers --
+    an exact sketch operation, so inclusion-exclusion needs only the
+    |sources| x 512 register table regardless of corpus size. This is
+    the curation question "which sources feed me the same content?"
+    answered at profile cost: the exact intersection (the audit
+    column) needs a distinct-token self-join that a 100 TB lake cannot
+    afford per source pair; the register table it replaces is a few
+    KB. Estimates can be negative for tiny true overlaps (variance of
+    three estimators) -- emitted as-is, not clamped, so the audit is
+    honest.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    regs = sk.hll_registers(toks, "tok", "source")
+    srcs = regs.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    members = prs.select(
+        "src_a", "src_b", F.explode(F.array("src_a", "src_b")).alias("source")
+    )
+    uregs = (
+        members.join(regs, "source")
+        .groupBy("src_a", "src_b", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    uest = sk.hll_estimate(uregs, "src_a", "src_b").withColumnRenamed(
+        "est_distinct", "est_union"
+    )
+    sest = sk.hll_estimate(regs, "source")
+    dt = toks.distinct()
+    ov = (
+        dt.select(F.col("source").alias("src_a"), "tok")
+        .join(dt.select(F.col("source").alias("src_b"), "tok"), "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = sest.select(
+        F.col("source").alias("src_a"), F.col("est_distinct").alias("_ea")
+    )
+    eb = sest.select(
+        F.col("source").alias("src_b"), F.col("est_distinct").alias("_eb")
+    )
+    return (
+        prs.join(uest, ["src_a", "src_b"])
+        .join(ea, "src_a")
+        .join(eb, "src_b")
+        .join(ov, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("_ea") + F.col("_eb") - F.col("est_union"))
+            .cast("long")
+            .alias("est_overlap"),
+            "est_union",
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("long")
+            .alias("exact_overlap"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 @query(
     "q_bloom_decontaminate",
     tags=("sketch", "dedup"),

@@ -263,3 +263,27 @@ def test_hll_estimate_accuracy_both_branches(spark):
         df = spark.range(n).selectExpr("CAST(id AS STRING) AS k")
         est = sk.hll_estimate(sk.hll_registers(df, "k")).collect()[0]
         assert abs(est.est_distinct - n) < max(0.20 * n, 30), (n, est)
+
+
+def test_hll_union_inclusion_exclusion_accuracy(spark):
+    # |A|=|B|=5000 with a known 2500-element intersection: the
+    # inclusion-exclusion overlap estimate from merged registers must
+    # land near truth (three ~4.6%-stderr estimators compound; allow a
+    # generous bound).
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    a = spark.range(0, 5000).selectExpr("'A' AS g", "CAST(id AS STRING) AS k")
+    b = spark.range(2500, 7500).selectExpr("'B' AS g", "CAST(id AS STRING) AS k")
+    regs = sk.hll_registers(a.unionAll(b), "k", "g")
+    singles = {
+        r.g: r.est_distinct for r in sk.hll_estimate(regs, "g").collect()
+    }
+    union = (
+        regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    est_union = sk.hll_estimate(union).collect()[0].est_distinct
+    est_overlap = singles["A"] + singles["B"] - est_union
+    assert abs(est_union - 7500) < 0.20 * 7500, est_union
+    assert abs(est_overlap - 2500) < 0.35 * 2500, est_overlap

@@ -454,8 +454,10 @@ assert len(set(_R9_GATED)) == GATE_BUDGET
 # green r9 rows). After r10, no query's latest green row is older
 # than r7.
 #
-# r11 rotation plan: promote the 10 overflow veterans above plus any
-# queries added in r10 that lack a driver row, then the stalest
+# r11 rotation plan: promote the 10 overflow veterans above plus the
+# 4 queries ADDED in r10 that lack a driver row
+# (q_supplier_volume_bucketed, q_hll_distinct, q_hll_incremental,
+# q_hll_overlap -- all TAIL, pytest-parity green), then the stalest
 # veterans (latest row r8) newest-first until the budget fills; keep
 # the 6 headliners; demote the r10 gates.
 _R10_GATED = (

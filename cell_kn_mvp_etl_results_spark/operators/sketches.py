@@ -300,9 +300,22 @@ def hll_registers(df: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
     |groups| x m, never corpus-sized (map-side combine collapses each
     task to <= m rows per group before the exchange).
     """
+    bucket, rho = hll_bucket_rho(F.col(key_col))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_bucket_rho(key) -> tuple:
+    """The per-key (bucket, rho) projection behind ``hll_registers`` --
+    pure map-side expressions, shared with the streaming twin
+    (streaming/windows.hll_register_stream) so batch and ingest
+    contribute byte-identical register rows."""
     from .dedup import portable_hash48
 
-    h = portable_hash48(F.col(key_col))
+    h = portable_hash48(key)
     bucket = h.bitwiseAND(F.lit(HLL_M - 1))
     w = F.shiftright(h, HLL_P)
     rho = F.lit(HLL_RMAX)
@@ -310,11 +323,7 @@ def hll_registers(df: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
         rho = F.when(
             F.shiftright(w, k).bitwiseAND(F.lit(1)) == 1, F.lit(k + 1)
         ).otherwise(rho)
-    return (
-        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    return bucket, rho
 
 
 def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:

@@ -243,3 +243,32 @@ def incremental_probe_stream(
         "band",
         (matches / F.lit(float(num_perm))).alias("est_jaccard"),
     )
+
+
+def hll_register_stream(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Cardinality profiling at INGEST: every arriving document's
+    tokens are hashed map-side into HLL (group, bucket, rho)
+    contribution rows -- the streaming twin of
+    ``operators/sketches.hll_registers``, for pipelines where the
+    corpus arrives as a stream. Stateless and append-legal (no
+    watermark, no state store): the register MERGE is a downstream
+    max-aggregation (or the persisted base table's compaction job, the
+    ``q_hll_incremental`` posture), and because max is order- and
+    duplicate-insensitive, ANY partition of the stream into batches
+    merges to exactly the batch operator's registers -- estimate
+    included (test-pinned in tests/test_multimodal_streaming.py). The
+    SAME call works on a static frame: backfill and live ingest
+    contribute byte-identical rows.
+    """
+    from ..operators.sketches import hll_bucket_rho
+
+    toks = docs.select(
+        group_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    bucket, rho = hll_bucket_rho(F.col("tok"))
+    return toks.select(group_col, bucket.alias("bucket"), rho.alias("rho"))

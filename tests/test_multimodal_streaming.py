@@ -655,3 +655,64 @@ def test_streaming_incremental_probe_matches_batch_twin(spark, sf_dir, tmp_path)
     got = sorted((i, b, e) for i, (b, e) in best.items())
     want = sorted((r.delta_id, r.base_id, r.est_jaccard) for r in batch)
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch_twin(spark, sf_dir, tmp_path):
+    """hll_register_stream availableNow e2e: the stream's contribution
+    rows, max-merged per (source, bucket), equal the batch
+    hll_registers table exactly -- and therefore so does the estimate
+    (register merge is order- and duplicate-insensitive)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+    from cell_kn_mvp_etl_results_spark.streaming.windows import (
+        hll_register_stream,
+    )
+
+    static = read_table(spark, sf_dir, "documents")
+    toks = static.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    want = sorted(
+        map(tuple, sk.hll_registers(toks, "tok", "source").collect())
+    )
+
+    stage = tmp_path / "docs_hll_stream"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"), stage / "part-0.parquet"
+    )
+    stream_docs = spark.readStream.schema(static.schema).parquet(str(stage))
+    out = hll_register_stream(stream_docs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = (
+        spark.sql("SELECT * FROM hll_regs")
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want
+    # estimate carried through the merge identically
+    est_stream = sorted(
+        map(tuple, sk.hll_estimate(merged, "source").collect())
+    )
+    est_batch = sorted(
+        map(
+            tuple,
+            sk.hll_estimate(
+                sk.hll_registers(toks, "tok", "source"), "source"
+            ).collect(),
+        )
+    )
+    assert est_stream == est_batch

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (``decode_image`` raises NotImplementedError
-unless ``fake=True``) because codec libraries are not available in this
-environment -- but everything Spark-side is real and tested: the schema
-contract, the batch iteration shape, partition sizing, and the
-deterministic fake decoder used by tests.
+Decode is REAL for the uncompressed formats the stdlib can parse
+(VERDICT r10 #4): PPM/P6 and 24-bit BMP images (pure byte parsing) and
+PCM WAV audio (``wave`` + ``struct``) -- end-to-end: synthetic payload
+bytes in, parsed dimensions / duration / integer pixel & RMS stats out,
+oracle-gated (q_decode_image / q_decode_audio). Compressed codecs
+(PNG/JPEG/MP3/MP4) need libraries absent in this container, so only the
+per-FRAME video decode remains a documented stub; ``fake=True``
+preserves the deterministic pseudo-decoders the plumbing tests pin.
 
 Scale notes: binary payloads ride in parquet; ``mapInPandas`` streams
 Arrow record batches so a 100 MB image row never materializes the whole
@@ -49,23 +52,91 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib P6 (binary PPM) decode -> (width, height, mean of
+    all RGB sample bytes). Header grammar: 'P6', then width, height,
+    maxval as ASCII tokens separated by whitespace with '#'-to-newline
+    comments allowed, then exactly ONE whitespace byte before the raw
+    samples."""
+    pos = 2  # past the 'P6' magic
+    vals: list[int] = []
+    while len(vals) < 3:
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+            continue
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        vals.append(int(payload[pos:end]))
+        pos = end
+    w, h, maxval = vals
+    if maxval >= 256:
+        raise ValueError("P6 with 2-byte samples not supported")
+    pos += 1  # the single whitespace byte after maxval
+    n = w * h * 3
+    data = payload[pos : pos + n]
+    if len(data) < n:
+        raise ValueError(f"truncated P6 payload: {len(data)} < {n}")
+    return w, h, sum(data) // n
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib 24-bit uncompressed (BI_RGB) BMP decode ->
+    (width, height, mean of all BGR pixel bytes). Rows are 4-byte
+    padded and stored bottom-up (or top-down when height < 0); padding
+    is excluded from the mean."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiihhI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    h = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    total = 0
+    for r in range(h):
+        start = offset + r * stride
+        row = payload[start : start + row_bytes]
+        if len(row) < row_bytes:
+            raise ValueError("truncated BMP pixel data")
+        total += sum(row)
+    return w, h, total // (w * h * 3)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     """Decode an image payload -> (width, height, mean_luma).
 
-    STUB: real decoding needs an image codec library not present in this
-    container. ``fake=True`` derives deterministic pseudo-dimensions from
-    the payload bytes so the distributed plumbing is testable end-to-end.
+    REAL for the uncompressed stdlib-parseable formats -- P6/PPM and
+    24-bit BMP (dispatch on magic bytes); mean_luma is the integer mean
+    over all pixel sample bytes, the exact-arithmetic signal the
+    q_decode_image oracle recomputes. Compressed codecs (PNG/JPEG)
+    would need an image library absent in this container and raise.
+    ``fake=True`` keeps the deterministic pseudo-decoder the plumbing
+    tests pin.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library; run with fake=True "
-            "for deterministic plumbing tests"
-        )
-    n = len(payload)
-    w = 16 + (payload[0] if n else 0)
-    h = 16 + (payload[-1] if n else 0)
-    luma = sum(payload[:64]) // max(1, min(n, 64))
-    return w, h, luma
+    if fake:
+        n = len(payload)
+        w = 16 + (payload[0] if n else 0)
+        h = 16 + (payload[-1] if n else 0)
+        luma = sum(payload[:64]) // max(1, min(n, 64))
+        return w, h, luma
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image codecs (PNG/JPEG) need an image library absent "
+        "in this container; P6/PPM and 24-bit BMP decode natively"
+    )
 
 
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -100,19 +171,47 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_wav(payload: bytes) -> tuple[int, int]:
+    """Pure-stdlib PCM WAV decode via ``wave`` + ``struct`` ->
+    (duration_ms, integer RMS over all 16-bit samples). Both outputs
+    are exact-integer arithmetic (floor division, ``math.isqrt``) so
+    the q_decode_audio oracle reproduces them bit-identically."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        sampwidth = wf.getsampwidth()
+        rate = wf.getframerate()
+        nframes = wf.getnframes()
+        raw = wf.readframes(nframes)
+    if sampwidth != 2:
+        raise ValueError(f"only 16-bit PCM supported (sampwidth={sampwidth})")
+    duration_ms = nframes * 1000 // rate
+    n = len(raw) // 2
+    if n == 0:
+        return duration_ms, 0
+    samples = struct.unpack(f"<{n}h", raw)
+    return duration_ms, math.isqrt(sum(s * s for s in samples) // n)
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Decode an audio payload -> (duration_ms, rms_level). STUB: real
-    decoding needs an audio codec library; ``fake=True`` derives
-    deterministic pseudo-features so the plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decoding requires a codec library; run with fake=True "
-            "for deterministic plumbing tests"
-        )
-    n = len(payload)
-    duration_ms = n // 16  # pretend 16 bytes/ms
-    rms = (sum(b * b for b in payload[:256]) // max(1, min(n, 256))) % 1000
-    return duration_ms, rms
+    """Decode an audio payload -> (duration_ms, rms_level). REAL for
+    PCM WAV (stdlib ``wave``); compressed codecs (MP3/AAC) would need
+    an audio library absent in this container and raise. ``fake=True``
+    keeps the deterministic pseudo-decoder the plumbing tests pin."""
+    if fake:
+        n = len(payload)
+        duration_ms = n // 16  # pretend 16 bytes/ms
+        rms = (sum(b * b for b in payload[:256]) // max(1, min(n, 256))) % 1000
+        return duration_ms, rms
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        "compressed audio codecs (MP3/AAC) need an audio library absent "
+        "in this container; PCM WAV decodes natively"
+    )
 
 
 def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -132,6 +231,66 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+def encode_ppm(ident: int) -> bytes:
+    """Deterministic parametric P6 fixture: width/height and every
+    pixel byte are closed-form functions of ``ident``, so an SQL oracle
+    can recompute the decoded stats without ever seeing the bytes
+    (width = 4 + id % 13, height = 3 + id % 7, sample k =
+    (id*31 + k) % 256)."""
+    w = 4 + ident % 13
+    h = 3 + ident % 7
+    n = w * h * 3
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes((ident * 31 + k) % 256 for k in range(n))
+
+
+def encode_wav(ident: int) -> bytes:
+    """Deterministic parametric PCM-WAV fixture (mono, 16-bit, 8 kHz):
+    n = 64 + id % 32 samples, sample i = ((id*7 + i*13) % 2001) - 1000
+    -- closed-form so the q_decode_audio oracle recomputes duration and
+    RMS from the parameters alone."""
+    import io
+    import struct
+    import wave
+
+    n = 64 + ident % 32
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(
+            struct.pack(
+                f"<{n}h",
+                *(((ident * 7 + i * 13) % 2001) - 1000 for i in range(n)),
+            )
+        )
+    return buf.getvalue()
+
+
+def synthetic_media(ids: DataFrame, kind: str, id_col: str = "media_id") -> DataFrame:
+    """Materialize parametric media payloads for the decode gates: one
+    MEDIA_SCHEMA row per input id, payload bytes generated map-side in
+    the same Arrow-batched ``mapInPandas`` shape real ingest uses (the
+    encode twin of image_features/audio_features -- partitioning and
+    batch shape identical, so the decode path under test is the
+    production path)."""
+    enc = {"image": (encode_ppm, "image/x-portable-pixmap"),
+           "audio": (encode_wav, "audio/wav")}[kind]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), kind, enc[0](int(mid)), enc[1])
+                for mid in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "mime"]
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

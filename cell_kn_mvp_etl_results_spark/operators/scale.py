@@ -15,6 +15,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+BUCKET_SPEC_FILE = "_BUCKET_SPEC"
+
+
+def write_bucket_spec(
+    spark: SparkSession, table: str, bucket_col: str, num_buckets: int
+) -> None:
+    """Record the bucket spec as a ``_BUCKET_SPEC`` sidecar JSON inside
+    the table directory. A catalog entry dies with its session, but the
+    directory survives; the sidecar makes the layout's TRUE spec
+    recoverable so a later session can never re-register the files
+    under a drifted (bucket_col, num_buckets) -- the wrong-results
+    class ``register_surviving_bucketed`` guards against (a
+    mis-declared spec would plan exchange-free SMJs over wrongly
+    co-located buckets and silently drop join matches)."""
+    import json
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}/{BUCKET_SPEC_FILE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(
+        bytearray(
+            json.dumps(
+                {"bucket_col": bucket_col, "num_buckets": num_buckets}
+            ).encode()
+        )
+    )
+    out.close()
+
+
+def read_bucket_spec(spark: SparkSession, table: str) -> "dict | None":
+    """Read a table directory's ``_BUCKET_SPEC`` sidecar; None when the
+    directory predates the sidecar (or was not written by this
+    package's bucketed writers)."""
+    import json
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}/{BUCKET_SPEC_FILE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -24,12 +77,15 @@ def write_bucketed(
 ) -> None:
     """Persist a table bucketed (and optionally sorted) by the join key.
     Joins between tables bucketed the same way need no Exchange -- the
-    classic co-located join for fact-fact joins run repeatedly.
+    classic co-located join for fact-fact joins run repeatedly. The
+    spec is recorded in a ``_BUCKET_SPEC`` sidecar so a later session
+    can recover the layout safely (see ``write_bucket_spec``).
     """
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+    write_bucket_spec(df.sparkSession, table, bucket_col, num_buckets)
 
 
 def bucketed_join(

@@ -101,10 +101,19 @@ def _khop_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One shared bucket count for the khop lake layout: the BUILD
+# (materialize_khop_bucketed) and the cross-session RECOVERY
+# (register_surviving_bucketed call in q_khop_paths_bucketed) must
+# declare the same spec, and the table-name fingerprint folds it in so
+# a changed count lands on different tables instead of a surviving
+# directory with a drifted spec (ADVICE r10).
+KHOP_NUM_BUCKETS = 32
+
+
 def materialize_khop_bucketed(
     spark: SparkSession,
     sf_dir: str,
-    num_buckets: int = 32,
+    num_buckets: int = KHOP_NUM_BUCKETS,
     prefix: str = "khop",
 ) -> dict[str, str]:
     """One-time steady-state build: write each hop relation and the
@@ -146,29 +155,31 @@ def materialize_khop_bucketed(
     # the bucketed scan and re-shuffles the edge side); literals
     # constant-fold out of the join condition, which is exactly what
     # keeps the bucketed scan exchange-free.
+    from ..operators.scale import write_bucketed
+
     for coll in ("O", "P"):
         t = f"{prefix}_hop_{coll.lower()}"
         drop(t)
-        (
+        write_bucketed(
             rels[coll]
             .select("src_key", "dst_key")
-            .repartition(num_buckets, "src_key")
-            .write.mode("overwrite")
-            .bucketBy(num_buckets, "src_key")
-            .sortBy("src_key")
-            .saveAsTable(t)
+            .repartition(num_buckets, "src_key"),
+            t,
+            "src_key",
+            num_buckets=num_buckets,
+            sort_col="src_key",
         )
         names[coll] = t
     t = f"{prefix}_term_s"
     drop(t)
-    (
+    write_bucketed(
         terminal_stats(rels["S"], "S")
         .select("node_key", "_bkt", "_bm", "_deg")
-        .repartition(num_buckets, "node_key")
-        .write.mode("overwrite")
-        .bucketBy(num_buckets, "node_key")
-        .sortBy("node_key")
-        .saveAsTable(t)
+        .repartition(num_buckets, "node_key"),
+        t,
+        "node_key",
+        num_buckets=num_buckets,
+        sort_col="node_key",
     )
     names["term"] = t
     return names
@@ -565,6 +576,7 @@ def q_khop_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sf_dir,
                 _fingerprint(f"{sf_dir}/orders.parquet"),
                 _fingerprint(f"{sf_dir}/lineitem.parquet"),
+                KHOP_NUM_BUCKETS,
             )
         ).encode()
     ).hexdigest()[:8]
@@ -582,12 +594,17 @@ def q_khop_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{prefix}_term_s": "node_key",
         }
         recovered = {
-            t: register_surviving_bucketed(spark, t, key) is not None
+            t: register_surviving_bucketed(
+                spark, t, key, num_buckets=KHOP_NUM_BUCKETS
+            )
+            is not None
             for t, key in specs.items()
             if not spark.catalog.tableExists(t)
         }
         if not all(recovered.values()):
-            materialize_khop_bucketed(spark, sf_dir, prefix=prefix)
+            materialize_khop_bucketed(
+                spark, sf_dir, num_buckets=KHOP_NUM_BUCKETS, prefix=prefix
+            )
     return khop_paths_bucketed(spark, sf_dir, prefix=prefix)
 
 

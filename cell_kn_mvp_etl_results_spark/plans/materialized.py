@@ -67,6 +67,36 @@ def _warehouse_dir(spark: SparkSession, table: str) -> str:
     return f"{wh}/{table}"
 
 
+def physical_table_name(table: str, bucket_col: str, num_buckets: int) -> str:
+    """The on-disk/catalog name ``ensure_table`` uses: the logical
+    fingerprint name with the bucket spec folded in (ADVICE r10), so a
+    changed spec can never be recovered against an old layout."""
+    return f"{table}_{bucket_col}{num_buckets}"
+
+
+def _surviving_bucket_ids(fs, jvm, path: str, num_buckets: int) -> "set | None":
+    """Bucket ids recovered from Spark's own bucket-file naming
+    (``part-*-<uuid>_NNNNN.c000...``). None when ANY data file lacks
+    the ``_NNNNN`` suffix or carries an id >= ``num_buckets`` -- i.e.
+    the directory is provably NOT a bucketed layout matching the
+    declared spec."""
+    import re
+
+    ids: set = set()
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        m = re.search(r"_(\d{5})\.", name)
+        if m is None:
+            return None
+        bid = int(m.group(1))
+        if bid >= num_buckets:
+            return None
+        ids.add(bid)
+    return ids
+
+
 def register_surviving_bucketed(
     spark: SparkSession,
     table: str,
@@ -77,33 +107,59 @@ def register_surviving_bucketed(
     with a previous session (r10): RE-REGISTER the surviving warehouse
     directory as an EXTERNAL table with the matching CLUSTERED/SORTED
     spec, restoring the exchange-free co-located scan the build paid
-    for -- the bucket files were written by Spark's own bucketed
-    writer, so the layout metadata is recoverable from the spec alone
-    (verified: a fresh session's bucketed self-join plans 0 sorts,
-    tests/test_materialized.py). Before this, a restart silently
-    degraded every consumer to re-shuffling the "bucketed" table per
-    query (ensure_table's old tier 2 read it as plain parquet;
-    q_khop_paths_bucketed re-BUILT its three tables from scratch).
-    Returns None when no complete (_SUCCESS) directory survives."""
+    for. Before this, a restart silently degraded every consumer to
+    re-shuffling the "bucketed" table per query (ensure_table's old
+    tier 2 read it as plain parquet; q_khop_paths_bucketed re-BUILT
+    its three tables from scratch).
+
+    The declared spec is VERIFIED against the on-disk evidence before
+    registering (VERDICT r10 #3: a drifted caller -- changed default,
+    renamed column -- must never plan exchange-free SMJs over
+    wrongly-declared buckets, a silent wrong-results class):
+
+    1. the ``_BUCKET_SPEC`` sidecar ``write_bucketed`` records must,
+       when present, match (bucket_col, num_buckets) exactly;
+    2. every data file must carry Spark's ``_NNNNN`` bucket-id suffix
+       with id < num_buckets;
+    3. without a sidecar (a directory not written by this package's
+       writers), the filename evidence must be COMPLETE -- ids exactly
+       {0..num_buckets-1} -- because a 16-bucket layout's ids all pass
+       a declared-32 max check; an incomplete set refuses recovery.
+
+    Returns None when no complete (_SUCCESS) directory survives or the
+    evidence mismatches (the caller rebuilds / reads plain parquet --
+    rows stay correct, only the layout claim is dropped). Genuine
+    defects past validation (unreadable schema, CREATE TABLE failure)
+    RAISE instead of being swallowed."""
+    from ..operators.scale import read_bucket_spec
+
     path = _warehouse_dir(spark, table)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")):
         return None
-    try:
-        sch = spark.read.parquet(path).schema
-        ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
-        )
-        spark.sql(
-            f"CREATE TABLE {table} ({ddl}) USING parquet "
-            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
-            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
-        )
-        return spark.table(table)
-    except Exception:
+    spec = read_bucket_spec(spark, table)
+    if spec is not None and (
+        spec.get("bucket_col") != bucket_col
+        or spec.get("num_buckets") != num_buckets
+    ):
         return None
+    ids = _surviving_bucket_ids(fs, jvm, path, num_buckets)
+    if ids is None or not ids:
+        return None
+    if spec is None and ids != set(range(num_buckets)):
+        return None
+    sch = spark.read.parquet(path).schema
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(table)
 
 
 def ensure_table(
@@ -135,8 +191,15 @@ def ensure_table(
     second process deleting the first's still-_SUCCESS-less in-flight
     directory as orphaned -- distinguishing a crash from an in-flight
     writer needs a lock service the engine does not assume.
+
+    The PHYSICAL name folds in the bucket spec (``{table}_{col}{n}``,
+    ADVICE r10): a caller that changes ``bucket_col``/``num_buckets``
+    between versions lands on a DIFFERENT directory and rebuilds,
+    instead of recovering an old layout under a wrong declared spec.
     """
     from ..operators.scale import write_bucketed
+
+    table = physical_table_name(table, bucket_col, num_buckets)
 
     if spark.catalog.tableExists(table):
         return spark.table(table)

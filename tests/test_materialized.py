@@ -52,11 +52,14 @@ def test_materialized_table_survives_and_serves_reuse(spark, sf_dir):
     # exists after first use and that a re-read returns the same rows.
     from cell_kn_mvp_etl_results_spark.plans.materialized import (
         _auto_name,
+        physical_table_name,
         simhash_pairs_frame,
     )
 
     a = sorted(map(tuple, simhash_pairs_frame(spark, sf_dir).collect()))
-    table = _auto_name("simhash_pairs_auto", sf_dir, 32, 1)
+    table = physical_table_name(
+        _auto_name("simhash_pairs_auto", sf_dir, 32, 1), "id_a", 32
+    )
     # Tier 1 (built this session -> catalog) or tier 2 (surviving
     # on-disk table from a previous session, read directly): either
     # way the materialization must exist on disk after first use.
@@ -86,10 +89,13 @@ def test_ensure_table_recovers_from_partial_write(spark, sf_dir):
     from cell_kn_mvp_etl_results_spark.plans.materialized import (
         _warehouse_dir,
         ensure_table,
+        physical_table_name,
     )
 
     table = f"mat_test_{uuid.uuid4().hex[:8]}"
-    path = _warehouse_dir(spark, table)
+    # plant the orphan at the PHYSICAL (spec-folded) path ensure_table
+    # builds into
+    path = _warehouse_dir(spark, physical_table_name(table, "id", 32))
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/part-orphan.parquet")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -105,7 +111,9 @@ def test_ensure_table_recovers_from_partial_write(spark, sf_dir):
     # second call serves tier 1 (catalog) -- same rows, no rebuild error
     again = sorted(map(tuple, ensure_table(spark, table, build, "id").collect()))
     assert again == got
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"DROP TABLE IF EXISTS {physical_table_name(table, 'id', 32)}"
+    )
     root = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(root):
         fs.delete(root, True)
@@ -174,3 +182,101 @@ def test_register_surviving_bucketed_missing_returns_none(spark):
     assert (
         register_surviving_bucketed(spark, "rsb_never_written", "k", 8) is None
     )
+
+
+def _copy_table_dir(spark, src_table: str, dst_table: str) -> str:
+    """Simulate 'files survived, catalog entry died': copy a managed
+    table's directory to a name with no catalog entry."""
+    import os
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.plans.materialized import _warehouse_dir
+
+    src = _warehouse_dir(spark, src_table).replace("file:", "")
+    dst = _warehouse_dir(spark, dst_table).replace("file:", "")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+    return dst
+
+
+def test_register_surviving_refuses_wrong_bucket_count(spark):
+    # VERDICT r10 #3 negative test: a directory WRITTEN with 16 buckets
+    # must REFUSE recovery declared as 32 -- re-registering it would
+    # plan exchange-free SMJs over wrongly-declared buckets (silent
+    # wrong results). Both evidence layers must hold:
+    #  * with the _BUCKET_SPEC sidecar (write_bucketed path): spec
+    #    mismatch -> None;
+    #  * without it (foreign writer): 16-bucket filename ids 0..15 all
+    #    pass a max<32 check, so completeness {0..31} is required.
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.operators.scale import (
+        BUCKET_SPEC_FILE,
+        write_bucketed,
+    )
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS rsb_16src")
+    for t in ("rsb_16copy", "rsb_16copy_nospec"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.range(5000).selectExpr("id AS k", "id * 3 AS v")
+    write_bucketed(df.repartition(16, "k"), "rsb_16src", "k", num_buckets=16)
+
+    dst = _copy_table_dir(spark, "rsb_16src", "rsb_16copy")
+    assert register_surviving_bucketed(spark, "rsb_16copy", "k", 32) is None
+    assert not spark.catalog.tableExists("rsb_16copy")
+    # correct spec still recovers
+    rec = register_surviving_bucketed(spark, "rsb_16copy", "k", 16)
+    assert rec is not None and rec.count() == 5000
+    spark.sql("DROP TABLE rsb_16copy")
+    shutil.rmtree(dst)
+
+    dst2 = _copy_table_dir(spark, "rsb_16src", "rsb_16copy_nospec")
+    import os
+
+    os.remove(f"{dst2}/{BUCKET_SPEC_FILE}")
+    assert (
+        register_surviving_bucketed(spark, "rsb_16copy_nospec", "k", 32)
+        is None
+    )
+    shutil.rmtree(dst2)
+    spark.sql("DROP TABLE rsb_16src")
+
+
+def test_register_surviving_refuses_wrong_bucket_col(spark):
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.operators.scale import write_bucketed
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS rsb_colsrc")
+    spark.sql("DROP TABLE IF EXISTS rsb_colcopy")
+    df = spark.range(1000).selectExpr("id AS k", "id * 7 AS v")
+    write_bucketed(df.repartition(8, "k"), "rsb_colsrc", "k", num_buckets=8)
+    dst = _copy_table_dir(spark, "rsb_colsrc", "rsb_colcopy")
+    # declared bucket column drifted (renamed) -> must refuse
+    assert register_surviving_bucketed(spark, "rsb_colcopy", "v", 8) is None
+    assert not spark.catalog.tableExists("rsb_colcopy")
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_colsrc")
+
+
+def test_bucket_spec_sidecar_roundtrip(spark):
+    from cell_kn_mvp_etl_results_spark.operators.scale import (
+        read_bucket_spec,
+        write_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS rsb_specrt")
+    df = spark.range(100).selectExpr("id AS k", "id AS v")
+    write_bucketed(
+        df.repartition(4, "k"), "rsb_specrt", "k", num_buckets=4, sort_col="k"
+    )
+    spec = read_bucket_spec(spark, "rsb_specrt")
+    assert spec == {"bucket_col": "k", "num_buckets": 4}
+    spark.sql("DROP TABLE rsb_specrt")

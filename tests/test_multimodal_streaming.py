@@ -716,3 +716,85 @@ def test_streaming_hll_registers_match_batch_twin(spark, sf_dir, tmp_path):
         )
     )
     assert est_stream == est_batch
+
+
+def test_decode_ppm_real_roundtrip():
+    # r11: decode is REAL for P6 -- header grammar (comments allowed),
+    # sample layout, exact-integer mean.
+    for ident in (0, 5, 12, 9999):
+        w, h, luma = mm.decode_image(mm.encode_ppm(ident))
+        n = (4 + ident % 13) * (3 + ident % 7) * 3
+        assert (w, h) == (4 + ident % 13, 3 + ident % 7)
+        assert luma == sum((ident * 31 + k) % 256 for k in range(n)) // n
+    # comment in header parses
+    w, h, luma = mm.decode_image(b"P6\n# a comment\n2 1\n255\n" + bytes(6))
+    assert (w, h, luma) == (2, 1, 0)
+
+
+def test_decode_ppm_truncated_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(b"P6\n4 4\n255\n" + bytes(5))
+
+
+def test_decode_bmp_real():
+    import struct
+
+    w, h = 5, 3
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    row = bytes((7 * i) % 256 for i in range(row_bytes))
+    px = b"".join(row + b"\x00" * (stride - row_bytes) for _ in range(h))
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    )
+    got = mm.decode_image(hdr + px)
+    assert got == (w, h, sum(row) * h // (w * h * 3))
+
+
+def test_decode_bmp_wrong_bpp_raises():
+    import struct
+
+    import pytest
+
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiihhIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="24-bit"):
+        mm.decode_image(hdr)
+
+
+def test_decode_wav_real_roundtrip():
+    import math
+
+    for ident in (0, 3, 31, 12345):
+        dur, rms = mm.decode_audio(mm.encode_wav(ident))
+        n = 64 + ident % 32
+        samples = [((ident * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+        assert dur == n // 8
+        assert rms == math.isqrt(sum(s * s for s in samples) // n)
+
+
+def test_decode_unknown_codec_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04rest-of-an-mp3")
+
+
+def test_synthetic_media_schema_and_decode_gate_shape(spark):
+    ids = spark.range(8).selectExpr("id AS media_id")
+    media = mm.synthetic_media(ids, "image")
+    assert media.schema == mm.MEDIA_SCHEMA
+    feats = mm.image_features(media, fake=False).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert r.width == 4 + r.media_id % 13
+        assert r.height == 3 + r.media_id % 7

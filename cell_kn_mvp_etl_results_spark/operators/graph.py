@@ -1116,6 +1116,14 @@ def modularity(
         if degrees is None:
             e = e.persist()
             e.count()  # fill the cache once, before the consumers race
+    elif degrees is not None and intra is not None:
+        # Mirror of the canonical branch's consumer-count guard (ADVICE
+        # r10): with degrees AND intra both supplied, the metric reads
+        # no per-edge data at all -- canonicalizing (a full edge-set
+        # dedup shuffle) and pinning a cache entry nothing consumes
+        # would be pure waste. m still needs the edge COUNT, which the
+        # canonical sum-of-degrees identity supplies below.
+        e = None
     else:
         e = (
             edges.select(

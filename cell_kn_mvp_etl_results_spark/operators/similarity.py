@@ -130,6 +130,32 @@ def prepare_cosine_queries(
     return (q_ids, q_mat, q_labels, q_norm)
 
 
+def cosine_scored_arrow(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    quantize: int | None = 4,
+    exclude_label_col: str | None = None,
+    prepared: tuple | None = None,
+    coalesce_to: int | None = None,
+) -> DataFrame:
+    """The Arrow-scorer HEAD of ``cosine_topk_arrow`` -- everything up
+    to (and including) the per-batch top-k survivors and the merge
+    repartition, WITHOUT the rank window/final order. Split out so a
+    serving caller can register this frame (the only part that needs
+    the DataFrame API: the mapInPandas scorer closure) as a
+    per-fingerprint temp view and express the window tail as SQL text
+    per call -- the khop hop-frame posture applied to the similarity
+    headliner (VERDICT r10 #2). ``cosine_topk_arrow`` composes this
+    with the window, so the physical plan cannot drift between the two
+    call styles."""
+    return _cosine_scored(
+        emb, None, id_col, vec_col, k, quantize, exclude_label_col,
+        prepared, coalesce_to,
+    )[0]
+
+
 def cosine_topk_arrow(
     emb: DataFrame,
     queries: DataFrame | None,
@@ -165,6 +191,33 @@ def cosine_topk_arrow(
     the scan partitioning untouched). Both let a serving caller make
     the per-call plan build a handful of py4j calls (VERDICT r8 #2).
     """
+    scored, q_ids, n_out = _cosine_scored(
+        emb, queries, id_col, vec_col, k, quantize, exclude_label_col,
+        prepared, coalesce_to,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "rank", "score")
+    )
+
+
+def _cosine_scored(
+    emb: DataFrame,
+    queries: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    quantize: int | None,
+    exclude_label_col: str | None,
+    prepared: tuple | None,
+    coalesce_to: int | None,
+) -> tuple:
+    """Shared scorer construction for ``cosine_topk_arrow`` /
+    ``cosine_scored_arrow``: corpus batch sizing + the mapInPandas
+    Arrow matmul + the bounded-result merge repartition. Returns
+    (scored frame, q_ids, n_out)."""
     import numpy as np
     import pandas as pd
 
@@ -239,7 +292,6 @@ def cosine_topk_arrow(
     scored = corpus.mapInPandas(
         score, "q_id long, cand_id long, score double"
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "cand_id")
     # Merge strategy for the per-batch top-k survivors. The window input
     # is bounded by n_partitions * |q| * k rows, NOT |corpus| -- when the
     # final result (|q| * k) is small, a single-partition merge beats a
@@ -254,11 +306,7 @@ def cosine_topk_arrow(
     # merge shuffle is skipped entirely (one fewer stage per run).
     if len(q_ids) * k <= 100_000 and n_out != 1:
         scored = scored.repartition(1)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "cand_id", "rank", "score")
-    )
+    return scored, q_ids, n_out
 
 
 def ivf_index(

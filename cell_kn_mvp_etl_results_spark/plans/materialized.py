@@ -392,7 +392,7 @@ def community_labels_frame(
 def hll_registers_frame(
     spark: SparkSession,
     sf_dir: str,
-    base_mod: int = 10,
+    base_mod: "int | None" = 10,
     force: bool = False,
 ) -> DataFrame:
     """The persisted HLL register table (source, bucket, r) of the BASE
@@ -402,14 +402,19 @@ def hll_registers_frame(
     re-hashing the lake; the merged table equals the full-corpus
     registers exactly (sketch property, unit-pinned), so the estimate
     is identical to from-scratch. |sources| x 512 rows regardless of
-    corpus size; bucketed on the merge join's bucket key."""
+    corpus size; bucketed on the merge join's bucket key.
+
+    ``base_mod=None`` materializes the FULL-corpus registers -- the
+    serving posture of the card family (q_token_stats_hll, VERDICT r10
+    #7): at 100 TB the card's distinct column IS the sketch, read from
+    this table, with the exact count kept as a gate-scale audit."""
 
     def build() -> DataFrame:
         from ..operators import sketches as sk
 
-        d = read_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % base_mod != 0
-        )
+        d = read_table(spark, sf_dir, "documents")
+        if base_mod is not None:
+            d = d.filter(F.col("doc_id") % base_mod != 0)
         toks = d.select(
             "source",
             F.explode(

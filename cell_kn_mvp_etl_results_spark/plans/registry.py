@@ -424,7 +424,8 @@ assert len(_R9_GATED) == GATE_BUDGET, len(_R9_GATED)
 assert len(set(_R9_GATED)) == GATE_BUDGET
 
 # ROTATION (round 10): executes the r9 plan above exactly. Composition
-# (6 + 7 + 3 + 34 = 50):
+# (6 + 7 + 3 + 1 (q_modularity) + 33 = 50; ADVICE r10 wording fix --
+# the two descriptions of the veteran block now agree):
 #   * the 6 bench headliners (graded for perf every round);
 #   * the 7 EXPLICIT r10 overflow veterans (latest row r6, the stalest
 #     in the registry): q_tuple_generation, q_fuzzy_name_pairs,
@@ -520,9 +521,103 @@ _R10_GATED = (
 assert len(_R10_GATED) == GATE_BUDGET, len(_R10_GATED)
 assert len(set(_R10_GATED)) == GATE_BUDGET
 
+# ROTATION (round 11): executes the r10 plan above exactly, plus the
+# r11 additions. Composition (6 + 11 + 4 + 3 + 26 = 50):
+#   * the 6 bench headliners (graded for perf every round;
+#     q_local_supplier_volume's plan also gained the layout-exists
+#     route to the bucketed twin this round -- changed plans stay
+#     correctness-gated);
+#   * the 11 r7-row veterans -- the 10 EXPLICIT r11 overflow
+#     (q_json_props, q_rolling_window, q_hourly_rollup, q_sessionize,
+#     q_top1_per_group, q_lookup_first_of_many, q_semi_join,
+#     q_anti_join, q_equi_join, q_min_size_filter) plus
+#     q_union_distinct, which yielded its r10 slot to q_modularity and
+#     also holds an r7-latest row -- promoting all 11 keeps the
+#     no-row-older-than-r8 invariant;
+#   * the 4 queries ADDED in r10 that never had a driver row
+#     (q_supplier_volume_bucketed, q_hll_distinct, q_hll_incremental,
+#     q_hll_overlap -- the r10 verdict's #1);
+#   * the 3 queries ADDED in r11 (first driver row): q_decode_image /
+#     q_decode_audio (real stdlib codecs end-to-end, VERDICT r10 #4)
+#     and q_token_stats_hll (the card serving the materialized HLL
+#     registers, VERDICT r10 #7);
+#   * the 26 stalest veterans (latest row r8), newest-first by seq.
+# The 17 r8-row veterans that do not fit (q_cluster_purity,
+# q_tokenize_pack, q_ivf_topk, q_clustering_coeff, q_dedup_sweep,
+# q_doc_stitch, q_label_rebalance, q_vocab_coverage, q_split_manifest,
+# q_hard_negatives, q_corpus_card, q_cross_neardup, q_lm_score,
+# q_fk_integrity, q_key_skew, q_table_stats, q_entity_resolution) are
+# the EXPLICIT r12 overflow; each holds green rows through r8 and
+# stays pytest-parity-gated meanwhile. Demoted to TAIL: the 44
+# non-headliner r10 gates (all holding fresh green r10 rows). After
+# r11, no query's latest green row is older than r8.
+#
+# r12 rotation plan: promote the 17 overflow veterans above, then the
+# stalest r9-row veterans newest-first until the budget fills; keep
+# the 6 headliners; demote the r11 gates.
+_R11_GATED = (
+    # --- 6 bench headliners ---
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_khop_paths",
+    "q_dedup_minhash_lsh",
+    "q_cosine_topk",
+    # --- 11 r7-row veterans (10 explicit overflow + q_union_distinct) ---
+    "q_json_props",
+    "q_rolling_window",
+    "q_hourly_rollup",
+    "q_sessionize",
+    "q_top1_per_group",
+    "q_lookup_first_of_many",
+    "q_semi_join",
+    "q_anti_join",
+    "q_equi_join",
+    "q_min_size_filter",
+    "q_union_distinct",
+    # --- 4 r10 additions (first driver row; VERDICT r10 #1) ---
+    "q_supplier_volume_bucketed",
+    "q_hll_distinct",
+    "q_hll_incremental",
+    "q_hll_overlap",
+    # --- 3 r11 additions (first driver row) ---
+    "q_decode_image",
+    "q_decode_audio",
+    "q_token_stats_hll",
+    # --- 26 stalest veterans (latest row r8), newest-first by seq ---
+    "q_truncate_budget",
+    "q_curriculum_order",
+    "q_quantile_bins",
+    "q_mutual_knn",
+    "q_degree_hist",
+    "q_jl_topk",
+    "q_ingest_quota",
+    "q_mmr_rerank",
+    "q_source_overlap",
+    "q_dsir_select",
+    "q_weighted_sample",
+    "q_gap_fill",
+    "q_event_debounce",
+    "q_split_leakage_safe",
+    "q_semdedup",
+    "q_hybrid_rrf",
+    "q_quality_drift",
+    "q_ivfpq_topk",
+    "q_mixture_weights",
+    "q_incremental_rollup",
+    "q_bm25",
+    "q_pq_topk",
+    "q_snapshot_diff",
+    "q_coreset",
+    "q_ann_recall",
+    "q_kcore",
+)
+assert len(_R11_GATED) == GATE_BUDGET, len(_R11_GATED)
+assert len(set(_R11_GATED)) == GATE_BUDGET
+
 
 def _effective_priority(s: "QuerySpec") -> int:
-    return 10 if s.name in _R10_GATED else TAIL
+    return 10 if s.name in _R11_GATED else TAIL
 
 
 # ---------------------------------------------------------------------------
@@ -628,7 +723,7 @@ def query(
 
 
 def _ordered() -> list[QuerySpec]:
-    unknown = set(_R10_GATED) - set(REGISTRY)
+    unknown = set(_R11_GATED) - set(REGISTRY)
     if unknown:  # a typo here would silently burn gate slots
         raise ValueError(f"rotation names not registered: {sorted(unknown)}")
     return sorted(

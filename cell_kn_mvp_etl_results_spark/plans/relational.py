@@ -458,10 +458,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-hop typed-path pattern relationally: customer->orders->lineitem->
     supplier with a same-nation co-location predicate).
 
-    Two plan shapes, gated on the DERIVED MAP's estimated in-memory
-    size (footer row count x measured filter selectivity x map row
-    bytes -- see ``_broadcast_map_ok``; r6 fix, the r1-r5 gate tested
-    orders' raw on-disk bytes, the wrong quantity):
+    Three plan shapes. The first gate is the DERIVED MAP's estimated
+    in-memory size (footer row count x measured filter selectivity x
+    map row bytes -- see ``_broadcast_map_ok``; r6 fix, the r1-r5 gate
+    tested orders' raw on-disk bytes, the wrong quantity); above it, a
+    second existence gate routes to the co-bucketed twin layout when
+    an ingest job / prior call already paid for it (r11, VERDICT r10
+    #5 -- see the inline comment and q_supplier_volume_bucketed):
 
     * **Broadcast-map** (map fits ``_BROADCAST_MAP_BYTES``): orders joins the
       broadcast customer/nation/region dims map-side into a narrow
@@ -529,6 +532,19 @@ JOIN {supp} s
 GROUP BY omap.n_name
 ORDER BY revenue DESC, nation
 """)
+    # Above the gate, FIRST preference (VERDICT r10 #5): when the
+    # co-bucketed twin layout already exists for this corpus
+    # fingerprint -- built by a previous call, an ingest job, or a
+    # previous session (surviving directory) -- serve the bucketed SMJ
+    # instead of re-paying the omap exchange the layout moved to ingest
+    # time (measured at 100x: 2.17-2.80 s vs 5.6-15.2 s shipped, rows
+    # identical; BENCH_NOTES r10). The probe never builds: a corpus
+    # without the layout pays nothing here and takes the shuffle branch
+    # below -- the same existence-gate doctrine as the broadcast branch
+    # above (rows pinned identical across all three branches,
+    # tests/test_plan_gates.py).
+    if supplier_bucketed_layout_exists(spark, sf_dir):
+        return _supplier_bucketed_frame(spark, sf_dir)
     # Above the gate: aggregate below the supplier join (see docstring
     # A/B). Integer partial sums regrouped by nation -- associative,
     # so revenue is bit-identical to the single-agg form (both gate
@@ -571,6 +587,46 @@ ORDER BY revenue DESC, nation
 """)
 
 
+_SUPB_FILES = ("orders", "lineitem", "customer", "nation", "region")
+
+
+def _supplier_bucketed_names(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 32
+) -> tuple[tuple[str, str], tuple[str, str]]:
+    """((logical, bucket_col)...) for the supplier twin's two tables --
+    one derivation shared by the builder and the routing probe so the
+    two can never disagree about which layout they are talking about."""
+    from .materialized import _auto_name
+
+    li_t = _auto_name("supb_li_auto", sf_dir, num_buckets, files=_SUPB_FILES)
+    omap_t = _auto_name(
+        "supb_omap_auto", sf_dir, num_buckets, files=_SUPB_FILES
+    )
+    return (li_t, "l_orderkey"), (omap_t, "o_orderkey")
+
+
+def supplier_bucketed_layout_exists(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 32
+) -> bool:
+    """True iff BOTH of the twin's co-bucketed tables already exist for
+    this corpus fingerprint -- in this session's catalog or as a
+    complete (_SUCCESS) surviving warehouse directory. A pure probe:
+    never builds, so the headliner can route to the paid-for layout
+    without ever paying the build inside a query (VERDICT r10 #5)."""
+    import os
+
+    from .materialized import _warehouse_dir, physical_table_name
+
+    for logical, col in _supplier_bucketed_names(spark, sf_dir, num_buckets):
+        t = physical_table_name(logical, col, num_buckets)
+        if spark.catalog.tableExists(t):
+            continue
+        wh = _warehouse_dir(spark, t).removeprefix("file:")
+        if not os.path.exists(f"{wh}/_SUCCESS"):
+            return False
+    return True
+
+
 def materialize_supplier_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -590,9 +646,7 @@ def materialize_supplier_bucketed(
     ``materialize_khop_bucketed`` posture applied to the relational
     headliner; per-bucket Sorts remain, see q_supplier_volume_bucketed).
     Returns the two VIEW names to query."""
-    from .materialized import _auto_name, ensure_table
-
-    files = ("orders", "lineitem", "customer", "nation", "region")
+    from .materialized import ensure_table
 
     def build_li() -> DataFrame:
         return read_table(spark, sf_dir, "lineitem").select(
@@ -620,10 +674,11 @@ def materialize_supplier_bucketed(
             )
         )
 
-    li_t = _auto_name("supb_li_auto", sf_dir, num_buckets, files=files)
-    omap_t = _auto_name("supb_omap_auto", sf_dir, num_buckets, files=files)
-    li_df = ensure_table(spark, li_t, build_li, "l_orderkey", num_buckets)
-    omap_df = ensure_table(spark, omap_t, build_omap, "o_orderkey", num_buckets)
+    (li_t, li_col), (omap_t, omap_col) = _supplier_bucketed_names(
+        spark, sf_dir, num_buckets
+    )
+    li_df = ensure_table(spark, li_t, build_li, li_col, num_buckets)
+    omap_df = ensure_table(spark, omap_t, build_omap, omap_col, num_buckets)
     # Query through temp views over the RETURNED frames, not the raw
     # catalog names: in a fresh session the tables exist only on disk
     # (ensure_table tier 2 reads the surviving parquet; the in-memory
@@ -662,6 +717,14 @@ def q_supplier_volume_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- a deployment runs ``materialize_supplier_bucketed`` at ingest
     time instead; a later SESSION recovers the layout from disk via
     ``materialized.register_surviving_bucketed``."""
+    return _supplier_bucketed_frame(spark, sf_dir)
+
+
+def _supplier_bucketed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-SMJ supplier-volume plan over the co-bucketed
+    tables -- shared by q_supplier_volume_bucketed (which builds on
+    first use) and q_local_supplier_volume's layout-exists route (which
+    only ever calls this when the tables are already on disk)."""
     li_t, omap_t = materialize_supplier_bucketed(spark, sf_dir)
     supp = _view(spark, sf_dir, "supplier")
     nat = _view(spark, sf_dir, "nation")

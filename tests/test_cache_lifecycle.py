@@ -167,3 +167,33 @@ def test_khop_hop_frames_evicted_on_regeneration(spark, tmp_path):
     assert all(not h.is_cached for h in hops1.values())
     for vn in views1.values():
         assert not spark.catalog.tableExists(vn)
+
+
+def test_incr_cycle_index_unpersisted_on_regeneration(spark, tmp_path):
+    # ADVICE r10: q_incremental_cycle's base LSH index was persisted in
+    # the plan closure with no eviction path -- it now lives in the
+    # same fingerprint-keyed memo contract as every other serving memo.
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.plans.llmdata import (
+        _INCR_CYCLE_IDX,
+        _incr_cycle_base_index,
+    )
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    d = _copy_table(tmp_path, "documents")
+
+    def base():
+        doc = read_table(spark, d, "documents")
+        m = F.col("doc_id") % 10
+        return doc.filter((m != 0) & (m != 5))
+
+    idx1 = _incr_cycle_base_index(spark, d, base())
+    idx1.count()
+    assert idx1.is_cached
+    assert len([k for k in _INCR_CYCLE_IDX if k[1] == d]) == 1
+    _regenerate(os.path.join(d, "documents.parquet"))
+    idx2 = _incr_cycle_base_index(spark, d, base())
+    assert idx2 is not idx1
+    assert not idx1.is_cached  # displaced index was unpersisted
+    assert len([k for k in _INCR_CYCLE_IDX if k[1] == d]) == 1

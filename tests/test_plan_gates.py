@@ -228,3 +228,65 @@ def test_cosine_prepared_matches_self_contained_operator(spark, sf_dir):
     )
     assert op_form == prepared_form
     assert len(prepared_form) > 0
+
+
+def test_supplier_routes_to_bucketed_layout_when_present(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r10 #5: above the broadcast gate, the headliner must
+    serve the co-bucketed twin when the layout exists -- identical
+    rows, fact-fact join fed by bucketed scans with no Exchange between
+    scan and SMJ."""
+    relational.materialize_supplier_bucketed(spark, sf_dir)
+    assert relational.supplier_bucketed_layout_exists(spark, sf_dir)
+    below = sorted(
+        map(
+            tuple,
+            relational.q_local_supplier_volume(spark, sf_dir).collect(),
+        )
+    )
+    monkeypatch.setattr(relational, "_broadcast_map_ok", lambda *_a: False)
+    routed = relational.q_local_supplier_volume(spark, sf_dir)
+    assert sorted(map(tuple, routed.collect())) == below
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            relational.q_local_supplier_volume(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i
+        for i, ln in enumerate(lines)
+        if "FileScan parquet" in ln and "supb_" in ln
+    ]
+    assert len(scans) == 2, plan
+    for i in scans:
+        assert "Bucketed: true" in lines[i], lines[i]
+        indent = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+        j = i - 1
+        while j >= 0:
+            pind = len(lines[j]) - len(lines[j].lstrip(" :+-"))
+            if pind < indent:
+                if "SortMergeJoin" in lines[j]:
+                    break
+                assert "Exchange hashpartitioning" not in lines[j], lines[j]
+                indent = pind
+            j -= 1
+
+
+def test_supplier_layout_probe_never_builds(spark, tmp_path):
+    """The route probe must be pure: for a corpus without the layout it
+    answers False and materializes nothing."""
+    before = {t.name for t in spark.catalog.listTables()}
+    assert not relational.supplier_bucketed_layout_exists(
+        spark, str(tmp_path)
+    )
+    after = {t.name for t in spark.catalog.listTables()}
+    assert before == after

@@ -5,7 +5,12 @@ from .stateful import (
     quota_admitted_stream,
     running_user_totals,
 )
-from .windows import deduplicated_stream, sessionized_stream, windowed_counts
+from .windows import (
+    deduplicated_stream,
+    media_features_stream,
+    sessionized_stream,
+    windowed_counts,
+)
 
 __all__ = [
     "debounced_stream",

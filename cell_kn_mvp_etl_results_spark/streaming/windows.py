@@ -245,6 +245,27 @@ def incremental_probe_stream(
     )
 
 
+def media_features_stream(
+    media: DataFrame, kind: str = "image", fake: bool = False
+) -> DataFrame:
+    """Multimodal decode at INGEST: the SAME Arrow-batched
+    ``mapInPandas`` decode bodies as the batch operators
+    (operators/multimodal.image_features / audio_features -- REAL
+    P6/BMP/WAV codecs since r11), applied to a streaming frame.
+    Stateless and append-legal: decode is a pure per-row transform, so
+    mapInPandas needs no watermark or state store, and ANY micro-batch
+    split of the media stream yields exactly the batch twin's rows
+    (test-pinned availableNow e2e in
+    tests/test_multimodal_streaming.py). This is the 100 TB ingest
+    shape: features extract once as media lands, not per downstream
+    query; backfill (static frame) and live ingest share one code
+    path."""
+    from ..operators.multimodal import audio_features, image_features
+
+    fn = image_features if kind == "image" else audio_features
+    return fn(media, fake=fake)
+
+
 def hll_register_stream(
     docs: DataFrame, text_col: str = "text", group_col: str = "source"
 ) -> DataFrame:

@@ -798,3 +798,49 @@ def test_synthetic_media_schema_and_decode_gate_shape(spark):
     for r in feats:
         assert r.width == 4 + r.media_id % 13
         assert r.height == 3 + r.media_id % 7
+
+
+def test_media_decode_stream_equals_batch(spark, tmp_path):
+    """r11: the REAL decode path as an ingest stream -- availableNow
+    file-source stream of media rows, decoded by the same mapInPandas
+    bodies as the batch twin, split across micro-batches (one file per
+    trigger), pinned row-identical to the batch result."""
+    import tempfile
+
+    from cell_kn_mvp_etl_results_spark.streaming import media_features_stream
+
+    for kind, batch_fn, n in (("image", mm.image_features, 24),
+                              ("audio", mm.audio_features, 24)):
+        ids = spark.range(n).selectExpr("id AS media_id")
+        src = f"{tmp_path}/media_src_{kind}"
+        mm.synthetic_media(ids, kind).repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(mm.MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        feats = media_features_stream(stream, kind, fake=False)
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                feats.writeStream.format("memory")
+                .queryName(f"media_feats_{kind}")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(f"SELECT * FROM media_feats_{kind}").collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                batch_fn(spark.read.parquet(src), fake=False).collect(),
+            )
+        )
+        assert got == want
+        assert len(got) == n

@@ -246,6 +246,33 @@ def encode_ppm(ident: int) -> bytes:
     return header + bytes((ident * 31 + k) % 256 for k in range(n))
 
 
+def encode_bmp(ident: int) -> bytes:
+    """Deterministic parametric 24-bit BMP fixture: width = 3 + id % 11,
+    height = 2 + id % 5, pixel byte k (row-major, padding excluded) =
+    (id*17 + k) % 256 -- closed-form so the q_decode_image_bmp oracle
+    recomputes dimensions, file size (54 + 4-byte-padded stride x h),
+    and the integer mean from the parameters alone."""
+    import struct
+
+    w = 3 + ident % 11
+    h = 2 + ident % 5
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    rows = []
+    for r in range(h):
+        row = bytes(
+            (ident * 17 + r * row_bytes + p) % 256 for p in range(row_bytes)
+        )
+        rows.append(row + b"\x00" * (stride - row_bytes))
+    px = b"".join(rows)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+        + px
+    )
+
+
 def encode_wav(ident: int) -> bytes:
     """Deterministic parametric PCM-WAV fixture (mono, 16-bit, 8 kHz):
     n = 64 + id % 32 samples, sample i = ((id*7 + i*13) % 2001) - 1000
@@ -278,12 +305,16 @@ def synthetic_media(ids: DataFrame, kind: str, id_col: str = "media_id") -> Data
     batch shape identical, so the decode path under test is the
     production path)."""
     enc = {"image": (encode_ppm, "image/x-portable-pixmap"),
+           "bmp": (encode_bmp, "image/bmp"),
            "audio": (encode_wav, "audio/wav")}[kind]
+    # "bmp" selects the encoder; the MEDIA kind stays "image" (it is
+    # one) so the decode operators' kind filter treats both alike.
+    media_kind = "image" if kind == "bmp" else kind
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (int(mid), kind, enc[0](int(mid)), enc[1])
+                (int(mid), media_kind, enc[0](int(mid)), enc[1])
                 for mid in pdf[id_col]
             ]
             yield pd.DataFrame(

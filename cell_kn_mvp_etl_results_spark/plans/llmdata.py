@@ -1419,6 +1419,55 @@ def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decode_image_bmp",
+    tags=("multimodal",),
+    priority=TAIL,  # added r11 post-rotation -- named first in the r12 promotion list
+    oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         CAST(3 + doc_id % 11 AS INTEGER) AS width,
+         CAST(2 + doc_id % 5 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, k
+  FROM ids, generate_series(0, 233) g(k)
+  WHERE k < width * height * 3
+)
+SELECT media_id,
+       CAST(54 + ((width * 3 + 3) // 4) * 4 * height AS BIGINT) AS n_bytes,
+       width, height,
+       CAST(sum((media_id * 17 + k) % 256)
+            // (width * height * 3) AS BIGINT) AS mean_luma
+FROM px
+GROUP BY media_id, width, height
+ORDER BY media_id
+""",
+)
+def q_decode_image_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP leg of the real-decode family: parametric 24-bit BMP
+    payloads (operators/multimodal.encode_bmp -- 4-byte-padded
+    bottom-up rows, the format's actual layout) parsed back from raw
+    bytes by multimodal._decode_bmp in the production ``mapInPandas``
+    shape. The oracle recomputes dimensions, the padded file size
+    (54 + stride x height), and the integer mean over PIXEL bytes
+    (padding excluded -- k in the series indexes pixel bytes row-major,
+    exactly what the decoder averages) from the closed-form parameters,
+    so a hash match proves the BMP header/stride/padding handling, not
+    just the q_decode_image P6 grammar.
+    """
+    from ..operators import multimodal as mm
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = mm.image_features(mm.synthetic_media(ids, "bmp"), fake=False)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height", "mean_luma"
+    ).orderBy("media_id")
+
+
+@query(
     "q_decode_audio",
     tags=("multimodal",),
     priority=TAIL,  # added r11 -- first driver row via _R11_GATED

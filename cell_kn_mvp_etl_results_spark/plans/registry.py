@@ -552,7 +552,9 @@ assert len(set(_R10_GATED)) == GATE_BUDGET
 # non-headliner r10 gates (all holding fresh green r10 rows). After
 # r11, no query's latest green row is older than r8.
 #
-# r12 rotation plan: promote the 17 overflow veterans above, then the
+# r12 rotation plan: promote q_decode_image_bmp (added r11 after the
+# rotation was fixed; pytest-parity green, the only registered query
+# without a driver row) and the 17 overflow veterans above, then the
 # stalest r9-row veterans newest-first until the budget fills; keep
 # the 6 headliners; demote the r11 gates.
 _R11_GATED = (

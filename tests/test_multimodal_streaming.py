@@ -844,3 +844,40 @@ def test_media_decode_stream_equals_batch(spark, tmp_path):
         )
         assert got == want
         assert len(got) == n
+
+
+def test_read_media_dir_feeds_real_decode(spark, tmp_path):
+    """Ingest real bytes from disk via the binaryFile source and decode
+    them: write parametric .ppm / .wav files, read_media_dir them, and
+    check the decoded stats equal the encoders' closed forms -- the
+    whole ingest->decode path on actual files, not synthesized frames."""
+    import os
+
+    img_dir = f"{tmp_path}/imgs"
+    os.makedirs(img_dir)
+    for i in range(6):
+        with open(f"{img_dir}/fixture_{i}.ppm", "wb") as f:
+            f.write(mm.encode_ppm(i))
+    media = mm.read_media_dir(spark, img_dir, kind="image")
+    rows = {
+        r.mean_luma: (r.width, r.height)
+        for r in mm.image_features(media, fake=False).collect()
+    }
+    assert len(rows) == 6
+    for i in range(6):
+        w, h, luma = mm.decode_image(mm.encode_ppm(i))
+        assert rows[luma] == (w, h)
+
+    wav_dir = f"{tmp_path}/wavs"
+    os.makedirs(wav_dir)
+    for i in range(6):
+        with open(f"{wav_dir}/fixture_{i}.wav", "wb") as f:
+            f.write(mm.encode_wav(i))
+    media = mm.read_media_dir(spark, wav_dir, kind="audio")
+    assert media.filter(media.mime == "audio/wav").count() == 6
+    got = sorted(
+        (r.est_duration_ms, r.rms_level)
+        for r in mm.audio_features(media, fake=False).collect()
+    )
+    want = sorted(mm.decode_audio(mm.encode_wav(i)) for i in range(6))
+    assert got == want

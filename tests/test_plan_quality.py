@@ -296,3 +296,45 @@ def test_kcore_no_cartesian_semi_join_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_kcore")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # dropped-set restriction broadcasts
+
+
+def test_decode_gates_prune_to_id_only(spark, sf_dir):
+    """The decode gates synthesize payloads map-side from the id alone:
+    the documents scan must read exactly doc_id (never text/source),
+    and the only exchange is the bounded final sort -- at 100 TB this
+    is 'the scan feeds the Arrow stage directly'."""
+    for name in ("q_decode_image", "q_decode_image_bmp", "q_decode_audio"):
+        plan = plan_of(spark, sf_dir, name)
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in read_schema, (name, read_schema)
+        assert "text" not in read_schema, (name, read_schema)
+        exec_plan = (
+            REGISTRY[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert exec_plan.count("Exchange") <= 1, (name, exec_plan)
+
+
+def test_token_stats_hll_broadcasts_registers(spark, sf_dir):
+    """The card's estimate side is a |sources| x 512 register read --
+    it must BROADCAST into the stats join (never shuffle the exact
+    side's aggregate on its account), and the register scan must prune
+    to (source, r)."""
+    plan = (
+        REGISTRY["q_token_stats_hll"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    schemas = [
+        l.split("ReadSchema:", 1)[1]
+        for l in plan.splitlines()
+        if "ReadSchema" in l
+    ]
+    reg_reads = [s for s in schemas if "r:int" in s]
+    assert reg_reads and all("bucket" not in s for s in reg_reads), schemas

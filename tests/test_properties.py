@@ -400,3 +400,98 @@ def test_bpe_batched_is_certified_sequential(spark, text, n_merges):
         for r in bpe_train_merges(df, n_merges=n_merges, batch=4).collect()
     ]
     assert seq == bat
+
+
+# --- r11 real-codec round-trip properties (pure Python: no Spark job;
+# the distributed shape is covered by the decode gates and the
+# streaming twin -- these pin the byte-level parsers over the whole
+# parameter space, not just the gate's doc_id range). ---
+
+idents = st.integers(min_value=0, max_value=2**62 - 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(idents)
+def test_ppm_roundtrip_property(ident):
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    w, h, luma = mm.decode_image(mm.encode_ppm(ident))
+    ew, eh = 4 + ident % 13, 3 + ident % 7
+    n = ew * eh * 3
+    assert (w, h) == (ew, eh)
+    assert luma == sum((ident * 31 + k) % 256 for k in range(n)) // n
+
+
+@settings(max_examples=50, deadline=None)
+@given(idents)
+def test_bmp_roundtrip_property(ident):
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    w, h, luma = mm.decode_image(mm.encode_bmp(ident))
+    ew, eh = 3 + ident % 11, 2 + ident % 5
+    n = ew * eh * 3
+    assert (w, h) == (ew, eh)
+    assert luma == sum((ident * 17 + k) % 256 for k in range(n)) // n
+
+
+@settings(max_examples=50, deadline=None)
+@given(idents)
+def test_wav_roundtrip_property(ident):
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    dur, rms = mm.decode_audio(mm.encode_wav(ident))
+    n = 64 + ident % 32
+    samples = [((ident * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+    assert dur == n // 8
+    assert rms == math.isqrt(sum(s * s for s in samples) // n)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_decode_arbitrary_pcm(samples, rate):
+    # decode is not tied to the fixture generator: any 16-bit mono PCM
+    # stream round-trips duration and isqrt-RMS exactly
+    import io
+    import struct
+    import wave
+
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    dur, rms = mm.decode_audio(buf.getvalue())
+    assert dur == len(samples) * 1000 // rate
+    assert rms == math.isqrt(
+        sum(s * s for s in samples) // len(samples)
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=9),
+    st.binary(min_size=0, max_size=64),
+    st.booleans(),
+)
+def test_ppm_decode_arbitrary_pixels(w, h, seed, with_comment):
+    # arbitrary pixel bytes and an optional header comment: the parser
+    # is grammar-driven, not fixture-driven
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    n = w * h * 3
+    body = bytes((seed + bytes(range(256)))[k % (len(seed) + 256)] for k in range(n))
+    comment = b"# a comment line\n" if with_comment else b""
+    payload = b"P6\n" + comment + f"{w} {h}\n255\n".encode() + body
+    got = mm.decode_image(payload)
+    assert got == (w, h, sum(body) // n)

@@ -49,7 +49,11 @@ def write_bucket_spec(
 def read_bucket_spec(spark: SparkSession, table: str) -> "dict | None":
     """Read a table directory's ``_BUCKET_SPEC`` sidecar; None when the
     directory predates the sidecar (or was not written by this
-    package's bucketed writers)."""
+    package's bucketed writers). A PRESENT-but-unparseable sidecar (a
+    writer that crashed mid-sidecar) returns ``{}`` -- which matches no
+    requested spec, so recovery refuses and the caller rebuilds,
+    instead of either trusting a half-written spec or crashing the
+    query path."""
     import json
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -58,14 +62,25 @@ def read_bucket_spec(spark: SparkSession, table: str) -> "dict | None":
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
-    stream = fs.open(p)
+    # Any failure to READ a sidecar that exists (truncated write,
+    # checksum mismatch, malformed JSON) is the same evidentiary
+    # state: the spec is unverifiable. Return the empty spec -- it
+    # matches no requested (bucket_col, num_buckets), so recovery
+    # refuses and the caller rebuilds; this is deliberately broader
+    # than the raise-past-validation rule because the sidecar is
+    # evidence under examination, not engine state.
     try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    return json.loads(text)
+        stream = fs.open(p)
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        spec = json.loads(text)
+    except Exception:
+        return {}
+    return spec if isinstance(spec, dict) else {}
 
 
 def write_bucketed(

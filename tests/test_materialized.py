@@ -280,3 +280,41 @@ def test_bucket_spec_sidecar_roundtrip(spark):
     spec = read_bucket_spec(spark, "rsb_specrt")
     assert spec == {"bucket_col": "k", "num_buckets": 4}
     spark.sql("DROP TABLE rsb_specrt")
+
+
+def test_register_surviving_refuses_corrupt_sidecar(spark):
+    # a writer that crashed mid-sidecar leaves a present-but-invalid
+    # _BUCKET_SPEC: recovery must REFUSE (rebuild), not trust it or
+    # raise out of the query path
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.operators.scale import (
+        BUCKET_SPEC_FILE,
+        write_bucketed,
+    )
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    import os
+
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        _warehouse_dir,
+    )
+
+    for t in ("rsb_corrsrc", "rsb_corrcopy"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # an orphaned location (e.g. a killed earlier run) blocks
+        # saveAsTable even with the catalog entry gone
+        loc = _warehouse_dir(spark, t).replace("file:", "")
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+    df = spark.range(800).selectExpr("id AS k", "id AS v")
+    write_bucketed(df.repartition(8, "k"), "rsb_corrsrc", "k", num_buckets=8)
+    dst = _copy_table_dir(spark, "rsb_corrsrc", "rsb_corrcopy")
+    with open(f"{dst}/{BUCKET_SPEC_FILE}", "w") as f:
+        f.write('{"bucket_col": "k", "num_bu')  # truncated JSON
+    assert register_surviving_bucketed(spark, "rsb_corrcopy", "k", 8) is None
+    assert not spark.catalog.tableExists("rsb_corrcopy")
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_corrsrc")

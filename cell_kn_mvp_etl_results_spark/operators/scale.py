@@ -19,7 +19,11 @@ BUCKET_SPEC_FILE = "_BUCKET_SPEC"
 
 
 def write_bucket_spec(
-    spark: SparkSession, table: str, bucket_col: str, num_buckets: int
+    spark: SparkSession,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: "str | None" = None,
 ) -> None:
     """Record the bucket spec as a ``_BUCKET_SPEC`` sidecar JSON inside
     the table directory. A catalog entry dies with its session, but the
@@ -28,7 +32,14 @@ def write_bucket_spec(
     under a drifted (bucket_col, num_buckets) -- the wrong-results
     class ``register_surviving_bucketed`` guards against (a
     mis-declared spec would plan exchange-free SMJs over wrongly
-    co-located buckets and silently drop join matches)."""
+    co-located buckets and silently drop join matches).
+
+    ``sort_col`` records whether (and by what) each bucket file was
+    sorted at write time (ADVICE r11): recovery emits ``SORTED BY``
+    only when the sidecar confirms it, because declaring sort over
+    unsorted buckets lets SMJ elide its Sort and merge mis-ordered
+    runs -- the same silent wrong-join class as a drifted bucket col.
+    """
     import json
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -39,7 +50,11 @@ def write_bucket_spec(
     out.write(
         bytearray(
             json.dumps(
-                {"bucket_col": bucket_col, "num_buckets": num_buckets}
+                {
+                    "bucket_col": bucket_col,
+                    "num_buckets": num_buckets,
+                    "sort_col": sort_col,
+                }
             ).encode()
         )
     )
@@ -69,18 +84,37 @@ def read_bucket_spec(spark: SparkSession, table: str) -> "dict | None":
     # refuses and the caller rebuilds; this is deliberately broader
     # than the raise-past-validation rule because the sidecar is
     # evidence under examination, not engine state.
-    try:
-        stream = fs.open(p)
+    #
+    # One bounded RETRY first (VERDICT r11 #4): at lake scale a refusal
+    # triggers a rebuild that costs hours, while a transient read
+    # fault (lost connection, eventually-consistent listing) costs a
+    # millisecond re-read. A sidecar that fails twice in a row -- or
+    # reads as malformed JSON, which a retry cannot repair -- is then
+    # treated as unverifiable.
+    spec = None
+    for attempt in (0, 1):
         try:
-            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        spec = json.loads(text)
-    except Exception:
-        return {}
+            spec = json.loads(_read_sidecar_text(spark, fs, p))
+            break
+        except json.JSONDecodeError:
+            return {}  # deterministic corruption; retrying re-reads the same bytes
+        except Exception:
+            if attempt:
+                return {}
     return spec if isinstance(spec, dict) else {}
+
+
+def _read_sidecar_text(spark: SparkSession, fs, p) -> str:
+    """One sidecar read attempt; module-level so the flaky-read retry
+    contract is testable (tests/test_materialized.py injects a
+    fail-once fault here)."""
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def write_bucketed(
@@ -100,7 +134,9 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
-    write_bucket_spec(df.sparkSession, table, bucket_col, num_buckets)
+    write_bucket_spec(
+        df.sparkSession, table, bucket_col, num_buckets, sort_col=sort_col
+    )
 
 
 def bucketed_join(

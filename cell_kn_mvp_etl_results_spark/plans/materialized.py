@@ -125,6 +125,17 @@ def register_surviving_bucketed(
        writers), the filename evidence must be COMPLETE -- ids exactly
        {0..num_buckets-1} -- because a 16-bucket layout's ids all pass
        a declared-32 max check; an incomplete set refuses recovery.
+       WITH a matching sidecar, an empty or partial id set is accepted
+       (ADVICE r11): Spark's bucketed writer legitimately skips empty
+       buckets and zero-row tables, and the spec is already verified
+       by stronger evidence than the filenames.
+    4. ``SORTED BY`` is declared only when the sidecar's recorded
+       ``sort_col`` confirms the buckets were written sorted (ADVICE
+       r11): declaring sort over unsorted buckets lets SMJ elide its
+       Sort and silently merge mis-ordered runs. Legacy sidecars
+       without the field, and the no-sidecar path, recover CLUSTERED
+       only -- correct, at the cost of a cheap per-bucket Sort under
+       SMJ until the next rebuild re-records the spec.
 
     Returns None when no complete (_SUCCESS) directory survives or the
     evidence mismatches (the caller rebuilds / reads plain parquet --
@@ -146,17 +157,29 @@ def register_surviving_bucketed(
     ):
         return None
     ids = _surviving_bucket_ids(fs, jvm, path, num_buckets)
-    if ids is None or not ids:
+    if ids is None:  # a data file contradicts the layout: always refuse
         return None
     if spec is None and ids != set(range(num_buckets)):
-        return None
-    sch = spark.read.parquet(path).schema
+        return None  # filename evidence alone must be complete
+    sort_col = spec.get("sort_col") if spec else None
+    sorted_by = f"SORTED BY ({sort_col}) " if sort_col else ""
+    if not ids:
+        # Sidecar-verified but ZERO data files (a zero-row bucketed
+        # write): there is no parquet footer to recover a schema from,
+        # so there is nothing registrable -- fall back to the caller's
+        # rebuild, which rewrites the same empty table cheaply.
+        try:
+            sch = spark.read.parquet(path).schema
+        except Exception:
+            return None
+    else:
+        sch = spark.read.parquet(path).schema
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
     )
     spark.sql(
         f"CREATE TABLE {table} ({ddl}) USING parquet "
-        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"CLUSTERED BY ({bucket_col}) {sorted_by}"
         f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
     )
     return spark.table(table)

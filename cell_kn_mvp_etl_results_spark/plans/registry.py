@@ -617,9 +617,93 @@ _R11_GATED = (
 assert len(_R11_GATED) == GATE_BUDGET, len(_R11_GATED)
 assert len(set(_R11_GATED)) == GATE_BUDGET
 
+# ROTATION (round 12): executes the r11 plan above exactly.
+# Composition (6 + 1 + 17 + 26 = 50):
+#   * the 6 bench headliners (graded for perf every round);
+#   * q_decode_image_bmp -- added in r11 AFTER that rotation was
+#     frozen; the only registered query that has never had a driver
+#     row (pytest-parity green since r11);
+#   * the 17 r8-row veterans named as the EXPLICIT r12 overflow in the
+#     r11 rotation comment (q_cluster_purity .. q_entity_resolution);
+#   * the 26 stalest r9-row veterans, newest-first by seq.
+# Demoted to TAIL: the 44 non-headliner r11 gates (all holding fresh
+# green r11 rows). After r12 no query's latest green row is older
+# than r9 -- the staleness invariant tightens by one round, as it has
+# every round since r10.
+#
+# r13 rotation plan: promote the queries ADDED in r12 that will then
+# lack a driver row (q_decode_video, q_skew_chooser_join -- new this
+# round, pytest-parity gated meanwhile) plus the 18 r9-row veterans
+# that do not fit this round's budget, newest-first by seq:
+# q_balanced_shards, q_dup_spans, q_repetition, q_winnow_fingerprint,
+# q_multimodal_meta, q_pack_sequences, q_boilerplate,
+# q_corpus_logfreq, q_text_quality, q_dedup_simhash,
+# q_dedup_incremental, q_dedup_containment, q_dedup_jaccard,
+# q_dedup_exact, q_path_revenue, q_hierarchy_longest,
+# q_graph_vertices, q_product_profit; then the stalest r10-row
+# veterans newest-first until the budget fills; keep the 6 headliners.
+_R12_GATED = (
+    # --- 6 bench headliners ---
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_khop_paths",
+    "q_dedup_minhash_lsh",
+    "q_cosine_topk",
+    # --- the one never-gated query (added r11 post-freeze) ---
+    "q_decode_image_bmp",
+    # --- 17 r8-row veterans (the named r12 overflow from r11) ---
+    "q_cluster_purity",
+    "q_tokenize_pack",
+    "q_ivf_topk",
+    "q_clustering_coeff",
+    "q_dedup_sweep",
+    "q_doc_stitch",
+    "q_label_rebalance",
+    "q_vocab_coverage",
+    "q_split_manifest",
+    "q_hard_negatives",
+    "q_corpus_card",
+    "q_cross_neardup",
+    "q_lm_score",
+    "q_fk_integrity",
+    "q_key_skew",
+    "q_table_stats",
+    "q_entity_resolution",
+    # --- 26 stalest r9-row veterans, newest-first by seq ---
+    "q_dedup_weighted_stats",
+    "q_zscore_by_source",
+    "q_embedding_drift",
+    "q_split_leakage_bucketed",
+    "q_dedup_exemplar",
+    "q_dedup_clusters",
+    "q_sample_stratified",
+    "q_sample_hash",
+    "q_interval_join",
+    "q_subgraph_extract",
+    "q_khop_any_unique",
+    "q_khop5",
+    "q_khop1",
+    "q_pagerank",
+    "q_dup_triangles",
+    "q_token_classes",
+    "q_pair_index_upsert",
+    "q_simhash_pairs",
+    "q_bnode_reification",
+    "q_ann_bucket",
+    "q_dedup_embedding",
+    "q_contaminated_spans",
+    "q_jaccard_prefix",
+    "q_bloom_decontaminate",
+    "q_countmin_tokens",
+    "q_ngram_novelty",
+)
+assert len(_R12_GATED) == GATE_BUDGET, len(_R12_GATED)
+assert len(set(_R12_GATED)) == GATE_BUDGET
+
 
 def _effective_priority(s: "QuerySpec") -> int:
-    return 10 if s.name in _R11_GATED else TAIL
+    return 10 if s.name in _R12_GATED else TAIL
 
 
 # ---------------------------------------------------------------------------
@@ -725,7 +809,7 @@ def query(
 
 
 def _ordered() -> list[QuerySpec]:
-    unknown = set(_R11_GATED) - set(REGISTRY)
+    unknown = set(_R12_GATED) - set(REGISTRY)
     if unknown:  # a typo here would silently burn gate slots
         raise ValueError(f"rotation names not registered: {sorted(unknown)}")
     return sorted(

@@ -612,17 +612,23 @@ def supplier_bucketed_layout_exists(
     this corpus fingerprint -- in this session's catalog or as a
     complete (_SUCCESS) surviving warehouse directory. A pure probe:
     never builds, so the headliner can route to the paid-for layout
-    without ever paying the build inside a query (VERDICT r10 #5)."""
-    import os
+    without ever paying the build inside a query (VERDICT r10 #5).
 
+    The directory probe goes through the Hadoop FS API (ADVICE r11),
+    the same resolver ``register_surviving_bucketed``/``ensure_table``
+    use -- an ``os.path`` probe silently answers False for any
+    non-local warehouse (hdfs://, s3a://) and the route would never
+    fire exactly where the layout matters most."""
     from .materialized import _warehouse_dir, physical_table_name
 
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for logical, col in _supplier_bucketed_names(spark, sf_dir, num_buckets):
         t = physical_table_name(logical, col, num_buckets)
         if spark.catalog.tableExists(t):
             continue
-        wh = _warehouse_dir(spark, t).removeprefix("file:")
-        if not os.path.exists(f"{wh}/_SUCCESS"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{_warehouse_dir(spark, t)}/_SUCCESS")
+        if not p.getFileSystem(hconf).exists(p):
             return False
     return True
 

@@ -262,6 +262,11 @@ def media_features_stream(
     path."""
     from ..operators.multimodal import audio_features, image_features
 
+    if kind not in ("image", "audio"):
+        # An unknown kind must never fall through to the audio decoder
+        # (ADVICE r11) -- it would route e.g. video payloads into WAV
+        # parsing and fail rows individually instead of loudly.
+        raise ValueError(f"unsupported media kind {kind!r}")
     fn = image_features if kind == "image" else audio_features
     return fn(media, fake=fake)
 

@@ -278,7 +278,7 @@ def test_bucket_spec_sidecar_roundtrip(spark):
         df.repartition(4, "k"), "rsb_specrt", "k", num_buckets=4, sort_col="k"
     )
     spec = read_bucket_spec(spark, "rsb_specrt")
-    assert spec == {"bucket_col": "k", "num_buckets": 4}
+    assert spec == {"bucket_col": "k", "num_buckets": 4, "sort_col": "k"}
     spark.sql("DROP TABLE rsb_specrt")
 
 
@@ -318,3 +318,109 @@ def test_register_surviving_refuses_corrupt_sidecar(spark):
     assert not spark.catalog.tableExists("rsb_corrcopy")
     shutil.rmtree(dst)
     spark.sql("DROP TABLE rsb_corrsrc")
+
+
+def test_read_bucket_spec_retries_transient_fault(spark, monkeypatch):
+    # VERDICT r11 #4: a TRANSIENT read fault on the sidecar must not
+    # map to "spec unverifiable" (which forces a full layout rebuild
+    # at lake scale). One bounded retry: fail-once still reads the
+    # spec; fail-always degrades to the refusing empty spec.
+    from cell_kn_mvp_etl_results_spark.operators import scale
+
+    spark.sql("DROP TABLE IF EXISTS rsb_flaky")
+    df = spark.range(64).selectExpr("id AS k", "id AS v")
+    scale.write_bucketed(
+        df.repartition(4, "k"), "rsb_flaky", "k", num_buckets=4, sort_col="k"
+    )
+    real = scale._read_sidecar_text
+    calls = {"n": 0}
+
+    def fail_once(spark_, fs, p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient read fault")
+        return real(spark_, fs, p)
+
+    monkeypatch.setattr(scale, "_read_sidecar_text", fail_once)
+    spec = scale.read_bucket_spec(spark, "rsb_flaky")
+    assert spec == {"bucket_col": "k", "num_buckets": 4, "sort_col": "k"}
+    assert calls["n"] == 2
+
+    def fail_always(spark_, fs, p):
+        raise OSError("persistent read fault")
+
+    monkeypatch.setattr(scale, "_read_sidecar_text", fail_always)
+    assert scale.read_bucket_spec(spark, "rsb_flaky") == {}
+    spark.sql("DROP TABLE rsb_flaky")
+
+
+def test_register_surviving_sort_declared_only_when_recorded(spark):
+    # ADVICE r11: recovery must declare SORTED BY only when the
+    # sidecar recorded a sort at write time -- declaring sort over
+    # unsorted buckets lets SMJ elide its Sort (silent wrong joins).
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.operators.scale import write_bucketed
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    def sort_cols_of(table):
+        row = (
+            spark.sql(f"DESCRIBE EXTENDED {table}")
+            .where("col_name = 'Sort Columns'")
+            .collect()
+        )
+        return row[0]["data_type"] if row else ""
+
+    df = spark.range(512).selectExpr("id AS k", "id AS v")
+    for t in ("rsb_srt_src", "rsb_srt_copy", "rsb_uns_src", "rsb_uns_copy"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    write_bucketed(
+        df.repartition(4, "k"), "rsb_srt_src", "k", num_buckets=4, sort_col="k"
+    )
+    dst = _copy_table_dir(spark, "rsb_srt_src", "rsb_srt_copy")
+    rec = register_surviving_bucketed(spark, "rsb_srt_copy", "k", 4)
+    assert rec is not None and "k" in sort_cols_of("rsb_srt_copy")
+    spark.sql("DROP TABLE rsb_srt_copy")
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_srt_src")
+
+    # unsorted writer (sort_col=None): recovery must NOT declare sort
+    write_bucketed(df.repartition(4, "k"), "rsb_uns_src", "k", num_buckets=4)
+    dst = _copy_table_dir(spark, "rsb_uns_src", "rsb_uns_copy")
+    rec = register_surviving_bucketed(spark, "rsb_uns_copy", "k", 4)
+    assert rec is not None and rec.count() == 512
+    assert "k" not in sort_cols_of("rsb_uns_copy")
+    spark.sql("DROP TABLE rsb_uns_copy")
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_uns_src")
+
+
+def test_register_surviving_accepts_partial_buckets_with_sidecar(spark):
+    # ADVICE r11: Spark's bucketed writer skips empty buckets, so a
+    # sparse table's filename evidence is legitimately partial. With a
+    # MATCHING sidecar the spec is already verified -> recover; the
+    # completeness rule stays for the no-sidecar path (tested above in
+    # test_register_surviving_refuses_wrong_bucket_count).
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.operators.scale import write_bucketed
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    for t in ("rsb_sparse_src", "rsb_sparse_copy"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # 2 distinct keys into 16 buckets -> at most 2 bucket files
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    write_bucketed(
+        df.repartition(1), "rsb_sparse_src", "k", num_buckets=16, sort_col="k"
+    )
+    dst = _copy_table_dir(spark, "rsb_sparse_src", "rsb_sparse_copy")
+    rec = register_surviving_bucketed(spark, "rsb_sparse_copy", "k", 16)
+    assert rec is not None and rec.count() == 2
+    spark.sql("DROP TABLE rsb_sparse_copy")
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_sparse_src")

@@ -881,3 +881,17 @@ def test_read_media_dir_feeds_real_decode(spark, tmp_path):
     )
     want = sorted(mm.decode_audio(mm.encode_wav(i)) for i in range(6))
     assert got == want
+
+
+def test_media_features_stream_rejects_unknown_kind(spark):
+    # ADVICE r11: an unsupported kind must raise, not silently route
+    # through the audio decoder.
+    import pytest
+
+    from cell_kn_mvp_etl_results_spark.streaming.windows import (
+        media_features_stream,
+    )
+
+    media = spark.createDataFrame([("d1", b"\x00")], "doc_id string, payload binary")
+    with pytest.raises(ValueError, match="unsupported media kind"):
+        media_features_stream(media, kind="video")

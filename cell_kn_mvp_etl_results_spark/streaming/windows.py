@@ -260,13 +260,24 @@ def media_features_stream(
     shape: features extract once as media lands, not per downstream
     query; backfill (static frame) and live ingest share one code
     path."""
-    from ..operators.multimodal import audio_features, image_features
+    from ..operators.multimodal import (
+        audio_features,
+        image_features,
+        video_frame_features_fused,
+    )
 
-    if kind not in ("image", "audio"):
-        # An unknown kind must never fall through to the audio decoder
-        # (ADVICE r11) -- it would route e.g. video payloads into WAV
-        # parsing and fail rows individually instead of loudly.
+    if kind not in ("image", "audio", "video"):
+        # An unknown kind must never fall through to another decoder
+        # (ADVICE r11) -- it would fail rows individually instead of
+        # loudly.
         raise ValueError(f"unsupported media kind {kind!r}")
+    if kind == "video":
+        # Per-frame fan-out FUSED into the per-row transform
+        # (sample + decode in one mapInPandas): stateless and
+        # append-legal like the others, where the batch twin's
+        # plan/join shape would be a stateful stream-stream self-join.
+        # Row-identical to video_frame_features (test-pinned).
+        return video_frame_features_fused(media, fake=fake)
     fn = image_features if kind == "image" else audio_features
     return fn(media, fake=fake)
 

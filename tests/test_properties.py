@@ -495,3 +495,55 @@ def test_ppm_decode_arbitrary_pixels(w, h, seed, with_comment):
     payload = b"P6\n" + comment + f"{w} {h}\n255\n".encode() + body
     got = mm.decode_image(payload)
     assert got == (w, h, sum(body) // n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(idents)
+def test_pvf_roundtrip_property(ident):
+    # r12: the video container over the full parameter space -- frame
+    # count from the header, each frame located by its length prefix
+    # and byte-decoded to the closed-form mean luma.
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    payload = mm.encode_video(ident)
+    n = mm.pvf_frame_count(payload)
+    assert n == 2 + ident % 4
+    for j in range(n):
+        e = ident * 7 + j * 101
+        w, h = 4 + e % 13, 3 + e % 7
+        npx = w * h * 3
+        want = sum((e * 31 + k) % 256 for k in range(npx)) // npx
+        assert mm.decode_frame(payload, j) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=6),
+            st.binary(min_size=0, max_size=32),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pvf_decode_arbitrary_frames(frames):
+    # decode is not tied to the fixture generator: ANY list of valid
+    # P6 frames (arbitrary sizes and pixel bytes, including mixed
+    # dimensions across frames) round-trips through the container
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    blobs, wants = [], []
+    for w, h, seed in frames:
+        n = w * h * 3
+        body = bytes(
+            (seed + bytes(range(256)))[k % (len(seed) + 256)]
+            for k in range(n)
+        )
+        blobs.append(b"P6\n" + f"{w} {h}\n255\n".encode() + body)
+        wants.append(sum(body) // n)
+    payload = mm.encode_pvf(blobs)
+    assert mm.pvf_frame_count(payload) == len(frames)
+    for j, want in enumerate(wants):
+        assert mm.decode_frame(payload, j) == want

@@ -1741,6 +1741,64 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_skew_chooser_join",
+    tags=("join", "scale", "profile"),
+    priority=TAIL,  # added r12 -- named in the r13 promotion list
+    oracle=f"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS sk,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT s.s_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(f.cents) AS BIGINT) AS revenue_cents
+FROM fact f JOIN supplier s ON s.s_suppkey = f.sk
+GROUP BY s.s_nationkey
+ORDER BY nation
+""",
+)
+def q_skew_chooser_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured skew doctrine WIRED into an operator (VERDICT r11
+    #5): a pathologically skewed fact -- every even-orderkey lineitem
+    collapses onto supplier key 1, so one key owns half the corpus --
+    joins its supplier dim through ``operators/scale.skew_aware_join``,
+    which diagnoses (``key_skew_profile``: ~500x the mean at sf0.1),
+    decides (``choose_skew_remedy`` per the SCALE.md r11 table: AQE
+    splitting when the session can runtime-re-plan, content-salting for
+    the pathological tail without AQE, plain below 4x), and remedies.
+    Every route is row-identical (tests/test_scale_ops.py asserts the
+    routing AND the identity on this synthetic); the gate hashes the
+    joined aggregate, so the remedy can never change results. Integer
+    cents keep the revenue hash engine-exact.
+    """
+    from ..functions.money import cents
+    from ..operators.scale import skew_aware_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("sk"),
+        cents("l_extendedprice").alias("cents"),
+    )
+    dim = supp.select(
+        F.col("s_suppkey").cast("long").alias("sk"), "s_nationkey"
+    )
+    joined, _remedy = skew_aware_join(fact, dim, "sk")
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
     "q_fk_integrity",
     tags=("join", "profile"),
     priority=TAIL,  # new in r7 -- pytest-parity now, driver row in the r8 rotation

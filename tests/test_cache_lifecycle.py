@@ -110,15 +110,16 @@ def test_minhash_sigs_view_unpersisted_on_regeneration(spark, tmp_path):
 
     d = _copy_table(tmp_path, "documents")
     name1 = _minhash_sigs_view(spark, d)
-    (sigs1,) = [
-        v[0] for k, v in _MINHASH_SIG_VIEWS.items() if k[1] == d
+    ((sigs1, cand1),) = [
+        (v[0], v[4]) for k, v in _MINHASH_SIG_VIEWS.items() if k[1] == d
     ]
-    assert sigs1.is_cached
+    assert sigs1.is_cached and cand1.is_cached
     _regenerate(os.path.join(d, "documents.parquet"))
     name2 = _minhash_sigs_view(spark, d)
     assert name2 != name1
     assert not spark.catalog.tableExists(name1)
     assert not sigs1.is_cached  # displaced signatures were unpersisted
+    assert not cand1.is_cached  # displaced LSH index was unpersisted
     assert len([k for k in _MINHASH_SIG_VIEWS if k[1] == d]) == 1
 
 

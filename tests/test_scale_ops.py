@@ -373,3 +373,65 @@ def test_supplier_bucketed_matches_and_fact_join_is_exchange_free(
                 assert "Exchange hashpartitioning" not in lines[j], lines[j]
                 indent = pind
             j -= 1
+
+
+def test_choose_skew_remedy_thresholds():
+    from cell_kn_mvp_etl_results_spark.operators.scale import (
+        choose_skew_remedy,
+    )
+
+    # flat / mild: neither remedy pays, with or without AQE
+    assert choose_skew_remedy(1000, aqe_splitting=True) == "plain"
+    assert choose_skew_remedy(3999, aqe_splitting=False) == "plain"
+    # skewed + runtime re-plan available: AQE splitting is the doctrine
+    assert choose_skew_remedy(4000, aqe_splitting=True) == "aqe"
+    assert choose_skew_remedy(10**9, aqe_splitting=True) == "aqe"
+    # moderate without AQE: salting's unconditional explode not priced in
+    assert choose_skew_remedy(50_000, aqe_splitting=False) == "plain"
+    # pathological without AQE: content-derived salt
+    assert choose_skew_remedy(100_000, aqe_splitting=False) == "salt"
+
+
+def test_skew_aware_join_routes_and_is_row_identical(spark):
+    """The chooser on the skew_join_ab synthetic (scaled down): one hot
+    key owns half the fact. Every route returns the plain join's rows;
+    the route itself follows the measured doctrine."""
+    from cell_kn_mvp_etl_results_spark.operators.scale import (
+        skew_aware_join,
+    )
+
+    n_keys = 500
+    facts = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.hash(F.col("id")), F.lit(n_keys)))
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+    plain = sorted(map(tuple, facts.join(dim, "k").collect()))
+
+    # hot key ~10k rows over ~500 groups of 20k rows: skew_x1000 ~ 250k
+    j_aqe, r_aqe = skew_aware_join(facts, dim, "k", aqe_splitting=True)
+    assert r_aqe == "aqe"
+    assert sorted(map(tuple, j_aqe.collect())) == plain
+
+    j_salt, r_salt = skew_aware_join(facts, dim, "k", aqe_splitting=False)
+    assert r_salt == "salt"
+    assert sorted(map(tuple, j_salt.collect())) == plain
+
+    # a flat fact routes plain regardless of AQE
+    flat = spark.range(20_000).select(
+        F.pmod(F.hash(F.col("id")), F.lit(n_keys)).cast("long").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    _, r_flat = skew_aware_join(flat, dim, "k", aqe_splitting=False)
+    assert r_flat == "plain"
+
+    # precomputed profile value skips the measuring pass and is honored
+    _, r_pre = skew_aware_join(
+        facts, dim, "k", skew_x1000=1000, aqe_splitting=False
+    )
+    assert r_pre == "plain"

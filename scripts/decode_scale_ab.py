@@ -8,11 +8,13 @@ OFF, recording
   - the heavy-tail balance: max/mean per-partition payload bytes the
     decode stage actually saw (the skew the repartition exists to fix).
 
-The corpus is deliberately heavy-tailed: most payloads are the small
-parametric fixtures, a few ids carry payloads inflated to ~HEAVY_MB by
-frame repetition (video) / sample repetition (audio), mimicking the
-raw-media mix a lake ingests. Legs alternate across rounds so box
-drift cannot pick the winner; row outputs are asserted identical.
+The corpus is deliberately heavy-tailed AND the tail is CLUSTERED:
+the N_ROWS // HEAVY_EVERY heavy payloads occupy contiguous leading ids,
+the way raw media actually lands in a lake (one prefix/directory of
+large originals next to thumbnails) -- so without the repartition they
+all fall into the same source partitions and the decode stage's wall is
+one task. Legs alternate across rounds so box drift cannot pick the
+winner; row outputs are asserted identical.
 
 Run: python scripts/decode_scale_ab.py [n_rows] [heavy_every] [runs]
 """
@@ -32,10 +34,15 @@ from pyspark.sql import functions as F  # noqa: E402
 from cell_kn_mvp_etl_results_spark.operators import multimodal as mm  # noqa: E402
 from cell_kn_mvp_etl_results_spark.session import get_spark  # noqa: E402
 
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 15_000
-HEAVY_EVERY = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
+HEAVY_EVERY = int(sys.argv[2]) if len(sys.argv) > 2 else 2_500
 RUNS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-HEAVY_FRAMES = 400  # ~400 P6 frames ~ a few hundred KB per heavy video
+# Heavy payloads sit ABOVE this and take the range-balanced branch;
+# the default 32 MB is a lake-scale raw-media threshold -- at this
+# harness scale heavies are ~6 MB, so the threshold scales with them
+# (it is the operator parameter, not a constant of nature).
+HEAVY_BYTES = 4 * 1024 * 1024
+HEAVY_FRAMES = 24  # 24 inflated frames ~ 6.5 MB per heavy video
 
 spark = get_spark(
     "decode-scale-ab",
@@ -59,20 +66,21 @@ def heavy_media(kind: str):
             rows = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                heavy = mid % HEAVY_EVERY == 0
+                heavy = mid < N_ROWS // HEAVY_EVERY  # clustered tail
                 if kind == "video":
-                    n = HEAVY_FRAMES if heavy else 2 + mid % 4
-                    payload = mm.encode_pvf(
-                        [mm.encode_ppm(mid * 7 + j * 101) for j in range(n)]
-                    )
-                elif kind == "image":
-                    base = mm.encode_ppm(mid)
-                    payload = base if not heavy else _inflate_ppm(mid)
-                else:
-                    payload = mm.encode_wav(mid % 4096)
                     if heavy:
-                        payload = payload * 1  # WAV stays structured; see below
-                        payload = _long_wav(mid)
+                        payload = mm.encode_pvf(
+                            [_inflate_ppm(mid + j, 300) for j in range(HEAVY_FRAMES)]
+                        )
+                    else:
+                        n = 2 + mid % 4
+                        payload = mm.encode_pvf(
+                            [mm.encode_ppm(mid * 7 + j * 101) for j in range(n)]
+                        )
+                elif kind == "image":
+                    payload = _inflate_ppm(mid, 1400) if heavy else mm.encode_ppm(mid)
+                else:
+                    payload = _long_wav(mid) if heavy else mm.encode_wav(mid % 4096)
                 rows.append((mid, kind, payload, "x"))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "mime"]
@@ -81,9 +89,9 @@ def heavy_media(kind: str):
     return ids.mapInPandas(gen, mm.MEDIA_SCHEMA)
 
 
-def _inflate_ppm(mid: int) -> bytes:
-    # a large-but-valid P6: 300x300 deterministic pixels (~270 KB)
-    w = h = 300
+def _inflate_ppm(mid: int, side: int = 300) -> bytes:
+    # a large-but-valid P6: side x side deterministic pixels
+    w = h = side
     n = w * h * 3
     header = f"P6\n{w} {h}\n255\n".encode()
     block = bytes((mid * 31 + k) % 256 for k in range(4096))
@@ -96,7 +104,7 @@ def _long_wav(mid: int) -> bytes:
     import struct
     import wave
 
-    n = 120_000  # ~240 KB of 16-bit samples
+    n = 3_000_000  # ~6 MB of 16-bit samples
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
@@ -121,7 +129,9 @@ def partition_byte_stats(df) -> tuple[int, float, int]:
 
 def run_leg(kind: str, media, repartitioned: bool):
     src = (
-        mm.repartition_for_decode(media, n_partitions=32)
+        mm.repartition_for_decode(
+            media, n_partitions=32, heavy_bytes=HEAVY_BYTES
+        )
         if repartitioned
         else media
     )
@@ -148,7 +158,9 @@ def main() -> None:
         total_bytes = media.agg(F.sum(F.length("payload"))).collect()[0][0]
         mx0, mean0, np0 = partition_byte_stats(media)
         mx1, mean1, np1 = partition_byte_stats(
-            mm.repartition_for_decode(media, n_partitions=32)
+            mm.repartition_for_decode(
+                media, n_partitions=32, heavy_bytes=HEAVY_BYTES
+            )
         )
         res = {}
         # alternate leg order across two rounds

@@ -338,3 +338,48 @@ def test_token_stats_hll_broadcasts_registers(spark, sf_dir):
     ]
     reg_reads = [s for s in schemas if "r:int" in s]
     assert reg_reads and all("bucket" not in s for s in reg_reads), schemas
+
+
+def test_decode_video_gate_prunes_to_id_only(spark, sf_dir):
+    """The video gate synthesizes PVF1 payloads map-side from the id
+    alone (same doctrine as the image/audio gates): the documents scan
+    reads exactly doc_id. The plan/join fan-out shape means more than
+    one exchange is legal here; what must hold is that no document
+    column beyond the id ever leaves the scan."""
+    plan = plan_of(spark, sf_dir, "q_decode_video")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema, read_schema
+    assert "text" not in read_schema, read_schema
+
+
+def test_frame_sample_plan_header_peek_is_jvm_side(spark):
+    """The PVF1 frame count comes from substring/hex built-ins -- the
+    sampling PLAN must contain no Python evaluation node (the payload
+    bytes cross into Python only in the decode stage)."""
+    from cell_kn_mvp_etl_results_spark.operators import multimodal as mm
+
+    ids = spark.range(8).selectExpr("id AS media_id")
+    media = mm.synthetic_media(ids, "video")
+    # the plan UP TO the sample fan-out, with the payload source mocked
+    # as a parquet-less local relation: only the generator stage of the
+    # media itself is Python; frame_sample_plan adds none.
+    plan = _explain(mm.frame_sample_plan(media, every_n=1))
+    stages = plan.split("MapInPandas")
+    # exactly one MapInPandas -- the synthetic media generator; the
+    # sampling logic itself adds no second Python stage
+    assert len(stages) <= 3, plan  # formatted mode names nodes twice
+
+
+def test_skew_chooser_gate_prunes_and_aggregates_partially(spark, sf_dir):
+    """The skew-chooser gate's fact scan reads exactly the three used
+    lineitem columns, and the aggregate is partial+final (map-side
+    combine before the nation shuffle)."""
+    plan = plan_of(spark, sf_dir, "q_skew_chooser_join")
+    read_schema = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "lineitem" in l
+    ] or [l for l in plan.splitlines() if "ReadSchema" in l][:1]
+    rs = read_schema[0]
+    assert "l_orderkey" in rs and "l_suppkey" in rs and "l_extendedprice" in rs
+    for unused in ("l_comment", "l_shipdate", "l_quantity"):
+        assert unused not in rs, (unused, rs)
+    assert "partial_count" in plan or "HashAggregate" in plan

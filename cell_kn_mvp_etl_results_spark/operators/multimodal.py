@@ -491,6 +491,62 @@ def repartition_for_decode(
     return normal.unionByName(heavy)
 
 
+def decode_balance_profile(
+    df: DataFrame, payload_col: str = "payload"
+) -> tuple[int, int, int]:
+    """Diagnose the decode stage's input balance in one cheap pass:
+    (max_partition_bytes, mean_partition_bytes, n_partitions) of the
+    SOURCE layout. Payload bytes -- not rows -- are the decode unit of
+    work, so this is the skew profile that matters before a heavy
+    ``mapInPandas``; the per-partition sums reduce map-side (one long
+    per partition crosses to the driver)."""
+    sums = (
+        df.select(F.length(F.col(payload_col)).alias("_b"))
+        .groupBy(F.spark_partition_id().alias("_p"))
+        .agg(F.sum("_b").alias("_s"))
+        .collect()
+    )
+    sizes = [int(r["_s"] or 0) for r in sums] or [0]
+    return max(sizes), sum(sizes) // max(len(sizes), 1), len(sizes)
+
+
+def decode_aware_layout(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_partitions: int = 200,
+    heavy_bytes: int = 32 * 1024 * 1024,
+    imbalance_x: int = 3,
+) -> "tuple[DataFrame, str]":
+    """The measured decode-repartition doctrine as a chooser (the
+    ``skew_aware_join`` pattern applied to decode): diagnose
+    (:func:`decode_balance_profile`), decide, remedy
+    (:func:`repartition_for_decode`). Returns (frame, decision).
+
+    Measured at ~76-98 MB per media kind with a 12x6MB heavy tail
+    (scripts/decode_scale_ab.py, BENCH_NOTES r12): when the tail is
+    CLUSTERED in the source layout (the lake's large-originals-in-one-
+    prefix case) the max partition carries ~12x the mean and the
+    repartition wins 1.4-3.6x; when ingest already spreads the tail,
+    the repartition shuffles every payload byte for a balance the
+    source already has (~10-25% pure cost). The decision rule is
+    therefore the measured imbalance itself: repartition only when
+    max > ``imbalance_x`` * mean partition bytes."""
+    mx, mean, _n = decode_balance_profile(df, payload_col)
+    if mean > 0 and mx > imbalance_x * mean:
+        return (
+            repartition_for_decode(
+                df,
+                id_col=id_col,
+                payload_col=payload_col,
+                n_partitions=n_partitions,
+                heavy_bytes=heavy_bytes,
+            ),
+            "repartition",
+        )
+    return df, "passthrough"
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -968,3 +968,42 @@ def test_video_decode_stream_equals_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_decode_aware_layout_chooser(spark):
+    """The decode-repartition doctrine as a chooser: a clustered heavy
+    tail routes to the range-balanced repartition; an already-balanced
+    source passes through untouched; rows identical either way."""
+    import pandas as pd
+
+    def media_df(clustered: bool):
+        # RANGE partitioning models the ingest layout deterministically:
+        # clustered puts the 4 heavy ids (0..3) in one partition (the
+        # large-originals prefix); spread places one heavy per range
+        # stripe (ids 0, 100, 200, 300).
+        n, step = 400, 100
+        rows = []
+        for mid in range(n):
+            heavy = (mid < 4) if clustered else (mid % step == 0)
+            payload = (b"\x7f" * 200_000) if heavy else bytes([mid % 256]) * 50
+            rows.append((mid, "image", payload, "x"))
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "mime"]
+            )
+        ).repartitionByRange(8, "media_id")
+
+    out, decision = mm.decode_aware_layout(
+        media_df(True), n_partitions=8, heavy_bytes=100_000, imbalance_x=3
+    )
+    assert decision == "repartition"
+    assert sorted(r.media_id for r in out.select("media_id").collect()) == list(
+        range(400)
+    )
+
+    spread = media_df(False)
+    out2, decision2 = mm.decode_aware_layout(
+        spread, n_partitions=8, heavy_bytes=100_000, imbalance_x=3
+    )
+    assert decision2 == "passthrough"
+    assert out2 is spread

@@ -384,3 +384,92 @@ def hll_estimate_sql(n_present: str, s_present: str) -> str:
                           / CAST({HLL_M} - {n_present} AS DOUBLE))
                 ELSE {HLL_CONST!r} / {s_total}
            END) AS BIGINT)"""
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV / bottom-k sketch (Bar-Yossef et al. '02; the theta-
+# sketch workhorse) -- the ORDER-STATISTICS member of the portable
+# family beside HLL: keep the k distinct keys with the smallest
+# portable 48-bit hashes per group. Unlike HLL's registers it carries
+# the sampled KEYS themselves (a uniform sample of the distinct set --
+# usable for overlap probes, drill-down, quantile estimation over key
+# attributes), estimates cardinality from the k-th minimum, and merges
+# by union + re-bottom-k: bottomk(bottomk(A) UNION bottomk(B)) ==
+# bottomk(A UNION B), exactly. Everything is md5-derived integer
+# arithmetic, so the sketch CONTENTS -- not just its estimate -- are
+# oracle-gateable (q_kmv_sample / q_kmv_distinct / q_kmv_incremental).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # std err of the cardinality estimate ~ 1/sqrt(k-2) ~ 12.7%
+KMV_SCALE = 1 << 48  # the portable hash space
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, *group_cols: str, k: int = KMV_K
+) -> DataFrame:
+    """Bottom-k sketch table (*group_cols, rn, h, key): the ``k``
+    distinct keys with the smallest portable hashes per group, ranked
+    1..k by (h, key) -- the key tie-break makes 48-bit hash collisions
+    deterministic in both engines.
+
+    Scale shape: one distinct on (group, key), then a row_number
+    window whose rank filter Spark rewrites to WindowGroupLimit --
+    each map task forwards at most k rows per group to the window
+    exchange (the q_label_rebalance partial-top-k precedent), so the
+    shuffle is |groups| x k regardless of corpus size.
+    """
+    from .dedup import portable_hash48
+    from pyspark.sql import Window
+
+    dedup = (
+        df.select(*group_cols, F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("h", portable_hash48(F.col("key")))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h", "key")
+    return dedup.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, *group_cols: str, k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group from a ``kmv_sketch`` table:
+    (*group_cols, est_distinct). A group holding fewer than ``k`` keys
+    reports its EXACT count (the sketch contains every key); otherwise
+    the classical KMV estimator (k-1) * 2^48 / h_k over the k-th
+    minimum hash -- ONE integer floor division of exact longs
+    ((k-1) << 48 <= 2^54), bit-identical across engines."""
+    per = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n_in"), F.max("h").alias("_h_k")
+    )
+    est = F.when(F.col("_n_in") < k, F.col("_n_in")).otherwise(
+        F.expr(f"CAST({(k - 1) * KMV_SCALE} AS BIGINT) div _h_k")
+    )
+    return per.select(*group_cols, est.cast("long").alias("est_distinct"))
+
+
+def kmv_merge(
+    sketches: DataFrame, *group_cols: str, k: int = KMV_K
+) -> DataFrame:
+    """Merge unioned sketch rows (or sketch rows unioned with raw
+    (group, key, h) delta rows) back into a valid bottom-k sketch:
+    distinct keys, re-rank, keep k. Exact: the k smallest of a union
+    are among the k smallest of each side."""
+    from pyspark.sql import Window
+
+    dedup = sketches.select(*group_cols, "key", "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h", "key")
+    return dedup.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def kmv_estimate_sql(n_in: str, h_k: str, k: int = KMV_K) -> str:
+    """The DuckDB spelling of ``kmv_estimate`` -- generated from the
+    same constants so oracle and plan cannot drift."""
+    return (
+        f"CAST(CASE WHEN {n_in} < {k} THEN {n_in} "
+        f"ELSE {(k - 1) * KMV_SCALE} // {h_k} END AS BIGINT)"
+    )

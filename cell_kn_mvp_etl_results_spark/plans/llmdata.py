@@ -2419,6 +2419,186 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_TOKS_SQL = r"""toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+dt AS (SELECT DISTINCT source, tok FROM nz),
+hashed AS (
+  SELECT source, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+  FROM dt
+),
+ranked AS (
+  SELECT source, tok, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+  FROM hashed
+)"""
+
+
+def _kmv_sample_oracle() -> str:
+    from ..operators import sketches as sk
+
+    return f"""
+WITH {_KMV_TOKS_SQL}
+SELECT source, CAST(rn AS BIGINT) AS rn, h, tok AS key
+FROM ranked WHERE rn <= {sk.KMV_K}
+ORDER BY source, rn
+"""
+
+
+@query(
+    "q_kmv_sample",
+    tags=("sketch", "sampling"),
+    priority=TAIL,  # added r12 -- named in the r13 promotion list
+    oracle=_kmv_sample_oracle(),
+)
+def q_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch CONTENTS (operators/sketches.kmv_sketch):
+    per source, the 64 distinct tokens with the smallest portable
+    48-bit hashes, ranked -- a deterministic, content-addressed uniform
+    sample of each source's distinct-token set (the theta-sketch
+    workhorse: the same rows serve cardinality, overlap probes, and
+    drill-down, and shard sketches merge by union + re-bottom-k). The
+    gate hashes the sample ITSELF, not a statistic of it: rank, hash,
+    and key must all match the oracle's window recomputation exactly.
+    Scale shape: the rank filter compiles to WindowGroupLimit partial
+    top-k, so the window exchange carries <= |sources| x k rows from
+    each map task regardless of corpus size.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        sk.kmv_sketch(toks, "tok", "source")
+        .select("source", F.col("rn").cast("long").alias("rn"), "h", "key")
+        .orderBy("source", "rn")
+    )
+
+
+def _kmv_distinct_oracle() -> str:
+    from ..operators import sketches as sk
+
+    est = sk.kmv_estimate_sql("n_in", "h_k")
+    return f"""
+WITH {_KMV_TOKS_SQL},
+topk AS (SELECT * FROM ranked WHERE rn <= {sk.KMV_K}),
+per AS (
+  SELECT source, count(*) AS n_in, max(h) AS h_k FROM topk GROUP BY source
+),
+est AS (SELECT source, {est} AS est_distinct FROM per),
+exact AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM dt GROUP BY source
+)
+SELECT exact.source, exact_distinct, est_distinct,
+       CAST(floor(1000.0 * abs(est_distinct - exact_distinct)
+                  / exact_distinct) AS BIGINT) AS err_permille
+FROM exact JOIN est USING (source)
+ORDER BY source
+"""
+
+
+@query(
+    "q_kmv_distinct",
+    tags=("sketch", "text"),
+    priority=TAIL,  # added r12 -- named in the r13 promotion list
+    oracle=_kmv_distinct_oracle(),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality audit: per source, the bottom-64 estimate of
+    distinct tokens ((k-1) * 2^48 / h_k over the k-th minimum hash --
+    one exact-integer floor division; groups under k report exact)
+    next to the exact count and the error in integer permille -- the
+    same audit doctrine as q_hll_distinct for the family member that
+    also carries its sample. HLL wins on state (512 registers vs k
+    keys+hashes) and error at equal state; KMV wins when the sample
+    itself is wanted (overlap drill-down, per-key attributes) -- a
+    pipeline typically keeps both from the same token pass.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sketch = sk.kmv_sketch(toks, "tok", "source")
+    est = sk.kmv_estimate(sketch, "source")
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    err = F.floor(
+        F.lit(1000.0)
+        * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    ).cast("long")
+    return (
+        exact.join(est, "source")
+        .select(
+            "source", "exact_distinct", "est_distinct", err.alias("err_permille")
+        )
+        .orderBy("source")
+    )
+
+
+def _kmv_incr_oracle() -> str:
+    from ..operators import sketches as sk
+
+    est = sk.kmv_estimate_sql("n_in", "h_k")
+    return f"""
+WITH {_KMV_TOKS_SQL},
+topk AS (SELECT * FROM ranked WHERE rn <= {sk.KMV_K}),
+per AS (
+  SELECT source, count(*) AS n_in, max(h) AS h_k FROM topk GROUP BY source
+)
+SELECT source, {est} AS est_distinct FROM per
+ORDER BY source
+"""
+
+
+@query(
+    "q_kmv_incremental",
+    tags=("sketch", "scale"),
+    priority=TAIL,  # added r12 -- named in the r13 promotion list
+    oracle=_kmv_incr_oracle(),
+)
+def q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV maintenance -- the bottom-k family's IVM
+    statement (q_hll_incremental's sibling): when a delta batch
+    (doc_id % 10 == 0) lands, its distinct keys hash map-side and merge
+    into the persisted base sketch
+    (plans/materialized.kmv_sketch_frame, |sources| x k rows) by union
+    + re-bottom-k. Exact mergeability -- the k smallest of a union are
+    among the k smallest of each side -- makes the merged sketch, its
+    sample, AND its estimate identical to the from-scratch full-corpus
+    value the oracle recomputes; the lake is never re-hashed. Per
+    landing, work scales with |delta| + |sources| x k.
+    """
+    from ..operators import sketches as sk
+
+    from .materialized import kmv_sketch_frame
+
+    d = read_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    toks = delta.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    base = kmv_sketch_frame(spark, sf_dir, base_mod=10)
+    merged = sk.kmv_merge(
+        base.select("source", "key", "h").unionByName(
+            sk.kmv_sketch(toks, "tok", "source").select("source", "key", "h")
+        ),
+        "source",
+    )
+    return sk.kmv_estimate(merged, "source").orderBy("source")
+
+
 @query(
     "q_bloom_decontaminate",
     tags=("sketch", "dedup"),

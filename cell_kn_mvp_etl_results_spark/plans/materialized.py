@@ -452,6 +452,43 @@ def hll_registers_frame(
     return ensure_table(spark, table, build, "bucket")
 
 
+def kmv_sketch_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: "int | None" = 10,
+    force: bool = False,
+) -> DataFrame:
+    """The persisted bottom-k (KMV) sketch table (source, rn, h, key)
+    of the BASE corpus slice (doc_id % base_mod != 0) -- the
+    order-statistics sibling of ``hll_registers_frame`` with the same
+    incremental posture (q_kmv_incremental): a landing delta hashes its
+    own DISTINCT keys map-side and merges by union + re-bottom-k
+    instead of re-hashing the lake; the merged sketch equals the
+    full-corpus sketch exactly (the k smallest of a union are among
+    the k smallest of each side), so the estimate AND the sampled key
+    set are identical to from-scratch. |sources| x k rows regardless
+    of corpus size."""
+
+    def build() -> DataFrame:
+        from ..operators import sketches as sk
+
+        d = read_table(spark, sf_dir, "documents")
+        if base_mod is not None:
+            d = d.filter(F.col("doc_id") % base_mod != 0)
+        toks = d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        ).filter(F.col("tok") != "")
+        return sk.kmv_sketch(toks, "tok", "source")
+
+    if not force and not materialize_enabled():
+        return build()
+    table = _auto_name("kmv_sketch_auto", sf_dir, base_mod)
+    return ensure_table(spark, table, build, "source")
+
+
 def community_stats_frame(
     spark: SparkSession,
     sf_dir: str,

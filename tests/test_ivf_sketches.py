@@ -287,3 +287,103 @@ def test_hll_union_inclusion_exclusion_accuracy(spark):
     est_overlap = singles["A"] + singles["B"] - est_union
     assert abs(est_union - 7500) < 0.20 * 7500, est_union
     assert abs(est_overlap - 2500) < 0.35 * 2500, est_overlap
+
+
+def test_kmv_sketch_contents_and_estimate(spark):
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    from cell_kn_mvp_etl_results_spark.operators.dedup import portable_hash48
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", f"tok{i % 40}") for i in range(400)]
+        + [("b", f"w{i}") for i in range(200)],
+        "g string, key string",
+    )
+    sketch = sk.kmv_sketch(df, "key", "g", k=16).collect()
+    by_g = {}
+    for r in sketch:
+        by_g.setdefault(r.g, []).append(r)
+    # group a has 40 distinct keys -> exactly 16 sketch rows, ranked by
+    # hash; group b has 200 -> 16
+    assert len(by_g["a"]) == 16 and len(by_g["b"]) == 16
+    for rows in by_g.values():
+        rows.sort(key=lambda r: r.rn)
+        hs = [r.h for r in rows]
+        assert hs == sorted(hs)
+    # the sketch holds exactly the 16 smallest hashes (cross-checked
+    # against a pure-Python bottom-k)
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    want_a = sorted((h48(f"tok{i}"), f"tok{i}") for i in range(40))[:16]
+    got_a = [(r.h, r.key) for r in by_g["a"]]
+    assert got_a == want_a
+
+    est = {
+        r.g: r.est_distinct
+        for r in sk.kmv_estimate(
+            sk.kmv_sketch(df, "key", "g", k=16), "g", k=16
+        ).collect()
+    }
+    # b: 200 distinct, k=16 -> estimator within ~3 std errs (~80%)
+    assert 60 <= est["b"] <= 400
+    # a group with fewer than k keys reports exact
+    small = spark.createDataFrame(
+        [("c", f"x{i}") for i in range(5)], "g string, key string"
+    )
+    est_small = sk.kmv_estimate(
+        sk.kmv_sketch(small, "key", "g", k=16), "g", k=16
+    ).collect()
+    assert est_small[0].est_distinct == 5
+
+
+def test_kmv_merge_equals_full_recompute(spark):
+    """Exact mergeability: bottom-k of (sketch(A) union sketch(B)) ==
+    sketch(A union B), contents included -- the property the IVM gate
+    rests on."""
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    rows_a = [("s", f"alpha{i}") for i in range(120)]
+    rows_b = [("s", f"beta{i}") for i in range(90)] + rows_a[:30]  # overlap
+    A = spark.createDataFrame(rows_a, "g string, key string")
+    B = spark.createDataFrame(rows_b, "g string, key string")
+    full = spark.createDataFrame(rows_a + rows_b, "g string, key string")
+
+    sa = sk.kmv_sketch(A, "key", "g", k=20).select("g", "key", "h")
+    sb = sk.kmv_sketch(B, "key", "g", k=20).select("g", "key", "h")
+    merged = sorted(
+        map(tuple, sk.kmv_merge(sa.unionByName(sb), "g", k=20).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            sk.kmv_sketch(full, "key", "g", k=20)
+            .select("g", "key", "h", "rn")
+            .select("g", "key", "h", "rn")
+            .collect(),
+        )
+    )
+    # same (g, key, h, rn) set modulo column order
+    merged_set = {(g, k_, h, rn) for (g, k_, h, rn) in merged}
+    direct_set = {(g, k_, h, rn) for (g, k_, h, rn) in direct}
+    assert merged_set == direct_set
+
+
+def test_kmv_sketch_window_group_limit_plan(spark):
+    """The rank filter must compile to WindowGroupLimit (partial
+    top-k before the window exchange) -- the property that bounds the
+    shuffle at |groups| x k."""
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    df = spark.range(10_000).selectExpr(
+        "CAST(id % 7 AS STRING) AS g", "CAST(id AS STRING) AS key"
+    )
+    plan = (
+        sk.kmv_sketch(df, "key", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

@@ -517,6 +517,7 @@ def decode_aware_layout(
     n_partitions: int = 200,
     heavy_bytes: int = 32 * 1024 * 1024,
     imbalance_x: int = 3,
+    profile: "tuple[int, int] | None" = None,
 ) -> "tuple[DataFrame, str]":
     """The measured decode-repartition doctrine as a chooser (the
     ``skew_aware_join`` pattern applied to decode): diagnose
@@ -531,8 +532,23 @@ def decode_aware_layout(
     the repartition shuffles every payload byte for a balance the
     source already has (~10-25% pure cost). The decision rule is
     therefore the measured imbalance itself: repartition only when
-    max > ``imbalance_x`` * mean partition bytes."""
-    mx, mean, _n = decode_balance_profile(df, payload_col)
+    max > ``imbalance_x`` * mean partition bytes.
+
+    ``profile`` is the precomputed (max_bytes, mean_bytes) -- the same
+    precomputed-stat escape hatch as ``skew_aware_join``'s
+    ``skew_x1000``, and the one a deployment should use: per-file
+    sizes from the lake listing (or parquet footer column sizes) give
+    the balance WITHOUT scanning payload bytes. When omitted, the
+    diagnosis pass executes ``df``'s upstream once to sum payload
+    lengths -- PERSIST ``df`` first (as scripts/decode_scale_ab.py
+    does), or the measuring pass plus the decode each re-scan the
+    source and the chooser costs more than the repartition it
+    arbitrates."""
+    mx, mean = (
+        profile
+        if profile is not None
+        else decode_balance_profile(df, payload_col)[:2]
+    )
     if mean > 0 and mx > imbalance_x * mean:
         return (
             repartition_for_decode(
@@ -634,7 +650,13 @@ def video_frame_features_fused(
             rows = []
             for mid, payload in zip(vid["media_id"], vid["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if not fake and data[:4] == PVF_MAGIC:
+                # Sampling mirrors frame_sample_plan EXACTLY, fake or
+                # not (the plan has no fake mode): header count for
+                # PVF1, legacy bytes/1000 estimate otherwise. Gating
+                # this on `fake` would silently break the row-identity
+                # contract with the join-shaped twin for PVF fixtures
+                # run in fake mode (review r12).
+                if data[:4] == PVF_MAGIC:
                     n = pvf_frame_count(data)
                 else:
                     n = len(data) // 1000

@@ -241,9 +241,15 @@ def skew_aware_join(
         row = key_skew_profile(facts, (on,)).collect()[0]
         skew_x1000 = int(row["skew_x1000"])
     if aqe_splitting is None:
+        # Spark parses boolean confs case-insensitively ("TRUE"/"True"
+        # are active) -- mirror that, or a legitimately-enabled session
+        # would be routed to the measured-worse salt remedy.
         aqe_splitting = (
-            spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
-            and spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+            and spark.conf.get(
+                "spark.sql.adaptive.skewJoin.enabled", "true"
+            ).lower()
             == "true"
         )
     remedy = choose_skew_remedy(skew_x1000, aqe_splitting=aqe_splitting)

@@ -162,7 +162,7 @@ def register_surviving_bucketed(
     if spec is None and ids != set(range(num_buckets)):
         return None  # filename evidence alone must be complete
     sort_col = spec.get("sort_col") if spec else None
-    sorted_by = f"SORTED BY ({sort_col}) " if sort_col else ""
+    sorted_by = f"SORTED BY (`{sort_col}`) " if sort_col else ""
     if not ids:
         # Sidecar-verified but ZERO data files (a zero-row bucketed
         # write): there is no parquet footer to recover a schema from,
@@ -179,7 +179,7 @@ def register_surviving_bucketed(
     )
     spark.sql(
         f"CREATE TABLE {table} ({ddl}) USING parquet "
-        f"CLUSTERED BY ({bucket_col}) {sorted_by}"
+        f"CLUSTERED BY (`{bucket_col}`) {sorted_by}"
         f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
     )
     return spark.table(table)

@@ -22,7 +22,6 @@ Run: python scripts/decode_scale_ab.py [n_rows] [heavy_every] [runs]
 from __future__ import annotations
 
 import os
-import statistics
 import sys
 import time
 
@@ -53,8 +52,11 @@ spark.sparkContext.setLogLevel("ERROR")
 
 
 def heavy_media(kind: str):
-    """Parametric media with a deterministic heavy tail: every
-    HEAVY_EVERY-th id repeats its frame/sample block ~HEAVY_FRAMES x."""
+    """Parametric media with a deterministic CLUSTERED heavy tail: the
+    first N_ROWS // HEAVY_EVERY ids carry inflated payloads (contiguous
+    leading ids -- the large-originals ingest prefix the module
+    docstring describes; do NOT change this to a strided layout, the
+    A/B's clustered-tail conclusion depends on it)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -118,13 +120,10 @@ def _long_wav(mid: int) -> bytes:
 
 
 def partition_byte_stats(df) -> tuple[int, float, int]:
-    sizes = (
-        df.select(F.length("payload").alias("b"))
-        .rdd.mapPartitions(lambda it: [sum(r.b for r in it)])
-        .collect()
-    )
-    sizes = [s for s in sizes if s > 0] or [0]
-    return max(sizes), statistics.mean(sizes), len(sizes)
+    # the OPERATOR's own diagnosis pass -- the bench must measure
+    # balance through the same code the chooser applies its threshold
+    # with (review r12), not a parallel reimplementation
+    return mm.decode_balance_profile(df)
 
 
 def run_leg(kind: str, media, repartitioned: bool):

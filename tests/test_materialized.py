@@ -424,3 +424,33 @@ def test_register_surviving_accepts_partial_buckets_with_sidecar(spark):
     spark.sql("DROP TABLE rsb_sparse_copy")
     shutil.rmtree(dst)
     spark.sql("DROP TABLE rsb_sparse_src")
+
+
+def test_register_surviving_recovers_reserved_word_sort_col(spark):
+    # Review r12: the recovered DDL must backquote bucket/sort columns;
+    # a reserved-word column (`order`) written by the DataFrame API
+    # would otherwise fail CREATE TABLE at recovery time, turning a
+    # recoverable layout into a hard failure.
+    import shutil
+
+    from cell_kn_mvp_etl_results_spark.operators.scale import write_bucketed
+    from cell_kn_mvp_etl_results_spark.plans.materialized import (
+        register_surviving_bucketed,
+    )
+
+    for t in ("rsb_resv_src", "rsb_resv_copy"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.range(128).selectExpr("id AS `order`", "id * 2 AS v")
+    write_bucketed(
+        df.repartition(4, "order"),
+        "rsb_resv_src",
+        "order",
+        num_buckets=4,
+        sort_col="order",
+    )
+    dst = _copy_table_dir(spark, "rsb_resv_src", "rsb_resv_copy")
+    rec = register_surviving_bucketed(spark, "rsb_resv_copy", "order", 4)
+    assert rec is not None and rec.count() == 128
+    spark.sql("DROP TABLE rsb_resv_copy")
+    shutil.rmtree(dst)
+    spark.sql("DROP TABLE rsb_resv_src")

@@ -1007,3 +1007,26 @@ def test_decode_aware_layout_chooser(spark):
     )
     assert decision2 == "passthrough"
     assert out2 is spread
+
+
+def test_video_fused_matches_join_twin_in_fake_mode(spark):
+    """Review r12: the fused twin must mirror frame_sample_plan's
+    sampling (PVF header count) even under fake decode -- gating the
+    header read on `fake` silently broke row-identity for PVF fixtures
+    run in plumbing mode."""
+    ids = spark.range(9).selectExpr("id AS media_id")
+    media = mm.synthetic_media(ids, "video")
+    join_rows = sorted(
+        map(tuple, mm.video_frame_features(media, every_n=1, fake=True).collect())
+    )
+    fused_rows = sorted(
+        map(
+            tuple,
+            mm.video_frame_features_fused(media, every_n=1, fake=True).collect(),
+        )
+    )
+    assert join_rows == fused_rows
+    # and the sampled index set is the real per-id frame count
+    assert {(m, i) for m, i, _ in join_rows} == {
+        (m, i) for m in range(9) for i in range(2 + m % 4)
+    }

@@ -2599,6 +2599,152 @@ def q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_estimate(merged, "source").orderBy("source")
 
 
+def _kmv_overlap_oracle() -> str:
+    from ..operators import sketches as sk
+
+    k = sk.KMV_K
+    return f"""
+WITH {_KMV_TOKS_SQL},
+topk AS (SELECT * FROM ranked WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT source FROM topk),
+prs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+pe AS (
+  SELECT p.src_a, p.src_b, t.key, t.h,
+         max(CASE WHEN t.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN t.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+  FROM prs p
+  JOIN (SELECT source, tok AS key, h FROM topk) t
+    ON t.source IN (p.src_a, p.src_b)
+  GROUP BY 1, 2, 3, 4
+),
+m AS (
+  SELECT src_a, src_b, key, h, in_a, in_b,
+         row_number() OVER (
+           PARTITION BY src_a, src_b ORDER BY h, key
+         ) AS rn
+  FROM pe
+),
+est AS (
+  SELECT src_a, src_b,
+         CAST(1000 * sum(in_a * in_b) // count(*) AS BIGINT)
+           AS est_jaccard_permille
+  FROM m WHERE rn <= {k} GROUP BY 1, 2
+),
+sz AS (SELECT source, count(*) AS n FROM dt GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.est_jaccard_permille,
+       CAST(1000 * COALESCE(i.n_inter, 0)
+            // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT)
+         AS exact_jaccard_permille
+FROM est e
+JOIN sz sa ON sa.source = e.src_a
+JOIN sz sb ON sb.source = e.src_b
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+ORDER BY e.src_a, e.src_b
+"""
+
+
+@query(
+    "q_kmv_overlap",
+    tags=("sketch", "text", "scale"),
+    priority=TAIL,  # added r12 -- named in the r13 promotion list
+    oracle=_kmv_overlap_oracle(),
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source vocabulary Jaccard from bottom-k sketches
+    (the KMV counterpart of q_hll_overlap's inclusion-exclusion, with
+    better small-overlap behavior): merge each pair's sketches to the
+    union's bottom-k M, then est_J = |{key in M : key in A's sketch
+    AND in B's sketch}| / |M| -- the classical KMV Jaccard estimator
+    (each of the union's k minimum hashes is a uniform draw from
+    A union B, and it lands in both sketches iff it is in A intersect
+    B). All-integer permille arithmetic; the exact Jaccard rides along
+    as the audit column. Needs only the |sources| x k sketch table --
+    the per-pair work is sketch-sized regardless of corpus size, and
+    unlike inclusion-exclusion it can never go negative.
+    """
+    from ..operators import sketches as sk
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sketch = sk.kmv_sketch(toks, "tok", "source").select("source", "key", "h")
+    srcs = sketch.select("source").distinct()
+    prs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    pe = (
+        prs.join(
+            sketch,
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "key", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("src_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("src_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_a", "src_b").orderBy("h", "key")
+    m = pe.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= sk.KMV_K
+    )
+    est = m.groupBy("src_a", "src_b").agg(
+        F.expr("CAST(1000 * sum(in_a * in_b) div count(*) AS BIGINT)").alias(
+            "est_jaccard_permille"
+        )
+    )
+    dt = toks.distinct()
+    sz = dt.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dt.alias("x")
+        .join(
+            dt.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        est.join(sz.select(F.col("source").alias("src_a"), F.col("n").alias("_na")), "src_a")
+        .join(sz.select(F.col("source").alias("src_b"), F.col("n").alias("_nb")), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard_permille",
+            F.expr(
+                "CAST(1000 * COALESCE(n_inter, 0) div "
+                "(_na + _nb - COALESCE(n_inter, 0)) AS BIGINT)"
+            ).alias("exact_jaccard_permille"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 @query(
     "q_bloom_decontaminate",
     tags=("sketch", "dedup"),

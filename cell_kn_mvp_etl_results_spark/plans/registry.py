@@ -633,8 +633,8 @@ assert len(set(_R11_GATED)) == GATE_BUDGET
 #
 # r13 rotation plan: promote the queries ADDED in r12 that will then
 # lack a driver row (q_decode_video, q_skew_chooser_join, q_kmv_sample,
-# q_kmv_distinct, q_kmv_incremental -- new this round, pytest-parity
-# gated meanwhile) plus the 18 r9-row veterans
+# q_kmv_distinct, q_kmv_incremental, q_kmv_overlap -- new this round,
+# pytest-parity gated meanwhile) plus the 18 r9-row veterans
 # that do not fit this round's budget, newest-first by seq:
 # q_balanced_shards, q_dup_spans, q_repetition, q_winnow_fingerprint,
 # q_multimodal_meta, q_pack_sequences, q_boilerplate,

@@ -387,3 +387,43 @@ def test_kmv_sketch_window_group_limit_plan(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_jaccard_estimator_discriminates(spark):
+    """The pairwise KMV Jaccard (q_kmv_overlap's estimator) on sets
+    with known overlap: disjoint pairs read 0, identical pairs read
+    1000, half-overlap reads near 333 permille (J = 1/3)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+
+    rows = (
+        [("A", f"a{i}") for i in range(300)]
+        + [("B", f"a{i}") for i in range(300)]  # B == A
+        + [("C", f"c{i}") for i in range(300)]  # C disjoint from A
+        + [("D", f"a{i}") for i in range(150)]
+        + [("D", f"d{i}") for i in range(150)]  # |D^A|=150, |DuA|=450
+    )
+    df = spark.createDataFrame(rows, "source string, key string")
+    sketch = sk.kmv_sketch(df, "key", "source").select("source", "key", "h")
+
+    def jacc(a, b):
+        pair = sketch.filter(F.col("source").isin([a, b]))
+        pe = pair.groupBy("key", "h").agg(
+            F.max(F.when(F.col("source") == a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("source") == b, 1).otherwise(0)).alias("in_b"),
+        )
+        w = Window.orderBy("h", "key")
+        m = pe.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= sk.KMV_K
+        )
+        r = m.agg(
+            F.expr("1000 * sum(in_a * in_b) div count(*)").alias("j")
+        ).collect()[0]
+        return r.j
+
+    assert jacc("A", "B") == 1000
+    assert jacc("A", "C") == 0
+    # true J = 150/450 = 333 permille; k=64 draws -> ~3 sigma ~ 180
+    assert 150 <= jacc("A", "D") <= 520

@@ -2419,29 +2419,48 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMV_TOKS_SQL = r"""toks AS (
-  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+# The KMV gates sketch SHINGLES (3-word grams), not tokens: the
+# synthetic corpus's per-source token vocabulary is ~30-60 -- BELOW
+# k=64, where the estimator degenerates to its exact branch -- while
+# shingles run ~2-3k distinct per source, so the gates exercise the
+# actual bottom-k sub-sampling and the (k-1)*2^48/h_k estimator, not
+# just the under-k passthrough (the unit suite covers both branches on
+# synthetics either way).
+_KMV_SH_SQL = r"""toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
   FROM documents
 ),
-nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
-dt AS (SELECT DISTINCT source, tok FROM nz),
+dt AS (
+  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS key
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 2
+),
 hashed AS (
-  SELECT source, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+  SELECT source, key, ('0x' || substr(md5(key), 1, 12))::BIGINT AS h
   FROM dt
 ),
 ranked AS (
-  SELECT source, tok, h,
-         row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+  SELECT source, key, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, key) AS rn
   FROM hashed
 )"""
+
+
+def _kmv_source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, key) distinct-ish shingle rows -- the Spark twin of the
+    ``dt`` CTE (kmv_sketch's own distinct finishes the dedup)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.shingle_set(d, "source", "text").select(
+        F.col("id").alias("source"), F.col("shingle").alias("key")
+    )
 
 
 def _kmv_sample_oracle() -> str:
     from ..operators import sketches as sk
 
     return f"""
-WITH {_KMV_TOKS_SQL}
-SELECT source, CAST(rn AS BIGINT) AS rn, h, tok AS key
+WITH {_KMV_SH_SQL}
+SELECT source, CAST(rn AS BIGINT) AS rn, h, key
 FROM ranked WHERE rn <= {sk.KMV_K}
 ORDER BY source, rn
 """
@@ -2455,9 +2474,10 @@ ORDER BY source, rn
 )
 def q_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k (KMV) sketch CONTENTS (operators/sketches.kmv_sketch):
-    per source, the 64 distinct tokens with the smallest portable
-    48-bit hashes, ranked -- a deterministic, content-addressed uniform
-    sample of each source's distinct-token set (the theta-sketch
+    per source, the 64 distinct SHINGLES (3-word grams; see
+    _KMV_SH_SQL's rationale) with the smallest portable 48-bit hashes,
+    ranked -- a deterministic, content-addressed uniform sample of each
+    source's distinct-shingle set (the theta-sketch
     workhorse: the same rows serve cardinality, overlap probes, and
     drill-down, and shard sketches merge by union + re-bottom-k). The
     gate hashes the sample ITSELF, not a statistic of it: rank, hash,
@@ -2468,13 +2488,9 @@ def q_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import sketches as sk
 
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    sh = _kmv_source_shingles(spark, sf_dir)
     return (
-        sk.kmv_sketch(toks, "tok", "source")
+        sk.kmv_sketch(sh, "key", "source")
         .select("source", F.col("rn").cast("long").alias("rn"), "h", "key")
         .orderBy("source", "rn")
     )
@@ -2485,7 +2501,7 @@ def _kmv_distinct_oracle() -> str:
 
     est = sk.kmv_estimate_sql("n_in", "h_k")
     return f"""
-WITH {_KMV_TOKS_SQL},
+WITH {_KMV_SH_SQL},
 topk AS (SELECT * FROM ranked WHERE rn <= {sk.KMV_K}),
 per AS (
   SELECT source, count(*) AS n_in, max(h) AS h_k FROM topk GROUP BY source
@@ -2511,7 +2527,7 @@ ORDER BY source
 )
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality audit: per source, the bottom-64 estimate of
-    distinct tokens ((k-1) * 2^48 / h_k over the k-th minimum hash --
+    distinct shingles ((k-1) * 2^48 / h_k over the k-th minimum hash --
     one exact-integer floor division; groups under k report exact)
     next to the exact count and the error in integer permille -- the
     same audit doctrine as q_hll_distinct for the family member that
@@ -2522,15 +2538,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import sketches as sk
 
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    sketch = sk.kmv_sketch(toks, "tok", "source")
+    sh = _kmv_source_shingles(spark, sf_dir)
+    sketch = sk.kmv_sketch(sh, "key", "source")
     est = sk.kmv_estimate(sketch, "source")
-    exact = toks.groupBy("source").agg(
-        F.count_distinct("tok").alias("exact_distinct")
+    exact = sh.groupBy("source").agg(
+        F.count_distinct("key").alias("exact_distinct")
     )
     err = F.floor(
         F.lit(1000.0)
@@ -2551,7 +2563,7 @@ def _kmv_incr_oracle() -> str:
 
     est = sk.kmv_estimate_sql("n_in", "h_k")
     return f"""
-WITH {_KMV_TOKS_SQL},
+WITH {_KMV_SH_SQL},
 topk AS (SELECT * FROM ranked WHERE rn <= {sk.KMV_K}),
 per AS (
   SELECT source, count(*) AS n_in, max(h) AS h_k FROM topk GROUP BY source
@@ -2584,15 +2596,13 @@ def q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .materialized import kmv_sketch_frame
 
     d = read_table(spark, sf_dir, "documents")
-    delta = d.filter(F.col("doc_id") % 10 == 0)
-    toks = delta.select(
-        "source",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    delta = dd.shingle_set(
+        d.filter(F.col("doc_id") % 10 == 0), "source", "text"
+    ).select(F.col("id").alias("source"), F.col("shingle").alias("key"))
     base = kmv_sketch_frame(spark, sf_dir, base_mod=10)
     merged = sk.kmv_merge(
         base.select("source", "key", "h").unionByName(
-            sk.kmv_sketch(toks, "tok", "source").select("source", "key", "h")
+            sk.kmv_sketch(delta, "key", "source").select("source", "key", "h")
         ),
         "source",
     )
@@ -2604,7 +2614,7 @@ def _kmv_overlap_oracle() -> str:
 
     k = sk.KMV_K
     return f"""
-WITH {_KMV_TOKS_SQL},
+WITH {_KMV_SH_SQL},
 topk AS (SELECT * FROM ranked WHERE rn <= {k}),
 srcs AS (SELECT DISTINCT source FROM topk),
 prs AS (
@@ -2616,7 +2626,7 @@ pe AS (
          max(CASE WHEN t.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
          max(CASE WHEN t.source = p.src_b THEN 1 ELSE 0 END) AS in_b
   FROM prs p
-  JOIN (SELECT source, tok AS key, h FROM topk) t
+  JOIN (SELECT source, key, h FROM topk) t
     ON t.source IN (p.src_a, p.src_b)
   GROUP BY 1, 2, 3, 4
 ),
@@ -2637,7 +2647,7 @@ sz AS (SELECT source, count(*) AS n FROM dt GROUP BY source),
 inter AS (
   SELECT a.source AS src_a, b.source AS src_b,
          CAST(count(*) AS BIGINT) AS n_inter
-  FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+  FROM dt a JOIN dt b ON a.key = b.key AND a.source < b.source
   GROUP BY 1, 2
 )
 SELECT e.src_a, e.src_b, e.est_jaccard_permille,
@@ -2659,7 +2669,7 @@ ORDER BY e.src_a, e.src_b
     oracle=_kmv_overlap_oracle(),
 )
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise cross-source vocabulary Jaccard from bottom-k sketches
+    """Pairwise cross-source shingle Jaccard from bottom-k sketches
     (the KMV counterpart of q_hll_overlap's inclusion-exclusion, with
     better small-overlap behavior): merge each pair's sketches to the
     union's bottom-k M, then est_J = |{key in M : key in A's sketch
@@ -2673,12 +2683,8 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import sketches as sk
 
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    sketch = sk.kmv_sketch(toks, "tok", "source").select("source", "key", "h")
+    sh = _kmv_source_shingles(spark, sf_dir)
+    sketch = sk.kmv_sketch(sh, "key", "source").select("source", "key", "h")
     srcs = sketch.select("source").distinct()
     prs = (
         srcs.alias("a")
@@ -2714,13 +2720,13 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard_permille"
         )
     )
-    dt = toks.distinct()
+    dt = sh.distinct()
     sz = dt.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         dt.alias("x")
         .join(
             dt.alias("y"),
-            (F.col("x.tok") == F.col("y.tok"))
+            (F.col("x.key") == F.col("y.key"))
             & (F.col("x.source") < F.col("y.source")),
         )
         .groupBy(

@@ -470,22 +470,23 @@ def kmv_sketch_frame(
     of corpus size."""
 
     def build() -> DataFrame:
+        from ..operators import dedup as dd
         from ..operators import sketches as sk
 
         d = read_table(spark, sf_dir, "documents")
         if base_mod is not None:
             d = d.filter(F.col("doc_id") % base_mod != 0)
-        toks = d.select(
-            "source",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("tok"),
-        ).filter(F.col("tok") != "")
-        return sk.kmv_sketch(toks, "tok", "source")
+        # SHINGLE keys, matching the KMV gates (plans/llmdata): the
+        # synthetic token vocabulary sits below k, where the sketch
+        # degenerates to its exact branch.
+        sh = dd.shingle_set(d, "source", "text").select(
+            F.col("id").alias("source"), F.col("shingle").alias("key")
+        )
+        return sk.kmv_sketch(sh, "key", "source")
 
     if not force and not materialize_enabled():
         return build()
-    table = _auto_name("kmv_sketch_auto", sf_dir, base_mod)
+    table = _auto_name("kmv_sketch_auto", sf_dir, base_mod, "shingle")
     return ensure_table(spark, table, build, "source")
 
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_integer", "kmeans_fit"]
+__all__ = ["kmeans_integer", "kmeans_fit", "kmeans_assign"]
 
 
 def _sq_dist(vec: Column, centroid: list[int]) -> Column:
@@ -77,6 +77,39 @@ def kmeans_integer(
     """
     assigned, _cents = kmeans_fit(emb, id_col, vec_col, k, iters, quantize)
     return assigned.select("id", "cluster", "d2")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    cents: dict[int, list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 4,
+) -> DataFrame:
+    """Assignment against a TRAINED centroid table: the serving half of
+    ``kmeans_fit`` — one map-side projection (quantize, argmin over
+    centroid literals, exact d2), no join, no shuffle, no driver sync.
+    Returns (id, q, cluster, d2), exactly the frame ``kmeans_fit``
+    returns for the same ``cents`` (row-identity pinned in
+    tests/test_clustering.py). Centroids are the model artifact a
+    deployment persists (module docstring); training per query call was
+    3 corpus jobs of driver-synced Lloyd state per rebuild-regime run
+    (OPTIMIZATION_r12.md)."""
+    scale = 10**quantize
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("q"),
+    )
+    dists = F.array(*[_sq_dist(F.col("q"), cents[j]) for j in sorted(cents)])
+    return q.select(
+        "id",
+        "q",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
+        F.array_min(dists).alias("d2"),
+    )
 
 
 def kmeans_fit(

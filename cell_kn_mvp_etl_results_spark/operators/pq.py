@@ -51,7 +51,48 @@ from pyspark.sql.window import Window
 
 from .clustering import _sq_dist, kmeans_fit
 
-__all__ = ["pq_fit", "pq_topk", "ivfpq_topk"]
+__all__ = ["pq_fit", "pq_encode", "pq_topk", "ivfpq_topk"]
+
+
+def _code_col(books: list[dict[int, list[int]]], s: int, d: int):
+    """Map-side nearest-codeword argmin for subspace ``s`` over the
+    quantized vector column ``q`` — ties toward the lowest code, the
+    ``kmeans_integer`` convention."""
+    subq = F.slice(F.col("q"), s * d + 1, d)
+    dists = F.array(*[_sq_dist(subq, books[s][j]) for j in sorted(books[s])])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[dict[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    quantize: int = 4,
+) -> DataFrame:
+    """ENCODE against trained codebooks: the serving half of ``pq_fit``
+    — a single map-side projection of the corpus to
+    (id, q, code_0..code_{m-1}), no join, no shuffle, no driver sync.
+    Row-identical to the codes frame ``pq_fit`` returns for the same
+    ``books`` (the codebooks are the model artifact; training per query
+    call was 3 corpus jobs per rebuild-regime run —
+    OPTIMIZATION_r12.md)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    scale = 10**quantize
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("q"),
+    )
+    return q.select(
+        "id", "q", *[_code_col(books, s, d).alias(f"code_{s}") for s in range(m)]
+    )
 
 
 def pq_fit(
@@ -163,6 +204,8 @@ def pq_topk(
     quantize: int = 4,
     n_queries: int = 4,
     topk: int = 5,
+    books: list[dict[int, list[int]]] | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """ADC top-k: each of the first ``n_queries`` vectors (id <
     n_queries) retrieves its ``topk`` nearest OTHER vectors by
@@ -173,10 +216,27 @@ def pq_topk(
     docstring); approximate by construction — exact re-ranking of the
     survivors (cosine_topk over topk × n_queries rows) is the standard
     second stage.
+
+    ``books``/``query_rows``: a pretrained codebook list and the
+    collected (id, q) query rows — the serving path (plans/models.py
+    registry): training and the query-side collect are per-corpus
+    state, so a serving call is one encode projection + the top-k
+    window. Omitted → trained/collected inline (row-identical; the
+    from-scratch path the oracle checks either way).
     """
-    codes, codebooks = pq_fit(emb, id_col, vec_col, dim, m, k, iters, quantize)
+    if books is None:
+        codes, codebooks = pq_fit(
+            emb, id_col, vec_col, dim, m, k, iters, quantize
+        )
+    else:
+        codebooks = books
+        codes = pq_encode(emb, books, id_col, vec_col, dim, m, quantize)
     d = dim // m
-    qrows = codes.filter(F.col("id") < n_queries).select("id", "q").collect()
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else codes.filter(F.col("id") < n_queries).select("id", "q").collect()
+    )
     if not qrows:
         raise ValueError("pq_topk: no query vectors with id < n_queries")
     structs = []
@@ -232,6 +292,9 @@ def ivfpq_topk(
     n_probe: int = 2,
     n_queries: int = 4,
     topk: int = 3,
+    books: list[dict[int, list[int]]] | None = None,
+    coarse_cents: dict[int, list[int]] | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the serving structure of large-scale ANN (FAISS's
     IndexIVFPQ). The coarse quantizer (integer-Lloyd cells) prunes
@@ -252,11 +315,21 @@ def ivfpq_topk(
     partition the codes table BY cell id so a probe reads only its
     cells' files — the layout ``sinks.write_graph`` applies to
     collection pairs, applied to cells.
+
+    ``books``/``coarse_cents``/``query_rows``: pretrained PQ codebooks,
+    coarse centroids, and collected (id, q) query rows — the serving
+    path (plans/models.py); omitted → trained/collected inline
+    (row-identical).
     """
-    codes, books = pq_fit(emb, id_col, vec_col, dim, m, k, iters, quantize)
-    _, coarse = kmeans_fit(
-        emb, id_col, vec_col, k=coarse_k, iters=coarse_iters, quantize=quantize
-    )
+    if books is None:
+        codes, books = pq_fit(emb, id_col, vec_col, dim, m, k, iters, quantize)
+    else:
+        codes = pq_encode(emb, books, id_col, vec_col, dim, m, quantize)
+    coarse = coarse_cents
+    if coarse is None:
+        _, coarse = kmeans_fit(
+            emb, id_col, vec_col, k=coarse_k, iters=coarse_iters, quantize=quantize
+        )
     cell_dists = F.array(
         *[_sq_dist(F.col("q"), coarse[j]) for j in sorted(coarse)]
     )
@@ -264,7 +337,11 @@ def ivfpq_topk(
         "cell", (F.array_position(cell_dists, F.array_min(cell_dists)) - 1)
     )
     d = dim // m
-    qrows = codes.filter(F.col("id") < n_queries).select("id", "q").collect()
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else codes.filter(F.col("id") < n_queries).select("id", "q").collect()
+    )
     if not qrows:
         raise ValueError("ivfpq_topk: no query vectors with id < n_queries")
     structs = []

@@ -216,13 +216,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (small) dup-id set at these sizes and stays an equi-join at
     any size.
     """
-    from ..operators.clustering import kmeans_integer
+    from ..operators.clustering import kmeans_assign
     from ..operators.similarity import _quantized, dot
+    from .models import kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
-    asg = kmeans_integer(
-        emb, "vec_id", "embedding", k=8, iters=2, quantize=4
-    ).select(F.col("id").alias("vec_id"), "cluster")
+    cents = kmeans_centroids(spark, sf_dir, k=8, iters=2, quantize=4)
+    asg = kmeans_assign(emb, cents, "vec_id", "embedding", quantize=4).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
     nv = emb.select(
         "vec_id", _quantized(F.col("embedding"), 4).alias("v")
     ).select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("norm"))

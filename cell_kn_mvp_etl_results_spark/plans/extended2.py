@@ -685,12 +685,21 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     balancing, cluster-cap sampling, and exemplar distillation.
     Assignment is map-side against centroid literals (no join/shuffle);
     each update is one <= k x dim-group aggregation.
+
+    Serving posture (r12 optimization): the centroid table comes from
+    the per-corpus-fingerprint model registry (plans/models.py), so a
+    call is ONE assignment projection + sort — training's driver-synced
+    corpus jobs run once per corpus, not per call (row-identity vs the
+    inline fit pinned in tests/test_models_registry.py; the oracle
+    retrains relationally).
     """
-    from ..operators.clustering import kmeans_integer
+    from ..operators.clustering import kmeans_assign
+    from .models import kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(spark, sf_dir, k=8, iters=2, quantize=4)
     return (
-        kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
+        kmeans_assign(emb, cents, "vec_id", "embedding", quantize=4)
         .select(F.col("id").alias("vec_id"), "cluster", "d2")
         .orderBy("vec_id")
     )
@@ -725,12 +734,15 @@ def q_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..operators.clustering import kmeans_integer
+    from ..operators.clustering import kmeans_assign
+    from .models import kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(spark, sf_dir, k=8, iters=2, quantize=4)
     w = Window.partitionBy("cluster").orderBy("d2", "id")
     return (
-        kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
+        kmeans_assign(emb, cents, "vec_id", "embedding", quantize=4)
+        .select("id", "cluster", "d2")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
@@ -807,13 +819,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-gated production alternative; this plan trades init flexibility
     for bit-exact cross-engine verification.
     """
-    from ..operators.clustering import _sq_dist, kmeans_fit
+    from ..operators.clustering import _sq_dist, kmeans_assign
     from ..operators.similarity import dot
+    from .models import kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_fit(
-        emb, "vec_id", "embedding", k=8, iters=2, quantize=4
-    )
+    cents = kmeans_centroids(spark, sf_dir, k=8, iters=2, quantize=4)
+    assigned = kmeans_assign(emb, cents, "vec_id", "embedding", quantize=4)
     corpus = assigned.select(
         F.col("id").alias("cand_id"),
         "cluster",
@@ -1227,10 +1239,14 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, one (cluster, label) aggregation, and a k-sized majority
     window, all keyed on the cluster.
     """
-    from ..operators.clustering import cluster_purity, kmeans_integer
+    from ..operators.clustering import cluster_purity, kmeans_assign
+    from .models import kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
-    asg = kmeans_integer(emb, "vec_id", "embedding", k=8, iters=2, quantize=4)
+    cents = kmeans_centroids(spark, sf_dir, k=8, iters=2, quantize=4)
+    asg = kmeans_assign(emb, cents, "vec_id", "embedding", quantize=4).select(
+        "id", "cluster", "d2"
+    )
     return cluster_purity(asg, emb, "vec_id", "label").orderBy("cluster")
 
 
@@ -1363,11 +1379,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-query aggregate are |queries|x3 rows end-to-end.
     """
     from ..operators import similarity as sim
+    from .models import cosine_prepared_queries
 
     ivf = q_ivf_topk(spark, sf_dir)
     e = read_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    bf = sim.cosine_topk_arrow(e, q, "vec_id", "embedding", k=3, quantize=4)
+    prepared = cosine_prepared_queries(spark, sf_dir, max_id=10, quantize=4)
+    bf = sim.cosine_topk_arrow(
+        e, None, "vec_id", "embedding", k=3, quantize=4, prepared=prepared
+    )
     hits = (
         bf.select("q_id", "cand_id")
         .join(ivf.select("q_id", "cand_id"), ["q_id", "cand_id"], "left_semi")
@@ -1700,6 +1719,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a WindowGroupLimit top-k -- the corpus never shuffles.
     """
     from ..operators.pq import pq_topk
+    from .models import pq_codebooks, quantized_query_rows
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pq_topk(
@@ -1713,6 +1733,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize=4,
         n_queries=4,
         topk=5,
+        books=pq_codebooks(spark, sf_dir, dim=64, m=4, k=8, iters=2, quantize=4),
+        query_rows=quantized_query_rows(spark, sf_dir, n_queries=4, quantize=4),
     )
 
 
@@ -1974,6 +1996,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-PQ (both).
     """
     from ..operators.pq import ivfpq_topk
+    from .models import kmeans_centroids, pq_codebooks, quantized_query_rows
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
@@ -1990,6 +2013,9 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         n_queries=4,
         topk=3,
+        books=pq_codebooks(spark, sf_dir, dim=64, m=4, k=8, iters=2, quantize=4),
+        coarse_cents=kmeans_centroids(spark, sf_dir, k=8, iters=2, quantize=4),
+        query_rows=quantized_query_rows(spark, sf_dir, n_queries=4, quantize=4),
     )
 
 

@@ -3302,10 +3302,21 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label mask is one vectorized compare inside the Arrow batch
     scorer, same plan shape and determinism contract as q_cosine_topk).
     """
+    from .models import cosine_prepared_queries
+
     e = read_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
+    prepared = cosine_prepared_queries(
+        spark, sf_dir, max_id=10, quantize=4, exclude_label_col="label"
+    )
     return sim.cosine_topk_arrow(
-        e, q, "vec_id", "embedding", k=3, quantize=4, exclude_label_col="label"
+        e,
+        None,
+        "vec_id",
+        "embedding",
+        k=3,
+        quantize=4,
+        exclude_label_col="label",
+        prepared=prepared,
     ).orderBy("q_id", "rank")
 
 

@@ -1094,13 +1094,26 @@ def decontaminate(
     btxt = bench_text_col or text_col
     train = shingle_set(docs, id_col, text_col, n=n)
     bench = shingle_set(benchmark, bid, btxt, n=n).select("shingle").distinct()
-    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        train.join(F.broadcast(bench), "shingle")
+    # One pass over the corpus shingles (r12 optimization): the former
+    # sizes/hits split planned the shingle projection TWICE (Catalyst
+    # does not dedup the shared subtree) and re-joined the two
+    # aggregates. A LEFT broadcast probe marks hits in-stream, so one
+    # aggregation yields both counts -- same rows (the n_hits > 0
+    # filter reproduces the inner join's contaminated-only contract,
+    # and the distinct bench side means the left join never duplicates
+    # a shingle row), half the shingling, one join + one agg fewer.
+    per_doc = (
+        train.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
     )
-    return hits.join(sizes, "id").select(
+    return per_doc.select(
         "id",
         "n_grams",
         "n_hits",

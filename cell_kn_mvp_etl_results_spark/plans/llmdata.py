@@ -1070,25 +1070,39 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text",
         min_tokens=5, max_stop_ratio=0.9, max_dup_frac=0.5,
     ).select(docs["*"])
-    keepers = dd.exact_dedup_groups(qual, "doc_id", "text").select(
-        F.col("keeper").alias("doc_id")
+    # Count shapes (r12 optimization, guide "don't compute things you
+    # throw away"): Catalyst plans each count branch's subtree
+    # independently, so the former kept-semi-join count re-executed the
+    # quality projection twice and the clean anti-join count executed
+    # qual + dedup + shingling a third/fourth time (9.5 s rebuild at
+    # sf0.1). Equivalences used instead: |kept| == |keeper groups| (the
+    # keeper is one row per fingerprint group), and contaminated ids
+    # are a SUBSET of kept by construction, so
+    # n_clean = n_exact - |contaminated|. Same four values, same
+    # schema; quality projection now runs 3x -> the dedup-agg branch
+    # no longer re-joins it, and the anti join is gone (measured
+    # 5.02 -> 2.33 s interleaved same-session rebuild A/B).
+    groups = dd.exact_dedup_groups(qual, "doc_id", "text")
+    kept = qual.join(
+        groups.select(F.col("keeper").alias("doc_id")), "doc_id", "semi"
     )
-    kept = qual.join(keepers, "doc_id", "semi")
     bench = docs.filter(F.col("doc_id") % 100 == 0)
-    contaminated = dd.decontaminate(kept, bench, "doc_id", "text").select(
-        F.col("id").alias("doc_id")
-    )
-    clean = kept.join(contaminated, "doc_id", "anti")
+    contaminated = dd.decontaminate(kept, bench, "doc_id", "text")
     counts = [
         docs.agg(F.count(F.lit(1)).alias("n_input")),
         qual.agg(F.count(F.lit(1)).alias("n_quality")),
-        kept.agg(F.count(F.lit(1)).alias("n_exact")),
-        clean.agg(F.count(F.lit(1)).alias("n_clean")),
+        groups.agg(F.count(F.lit(1)).alias("n_exact")),
+        contaminated.agg(F.count(F.lit(1)).alias("n_contaminated")),
     ]
     out = counts[0]
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
-    return out
+    return out.select(
+        "n_input",
+        "n_quality",
+        "n_exact",
+        (F.col("n_exact") - F.col("n_contaminated")).alias("n_clean"),
+    )
 
 
 @query(
@@ -1683,39 +1697,60 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging is order-insensitive (register-wise max), so a fixed corpus
     yields one approx value under any partitioning. At 100 TB only the
     sketch side runs (operators/sketches.py); the exact side here is
-    the audit harness."""
+    the audit harness.
+
+    Plan shape (r12 optimization): the former union-of-three-selects
+    over the shared agg frame planned the aggregation subtree THREE
+    times (3 corpus scans + 6 Exchange -- Catalyst does not dedup the
+    common subtree under a Union); the three output rows now
+    explode from the single 1-row aggregate (1 scan + 2 Exchange,
+    guide "don't compute things you throw away").
+
+    Sketch choice (r12 optimization): the audit originally ran
+    approx_count_distinct(rsd=0.01), whose HLL++ aggregation buffer is
+    ~1536 LongType attributes PER SKETCH (2^14 registers packed 6
+    bits/word into individual buffer columns); with three sketches the
+    plan carries ~4.6k aggregate-buffer attributes and
+    analysis+codegen, not data work, dominated every regime that
+    replans (measured 4.6 s for the 3-sketch aggregate over 5k cached
+    rows vs 0.35 s for the exact trio; cost is flat in row count and
+    linear in 2^p). The Datasketches HLL (hll_sketch_agg, Spark 3.5+)
+    at the SAME lgK=14 precision keeps the sketch in ONE binary buffer
+    column -- measured 4.7 -> 0.48 s rebuild-regime at sf0.1, flag
+    values verified identical (TRUE across all SFs, estimates within
+    0.2% at these cardinalities)."""
     d = read_table(spark, sf_dir, "documents")
     row = d.agg(
         F.countDistinct("lang").alias("e_lang"),
-        F.approx_count_distinct("lang", 0.01).alias("a_lang"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(lang, 14))").alias("a_lang"),
         F.countDistinct("source").alias("e_src"),
-        F.approx_count_distinct("source", 0.01).alias("a_src"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(source, 14))").alias(
+            "a_src"
+        ),
         F.countDistinct("doc_id").alias("e_id"),
-        F.approx_count_distinct("doc_id", 0.01).alias("a_id"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 14))").alias(
+            "a_id"
+        ),
     )
     ok = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
     ).alias("approx_ok")
+    metric = lambda name, e, a: F.struct(  # noqa: E731
+        F.lit(name).alias("metric"),
+        F.col(e).alias("exact_distinct"),
+        ok(a, e),
+    )
     return (
         row.select(
-            F.lit("langs").alias("metric"),
-            F.col("e_lang").alias("exact_distinct"),
-            ok("a_lang", "e_lang"),
+            F.explode(
+                F.array(
+                    metric("doc_ids", "e_id", "a_id"),
+                    metric("langs", "e_lang", "a_lang"),
+                    metric("sources", "e_src", "a_src"),
+                )
+            ).alias("t")
         )
-        .unionAll(
-            row.select(
-                F.lit("sources").alias("metric"),
-                F.col("e_src").alias("exact_distinct"),
-                ok("a_src", "e_src"),
-            )
-        )
-        .unionAll(
-            row.select(
-                F.lit("doc_ids").alias("metric"),
-                F.col("e_id").alias("exact_distinct"),
-                ok("a_id", "e_id"),
-            )
-        )
+        .select("t.metric", "t.exact_distinct", "t.approx_ok")
         .orderBy("metric")
     )
 

@@ -51,6 +51,45 @@ def _sq_dist(vec: Column, centroid: list[int]) -> Column:
     )
 
 
+# -- SQL-text twins of the distance/argmin builders (r12 optimization) -----
+#
+# Composing the k x dim centroid literals through the Column API costs
+# one py4j round trip per literal plus several per lambda; an 8x64
+# argmin is ~1000+ driver<->JVM calls and measured SECONDS of pure
+# builder() time per rebuild-regime call (build 3.9 s vs exec 0.46 s
+# for q_ivf_topk, OPTIMIZATION_r12.md). Emitting the SAME expression as
+# one SQL string hands the JVM a single parse; the parsed Catalyst tree
+# is identical (zip_with/aggregate/array_position/array_min with long
+# literals), so plans and rows are unchanged by construction -- the
+# khop "SQL-text over registered views" doctrine applied to expression
+# construction.
+
+
+def _sq_dist_sql(vec_sql: str, centroid: list[int]) -> str:
+    """``_sq_dist`` as SQL text over the array-typed expression
+    ``vec_sql`` -- the same aggregate(zip_with(...)) tree, one parse."""
+    lits = ", ".join(f"{int(v)}L" for v in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def _dists_array_sql(vec_sql: str, cents: dict[int, list[int]]) -> str:
+    """The per-centroid distance array (cluster index order) as SQL."""
+    return (
+        "array("
+        + ", ".join(_sq_dist_sql(vec_sql, cents[j]) for j in sorted(cents))
+        + ")"
+    )
+
+
+def _argmin_cluster_sql(dists_sql: str) -> str:
+    """First-index argmin over the distance array: ties break toward
+    the lowest cluster id, exactly as the Column twin."""
+    return f"(array_position({dists_sql}, array_min({dists_sql})) - 1)"
+
+
 def kmeans_integer(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -103,12 +142,12 @@ def kmeans_assign(
             lambda x: F.round(x.cast("double") * scale).cast("long"),
         ).alias("q"),
     )
-    dists = F.array(*[_sq_dist(F.col("q"), cents[j]) for j in sorted(cents)])
+    dists = _dists_array_sql("q", cents)
     return q.select(
         "id",
         "q",
-        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
-        F.array_min(dists).alias("d2"),
+        F.expr(_argmin_cluster_sql(dists)).alias("cluster"),
+        F.expr(f"array_min({dists})").alias("d2"),
     )
 
 
@@ -141,14 +180,14 @@ def kmeans_fit(
     cents: dict[int, list[int]] = {i: list(r.q) for i, r in enumerate(init)}
 
     def assigned() -> DataFrame:
-        dists = F.array(*[_sq_dist(F.col("q"), cents[j]) for j in sorted(cents)])
+        dists = _dists_array_sql("q", cents)
         # array_position returns the FIRST index holding the min ->
         # ties break toward the lowest cluster id, deterministically.
         return q.select(
             "id",
             "q",
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
-            F.array_min(dists).alias("d2"),
+            F.expr(_argmin_cluster_sql(dists)).alias("cluster"),
+            F.expr(f"array_min({dists})").alias("d2"),
         )
 
     for _ in range(iters):
@@ -263,8 +302,10 @@ def kcenter_coreset(
     centers: list[list[int]] = [list(first[0].q)]
     picks: list[tuple[int, int, int]] = [(0, int(first[0].id), 0)]
     for r in range(1, m):
-        dists = [_sq_dist(F.col("q"), c) for c in centers]
-        mind2 = dists[0] if len(dists) == 1 else F.least(*dists)
+        dists = [_sq_dist_sql("q", c) for c in centers]
+        mind2 = F.expr(
+            dists[0] if len(dists) == 1 else f"least({', '.join(dists)})"
+        )
         far = (
             q.select("id", "q", mind2.alias("d2"))
             .orderBy(F.desc("d2"), "id")

@@ -49,7 +49,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .clustering import _sq_dist, kmeans_fit
+from .clustering import (
+    _argmin_cluster_sql,
+    _dists_array_sql,
+    kmeans_fit,
+)
 
 __all__ = ["pq_fit", "pq_encode", "pq_topk", "ivfpq_topk"]
 
@@ -57,10 +61,11 @@ __all__ = ["pq_fit", "pq_encode", "pq_topk", "ivfpq_topk"]
 def _code_col(books: list[dict[int, list[int]]], s: int, d: int):
     """Map-side nearest-codeword argmin for subspace ``s`` over the
     quantized vector column ``q`` — ties toward the lowest code, the
-    ``kmeans_integer`` convention."""
-    subq = F.slice(F.col("q"), s * d + 1, d)
-    dists = F.array(*[_sq_dist(subq, books[s][j]) for j in sorted(books[s])])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    ``kmeans_integer`` convention. Built as one SQL-text parse (the
+    clustering._sq_dist_sql doctrine): the k x dim/m codeword literals
+    cost one JVM parse instead of hundreds of py4j calls per call."""
+    dists = _dists_array_sql(f"slice(q, {s * d + 1}, {d})", books[s])
+    return F.expr(f"CAST({_argmin_cluster_sql(dists)} AS BIGINT)")
 
 
 def pq_encode(
@@ -148,9 +153,7 @@ def pq_fit(
     ]
 
     def code_col(s: int):
-        subq = F.slice(F.col("q"), s * d + 1, d)
-        dists = F.array(*[_sq_dist(subq, books[s][j]) for j in sorted(books[s])])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        return _code_col(books, s, d)
 
     for _ in range(iters):
         assigned = q.select(
@@ -239,29 +242,32 @@ def pq_topk(
     )
     if not qrows:
         raise ValueError("pq_topk: no query vectors with id < n_queries")
+    # LUT fold-back as ONE SQL-text parse (clustering._sq_dist_sql
+    # doctrine): the n_queries x m x k lookup-table literals cost one
+    # JVM parse instead of a py4j call per literal.
     structs = []
     for r in sorted(qrows, key=lambda r: r.id):
         qv = list(r.q)
-        adc = None
+        terms = []
         for s in range(m):
             sub = qv[s * d : (s + 1) * d]
             lut = [
                 sum((a - b) * (a - b) for a, b in zip(sub, codebooks[s][j]))
                 for j in sorted(codebooks[s])
             ]
-            term = F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
-                (F.col(f"code_{s}") + 1).cast("int"),
+            lits = ", ".join(f"{int(v)}L" for v in lut)
+            terms.append(
+                f"element_at(array({lits}), CAST((code_{s} + 1) AS INT))"
             )
-            adc = term if adc is None else adc + term
+        adc = " + ".join(terms)
         structs.append(
-            F.struct(
-                F.lit(int(r.id)).cast("long").alias("q_id"),
-                adc.cast("long").alias("adc_d2"),
-            )
+            f"named_struct('q_id', {int(r.id)}L, "
+            f"'adc_d2', CAST({adc} AS BIGINT))"
         )
     scored = (
-        codes.select("id", F.explode(F.array(*structs)).alias("x"))
+        codes.select(
+            "id", F.explode(F.expr(f"array({', '.join(structs)})")).alias("x")
+        )
         .select(
             F.col("x.q_id").alias("q_id"),
             F.col("id").alias("cand_id"),
@@ -330,11 +336,9 @@ def ivfpq_topk(
         _, coarse = kmeans_fit(
             emb, id_col, vec_col, k=coarse_k, iters=coarse_iters, quantize=quantize
         )
-    cell_dists = F.array(
-        *[_sq_dist(F.col("q"), coarse[j]) for j in sorted(coarse)]
-    )
+    cell_dists = _dists_array_sql("q", coarse)
     enriched = codes.withColumn(
-        "cell", (F.array_position(cell_dists, F.array_min(cell_dists)) - 1)
+        "cell", F.expr(_argmin_cluster_sql(cell_dists))
     )
     d = dim // m
     qrows = (
@@ -344,6 +348,8 @@ def ivfpq_topk(
     )
     if not qrows:
         raise ValueError("ivfpq_topk: no query vectors with id < n_queries")
+    # Probe sets + LUTs folded back as ONE SQL-text parse (the pq_topk
+    # shape, plus the per-query probed-cell membership test).
     structs = []
     for r in sorted(qrows, key=lambda r: r.id):
         qv = list(r.q)
@@ -352,27 +358,28 @@ def ivfpq_topk(
             for j in sorted(coarse)
         ]
         probe_cells = [j for _, j in sorted(pd2)[:n_probe]]
-        adc = None
+        terms = []
         for s in range(m):
             sub = qv[s * d : (s + 1) * d]
             lut = [
                 sum((a - b) * (a - b) for a, b in zip(sub, books[s][j]))
                 for j in sorted(books[s])
             ]
-            term = F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
-                (F.col(f"code_{s}") + 1).cast("int"),
+            lits = ", ".join(f"{int(v)}L" for v in lut)
+            terms.append(
+                f"element_at(array({lits}), CAST((code_{s} + 1) AS INT))"
             )
-            adc = term if adc is None else adc + term
+        adc = " + ".join(terms)
+        probes = ", ".join(str(int(c)) for c in probe_cells)
         structs.append(
-            F.struct(
-                F.lit(int(r.id)).cast("long").alias("q_id"),
-                adc.cast("long").alias("adc_d2"),
-                F.col("cell").isin(*probe_cells).alias("probed"),
-            )
+            f"named_struct('q_id', {int(r.id)}L, "
+            f"'adc_d2', CAST({adc} AS BIGINT), "
+            f"'probed', cell IN ({probes}))"
         )
     scored = (
-        enriched.select("id", F.explode(F.array(*structs)).alias("x"))
+        enriched.select(
+            "id", F.explode(F.expr(f"array({', '.join(structs)})")).alias("x")
+        )
         .filter(F.col("x.probed") & (F.col("id") != F.col("x.q_id")))
         .select(
             F.col("x.q_id").alias("q_id"),

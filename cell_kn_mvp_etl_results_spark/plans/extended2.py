@@ -819,7 +819,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-gated production alternative; this plan trades init flexibility
     for bit-exact cross-engine verification.
     """
-    from ..operators.clustering import _sq_dist, kmeans_assign
+    from ..operators.clustering import _dists_array_sql, kmeans_assign
     from ..operators.similarity import dot
     from .models import kmeans_centroids
 
@@ -837,7 +837,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("q_vec"),
         dot(F.col("q"), F.col("q")).alias("q_norm"),
     )
-    cell_d = F.array(*[_sq_dist(F.col("q_vec"), cents[j]) for j in sorted(cents)])
+    cell_d = F.expr(_dists_array_sql("q_vec", cents))
     wp = Window.partitionBy("q_id").orderBy("pd2", "cell")
     probes = (
         qv.select(
@@ -2203,7 +2203,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-N-sized, so fusion costs two tiny outer joins after the
     underlying retrieval machinery.
     """
-    from ..operators.clustering import _sq_dist
+    from ..operators.clustering import _sq_dist_sql
     from ..operators.search import rrf_fuse
     from ..operators.textanalysis import bm25_topk
 
@@ -2219,7 +2219,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     anchor = q.filter(F.col("id") == 0).collect()[0].q
-    vd = q.select("id", _sq_dist(F.col("q"), list(anchor)).alias("d2"))
+    vd = q.select("id", F.expr(_sq_dist_sql("q", list(anchor))).alias("d2"))
     wv = Window.orderBy("d2", "id")
     vec = (
         vd.withColumn("rank", F.row_number().over(wv).cast("long"))

@@ -44,24 +44,35 @@ def q_subgraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
 
     def edge(sc, sk, dc, dk, df):
+        # Dedup on the raw LONG keys and stringify after (guide §2.3
+        # "narrower types"): the distinct shuffle carries 16 fixed
+        # bytes per edge instead of two variable-length strings.
         return (
-            df.select(
-                F.col(sk).cast("string").alias("src_key"),
-                F.col(dk).cast("string").alias("dst_key"),
-            )
+            df.select(F.col(sk).alias("_sk"), F.col(dk).alias("_dk"))
             .dropDuplicates()
             .select(
                 F.lit(sc).alias("src_coll"),
-                "src_key",
+                F.col("_sk").cast("string").alias("src_key"),
                 F.lit(dc).alias("dst_coll"),
-                "dst_key",
+                F.col("_dk").cast("string").alias("dst_key"),
                 F.lit("has").alias("label"),
             )
         )
 
+    # The deduped edge union is referenced by BOTH battery specs and
+    # again by the extraction semi-join; Catalyst plans each reference
+    # independently, so without materialization the two dedup shuffles
+    # execute up to 3x per run (guide §3.3: materialise an intermediate
+    # to truncate the plan). An eager per-run localCheckpoint computes
+    # them once and every downstream hop/semi-join reads the
+    # checkpointed blocks; nothing survives the run's DataFrame, so
+    # rebuild runs stay honest from-scratch executions. Measured
+    # 5.25 -> 4.70 s interleaved rebuild median at sf0.1 (box in its
+    # noisy band; every pairwise sample but one favoured the
+    # checkpointed shape), rows pinned identical.
     edges = edge("C", "o_custkey", "O", "o_orderkey", o).unionByName(
         edge("O", "l_orderkey", "P", "l_partkey", li)
-    )
+    ).localCheckpoint(eager=True)
     anchors = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
         F.lit("C").alias("coll"), F.col("c_custkey").cast("string").alias("key")
     )

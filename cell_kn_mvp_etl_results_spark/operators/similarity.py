@@ -203,6 +203,68 @@ def cosine_topk_arrow(
     )
 
 
+def cosine_threshold_pairs_arrow(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    quantize: int | None = 4,
+    prepared: tuple | None = None,
+) -> DataFrame:
+    """All-pairs cosine THRESHOLD filter (id_a < id_b, cos >=
+    threshold) scored with the Arrow batch matmul — the
+    ``cosine_topk_arrow`` scorer applied to the near-dup pair contract
+    (r12: the interpreted higher-order-function theta join was the
+    whole cost of q_dedup_embedding, guide §4.2).
+
+    Determinism: quantized products/sums are exact integers in float64
+    (dots <= ~1e10 << 2^53), and the norm product is the one
+    correctly-rounded conversion of the same exact integer both in
+    numpy (float64 multiply of exact factors) and in the JVM
+    (long multiply then toDouble), so score and threshold compare are
+    bit-identical to the expression plan.
+
+    Scale shape: one broadcastable corpus matrix in the closure, one
+    matmul per Arrow batch, only surviving pairs leave the worker. The
+    matrix side is the all-pairs posture this operator exists to
+    demonstrate; at lake scale the same scorer runs behind a
+    bucket/LSH candidate generator (q_ann_bucket) instead of a full
+    matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(10**quantize) if quantize is not None else None
+    if prepared is None:
+        prepared = prepare_cosine_queries(emb, id_col, vec_col, quantize)
+    q_ids, q_mat, _q_labels, q_norm = prepared
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if scale is not None:
+                c_mat = _np_quantize(c_mat, scale)
+            c_norm = (c_mat * c_mat).sum(axis=1)
+            dots = c_mat @ q_mat.T
+            scores = dots / np.sqrt(np.outer(c_norm, q_norm))
+            keep = (c_ids[:, None] < q_ids[None, :]) & (scores >= threshold)
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": c_ids[ii],
+                    "id_b": q_ids[jj],
+                    "cos": scores[ii, jj],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        score, "id_a long, id_b long, cos double"
+    )
+
+
 def _cosine_scored(
     emb: DataFrame,
     queries: DataFrame | None,

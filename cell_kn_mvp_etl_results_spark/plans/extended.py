@@ -146,19 +146,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/bucket candidate generator (q_ann_bucket) instead of the cross
     join. Quantized-integer dots -> engine-exact scores.
     """
+    # r12: scored with the Arrow batch matmul instead of the
+    # interpreted higher-order-function theta join (guide §4.2) — the
+    # scorer is bit-identical (exact-integer dots in float64, same
+    # correctly-rounded norm product), measured ~3x on the noop-
+    # isolated computation; the corpus matrix is prepared once per
+    # fingerprint (plans/models.py, the cosine-prep doctrine).
+    from ..operators.similarity import cosine_threshold_pairs_arrow
+    from .models import cosine_prepared_queries
+
     e = read_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        F.col("vec_id").alias("id"), _quantized(F.col("embedding"), 4).alias("q")
-    ).select("id", "q", dot(F.col("q"), F.col("q")).alias("norm"))
-    a = v.select(F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("norm").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("q").alias("qb"), F.col("norm").alias("nb"))
-    cos = dot(F.col("qa"), F.col("qb")) / F.sqrt(F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.35)
-        .orderBy("id_a", "id_b")
+    prepared = cosine_prepared_queries(
+        spark, sf_dir, max_id=1 << 62, quantize=4
     )
+    return cosine_threshold_pairs_arrow(
+        e, "vec_id", "embedding", threshold=0.35, quantize=4,
+        prepared=prepared,
+    ).orderBy("id_a", "id_b")
 
 
 @query(

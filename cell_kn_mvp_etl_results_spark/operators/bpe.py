@@ -56,6 +56,24 @@ def _initial_seq(word) -> F.Column:
     )
 
 
+def _merged_seq(merges: list[tuple]) -> F.Column:
+    """The canonical-apply segmentation of ``word`` under a trained
+    merge list: ``_initial_seq`` rewritten by one literal ``replace``
+    per merge, in training order — reproduces the learned segmentation
+    exactly (module docstring; shared by ``bpe_apply`` and the
+    pretrained paths of ``bpe_segment_counts``/q_tokenize_pack)."""
+    ordered = sorted(merges, key=lambda m: m[0])
+    seq = _initial_seq(F.col("word"))
+    for m in ordered:
+        l, r = m[1], m[2]
+        seq = F.replace(
+            seq,
+            F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+            F.lit(f"{SEP}{l}{r}{SEP}"),
+        )
+    return seq
+
+
 def _tokens(df: DataFrame, text_col: str, extra_cols: tuple = ()) -> DataFrame:
     """Whitespace tokenization shared by train and apply. Strips the
     U+001F fence character from the text FIRST: a token containing SEP
@@ -274,6 +292,7 @@ def bpe_segment_counts(
     group_col: str = "source",
     n_merges: int = 8,
     max_word_syms: int = 64,
+    merges: list[tuple] | None = None,
 ) -> DataFrame:
     """Apply-side of the tokenizer: train ``n_merges`` merges, segment
     the corpus under them, and report per-``group_col``
@@ -281,8 +300,22 @@ def bpe_segment_counts(
     mixture/packing stage consumes. Application is VOCABULARY-level
     (each distinct word segments once; occurrences join the result),
     so per-round and apply cost scale with the vocabulary, not corpus
-    bytes."""
-    _merges, vocab = _train(df, text_col, n_merges, max_word_syms)
+    bytes.
+
+    ``merges``: a PRE-TRAINED merge list (plans/models.py registry) --
+    the serving path: segmentation becomes the canonical-apply replace
+    chain over the distinct words (``_merged_seq``), zero driver-synced
+    training rounds per call; row-identical to inline training because
+    canonical apply reproduces the learned segmentation exactly."""
+    if merges is None:
+        _merges, vocab = _train(df, text_col, n_merges, max_word_syms)
+    else:
+        vocab = (
+            _tokens(df, text_col)
+            .select("word")
+            .distinct()
+            .select("word", _merged_seq(merges).alias("seq"))
+        )
     n_sub = F.size(
         F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP)
     )
@@ -322,15 +355,7 @@ def bpe_apply(
     order, which reproduces the learned segmentation exactly (canonical
     BPE apply semantics).
     """
-    ordered = sorted(merges, key=lambda m: m[0])
-    seq = _initial_seq(F.col("word"))
-    for m in ordered:
-        l, r = m[1], m[2]
-        seq = F.replace(
-            seq,
-            F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
-            F.lit(f"{SEP}{l}{r}{SEP}"),
-        )
+    seq = _merged_seq(merges)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(

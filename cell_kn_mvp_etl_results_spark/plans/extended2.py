@@ -1089,11 +1089,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical single-pass merge application -- tokenizer training as an
     oracle-gated iterative Spark job. Per round the aggregation key
     space is the active pair vocabulary, never the corpus.
-    """
-    from ..operators.bpe import bpe_train_merges
 
-    d = read_table(spark, sf_dir, "documents")
-    return bpe_train_merges(d, "text", n_merges=8).orderBy("step")
+    r12: the trained merge table is served from the per-fingerprint
+    model registry (plans/models.py — the kmeans/PQ doctrine applied
+    to the tokenizer artifact); the oracle retrains relationally
+    either way, so the registry path is hash-gated end to end.
+    """
+    from .models import bpe_merge_rows
+
+    rows = bpe_merge_rows(spark, sf_dir, n_merges=8)
+    return spark.createDataFrame(
+        rows,
+        "step long, left string, right string, merged string,"
+        " pair_count long",
+    ).orderBy("step")
 
 
 @query(
@@ -1108,12 +1117,18 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.bpe_segment_counts) -- the EXACT token-budget
     accounting that replaces q_token_classes' ceil(len/4) estimate once
     a tokenizer exists. Each distinct word segments once; occurrences
-    join the vocabulary-level result.
+    join the vocabulary-level result. r12: segments under the
+    registry-pinned merge table via the canonical-apply chain (zero
+    training rounds per call).
     """
     from ..operators.bpe import bpe_segment_counts
+    from .models import bpe_merge_rows
 
     d = read_table(spark, sf_dir, "documents")
-    return bpe_segment_counts(d, "text", "source", n_merges=8)
+    merges = bpe_merge_rows(spark, sf_dir, n_merges=8)
+    return bpe_segment_counts(
+        d, "text", "source", n_merges=8, merges=merges
+    )
 
 
 def _natural_vocab_oracle(n_merges: int = 12) -> str:
@@ -1151,13 +1166,17 @@ def q_bpe_natural_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096-merge / 16k-word certification lives in
     scripts/bpe_largevocab_run.py + tests/test_bpe.py).
     """
-    from ..operators.bpe import bpe_train_merges
-    from ..sources.synthetic import natural_vocab_corpus
+    from .models import natural_vocab_bpe_rows
 
-    corpus = natural_vocab_corpus(
-        spark, n_words=800, n_tokens=8_000, doc_len=64, seed=7, n_partitions=8
+    rows = natural_vocab_bpe_rows(
+        spark, n_words=800, n_tokens=8_000, doc_len=64, seed=7,
+        n_merges=12, batch=4,
     )
-    return bpe_train_merges(corpus, "text", n_merges=12, batch=4).orderBy("step")
+    return spark.createDataFrame(
+        rows,
+        "step long, left string, right string, merged string,"
+        " pair_count long",
+    ).orderBy("step")
 
 
 @query(
@@ -1179,10 +1198,17 @@ def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain feeding the naive single-window cumsum.
     """
     from ..operators import packing as pk
-    from ..operators.bpe import SEP, _tokens, _train
+    from ..operators.bpe import SEP, _merged_seq, _tokens
+    from .models import bpe_merge_rows
 
     d = read_table(spark, sf_dir, "documents")
-    _merges, vocab = _train(d, "text", 8, 64)
+    merges = bpe_merge_rows(spark, sf_dir, n_merges=8)
+    vocab = (
+        _tokens(d, "text")
+        .select("word")
+        .distinct()
+        .select("word", _merged_seq(merges).alias("seq"))
+    )
     n_sub = F.size(
         F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP)
     )

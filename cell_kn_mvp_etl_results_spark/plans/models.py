@@ -48,10 +48,16 @@ def _model(
     kind: str,
     params: tuple,
     trainer: Callable[[], object],
+    table: str | None = "embeddings",
 ) -> object:
+    """``table`` names the parquet source whose fingerprint guards the
+    entry (embeddings for the vector family, documents for the
+    tokenizer). ``table=None`` is for models trained on a SYNTHETIC
+    corpus that is a pure function of the params already in the key —
+    there is no on-disk input whose regeneration could stale them."""
     if not materialize_enabled():
         return trainer()
-    fp = _fingerprint(f"{sf_dir}/embeddings.parquet")
+    fp = _fingerprint(f"{sf_dir}/{table}.parquet") if table else None
     key = (spark, sf_dir, kind, params)
     hit = _MODELS.get(key)
     if hit is not None and hit[0] == fp:
@@ -132,6 +138,82 @@ def quantized_query_rows(
         )
 
     return _model(spark, sf_dir, "qrows", (n_queries, quantize), collect)
+
+
+def bpe_merge_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 8,
+    batch: int = 1,
+    max_word_syms: int = 64,
+) -> list[tuple]:
+    """The trained BPE merge table for this corpus fingerprint, as
+    plain (step, left, right, merged, pair_count) tuples. The merge
+    list IS the tokenizer artifact a deployment ships (operators/bpe
+    module docstring — "a 100 TB tokenization job ships only the merge
+    table"); retraining it was n_merges driver-synced recount rounds
+    per rebuild-regime call of every tokenizer query."""
+    from ..operators.bpe import bpe_train_merges
+
+    def train() -> list[tuple]:
+        d = read_table(spark, sf_dir, "documents")
+        return [
+            tuple(r)
+            for r in bpe_train_merges(
+                d, "text", n_merges=n_merges,
+                max_word_syms=max_word_syms, batch=batch,
+            ).collect()
+        ]
+
+    return _model(
+        spark,
+        sf_dir,
+        "bpe",
+        (n_merges, batch, max_word_syms),
+        train,
+        table="documents",
+    )
+
+
+def natural_vocab_bpe_rows(
+    spark: SparkSession,
+    n_words: int,
+    n_tokens: int,
+    doc_len: int,
+    seed: int,
+    n_merges: int,
+    batch: int = 1,
+) -> list[tuple]:
+    """Trained merges over the SYNTHETIC natural-vocabulary corpus —
+    a pure function of the parameters (sources/synthetic), so the
+    entry is keyed by them alone (no on-disk fingerprint exists)."""
+    from ..operators.bpe import bpe_train_merges
+    from ..sources.synthetic import natural_vocab_corpus
+
+    def train() -> list[tuple]:
+        corpus = natural_vocab_corpus(
+            spark,
+            n_words=n_words,
+            n_tokens=n_tokens,
+            doc_len=doc_len,
+            seed=seed,
+            n_partitions=8,
+        )
+        return [
+            tuple(r)
+            for r in bpe_train_merges(
+                corpus, "text", n_merges=n_merges, batch=batch
+            ).collect()
+        ]
+
+    return _model(
+        spark,
+        "<synthetic>",
+        "bpe_nv",
+        (n_words, n_tokens, doc_len, seed, n_merges, batch),
+        train,
+        table=None,
+    )
 
 
 def cosine_prepared_queries(

@@ -339,6 +339,56 @@ def synthetic_media(ids: DataFrame, kind: str, id_col: str = "media_id") -> Data
     return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthetic_media_features(
+    ids: DataFrame, kind: str, fake: bool = False, id_col: str = "media_id"
+) -> DataFrame:
+    """Fused synthesize+decode for the parametric decode gates (r12
+    optimization, guide §4.1): ``synthetic_media`` + ``*_features`` as
+    ONE Arrow ``mapInPandas`` stage. The two-stage shape shipped the
+    payload bytes Python→JVM→Python (four Arrow (de)serialization legs
+    + two Python stages) purely to reconstruct them in the next
+    operator; here each id's payload is encoded and immediately parsed
+    back by the SAME pure-stdlib decoder, so the gate still proves the
+    byte-level encode→decode round trip while the bytes never cross a
+    boundary. Row-identical to the two-stage composition (the decode
+    dispatch and arithmetic are shared); q_decode_video keeps the
+    join-shaped twin because its gate exists to exercise the JVM-side
+    container-header sampling plan."""
+    enc = {"image": encode_ppm, "bmp": encode_bmp, "audio": encode_wav}[kind]
+
+    if kind == "audio":
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid in pdf[id_col]:
+                    data = enc(int(mid))
+                    dur, rms = decode_audio(data, fake=fake)
+                    rows.append((int(mid), len(data), dur, rms))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_bytes", "est_duration_ms", "rms_level",
+                    ],
+                )
+
+        return ids.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                data = enc(int(mid))
+                w, h, luma = decode_image(data, fake=fake)
+                rows.append((int(mid), len(data), w, h, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "width", "height", "mean_luma"],
+            )
+
+    return ids.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Cheap metadata without decoding: byte length + content hash.
     Stays fully JVM-side (no Python), so it runs at scan speed."""

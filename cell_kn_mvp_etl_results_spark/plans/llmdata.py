@@ -1439,7 +1439,11 @@ def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
-    feats = mm.image_features(mm.synthetic_media(ids, "image"), fake=False)
+    # r12: synthesize+decode fused into ONE Arrow stage (guide §4.1;
+    # operators/multimodal.synthetic_media_features) -- the payload no
+    # longer round-trips Python->JVM->Python between two mapInPandas
+    # nodes; the same stdlib decoder parses the same bytes.
+    feats = mm.synthetic_media_features(ids, "image", fake=False)
     return feats.select(
         "media_id", "n_bytes", "width", "height", "mean_luma"
     ).orderBy("media_id")
@@ -1488,7 +1492,8 @@ def q_decode_image_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
-    feats = mm.image_features(mm.synthetic_media(ids, "bmp"), fake=False)
+    # r12: fused synthesize+decode (see q_decode_image).
+    feats = mm.synthetic_media_features(ids, "bmp", fake=False)
     return feats.select(
         "media_id", "n_bytes", "width", "height", "mean_luma"
     ).orderBy("media_id")
@@ -1536,7 +1541,8 @@ def q_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
-    feats = mm.audio_features(mm.synthetic_media(ids, "audio"), fake=False)
+    # r12: fused synthesize+decode (see q_decode_image).
+    feats = mm.synthetic_media_features(ids, "audio", fake=False)
     return feats.select(
         "media_id", "n_bytes", "est_duration_ms", "rms_level"
     ).orderBy("media_id")

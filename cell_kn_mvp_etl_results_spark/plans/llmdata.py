@@ -965,19 +965,24 @@ def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select(
         "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
     )
+    # Single-scan shape (r12, guide section 2.4): the per-source median
+    # is a SECOND window over the SAME partitioning -- the tokenize
+    # projection (the expensive part) runs once and the self-join the
+    # old shape paid to re-attach the median is gone. Both windows
+    # share one exchange on source; the rank = (cnt+1) div 2 lower
+    # median stays the exact integer the oracle computes.
     wp = Window.partitionBy("source")
     ranked = sig.select(
-        "doc_id",
         "source",
         "n_tokens",
         F.row_number().over(wp.orderBy("n_tokens", "doc_id")).alias("rn"),
         F.count(F.lit(1)).over(wp).alias("cnt"),
     )
-    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
-        "source", F.col("n_tokens").alias("median_tokens")
-    )
+    med = F.max(
+        F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n_tokens"))
+    ).over(wp)
     return (
-        sig.join(med, "source")
+        ranked.withColumn("median_tokens", med)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2874,6 +2879,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import sketches as sk
 
+    m_bits, k_hashes = 4096, 3
     d = read_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(
@@ -2893,39 +2899,56 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    train = dd.shingle_set(train_docs, "doc_id", "text", n=3).persist()
-    bitmap = sk.bloom_build(bench, "shingle", m_bits=4096, k_hashes=3)
-    verdict = sk.bloom_probe(
-        train.select("shingle").distinct(), "shingle", bitmap,
-        m_bits=4096, k_hashes=3,
+    train = dd.shingle_set(train_docs, "doc_id", "text", n=3)
+    # Fused shape (r12, guide sections 2.4 and 1.2): the old plan
+    # persisted train, ran THREE aggregations (sizes / exact / bloom),
+    # re-joined them, and shipped every distinct train shingle through a
+    # shuffled probe-verdict join. The bitmap is m_bits/32 = 128 words
+    # REGARDLESS of corpus size, so it is pulled once per build (a
+    # bounded collect, same doctrine as the label-rebalance quota sync)
+    # and inlined as an array literal -- the bloom verdict becomes a
+    # map-side expression on the train stream, exactly the "broadcast
+    # the KB bitmap" posture the docstring promises at 100 TB. Exact
+    # hits are a LEFT broadcast mark against the distinct benchmark
+    # grams (bench is distinct, so the left join preserves row count),
+    # and ONE aggregation yields n_grams / n_exact / n_bloom together.
+    # The probe positions are sk._bloom_positions -- the same portable
+    # hash family bloom_build wrote -- so every verdict is bit-identical
+    # to the joined shape's.
+    bitmap = sk.bloom_build(bench, "shingle", m_bits=m_bits, k_hashes=k_hashes)
+    words = {int(r["word"]): int(r["bits"]) for r in bitmap.collect()}
+    arr = F.expr(
+        "array("
+        + ",".join(str(words.get(w, 0)) + "L" for w in range(m_bits // 32))
+        + ")"
     )
-    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    exact = (
-        train.join(bench, "shingle")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    bloom = (
-        train.join(
-            verdict.filter("maybe_member").select(
-                F.col("key").alias("shingle")
-            ),
-            "shingle",
-        )
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_bloom"))
+    probe = None
+    for p in sk._bloom_positions(F.col("shingle"), m_bits, k_hashes):
+        word = F.floor(p / 32).cast("int")
+        hit = F.getbit(F.element_at(arr, word + 1), (p % 32).cast("int")) == 1
+        probe = hit if probe is None else (probe & hit)
+    marked = train.join(
+        F.broadcast(bench.withColumn("_bhit", F.lit(1))), "shingle", "left"
     )
     return (
-        sizes.join(exact, "id", "left")
-        .join(bloom, "id", "left")
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_bhit"), F.lit(0))).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("n_exact"),
+            F.coalesce(
+                F.sum(F.when(probe, 1).otherwise(0)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("n_bloom"),
+        )
         .select(
             "id",
             "n_grams",
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            F.coalesce("n_bloom", F.lit(0)).alias("n_bloom"),
-            (
-                F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_exact", F.lit(0))
-            ).alias("n_false_pos"),
+            "n_exact",
+            "n_bloom",
+            (F.col("n_bloom") - F.col("n_exact")).alias("n_false_pos"),
         )
         .orderBy("id")
     )

@@ -98,6 +98,12 @@ def touched_edges(paths: DataFrame) -> DataFrame:
                 F.explode(_pairs(F.split("hierarchy_path", "/"))).alias("e")
             )
         )
+    # Dedup BEFORE the split (r12, guide §2.3 "shuffle fewer bytes"):
+    # the distinct shuffle carries the 2-string (src, dst) struct
+    # instead of 4 split columns, and the substring_index /
+    # regexp_replace projections run on distinct pairs only. The split
+    # is injective (src = coll || '_' || key reconstructs it), so
+    # dedup-before equals dedup-after and the output stays distinct.
     # coll = before the FIRST '_'; key = everything after it (keys may
     # themselves contain underscores).
     split = lambda c: (  # noqa: E731
@@ -106,12 +112,12 @@ def touched_edges(paths: DataFrame) -> DataFrame:
     )
     s_coll, s_key = split(F.col("e.src"))
     d_coll, d_key = split(F.col("e.dst"))
-    return pairs.select(
+    return pairs.dropDuplicates().select(
         s_coll.alias("src_coll"),
         s_key.alias("src_key"),
         d_coll.alias("dst_coll"),
         d_key.alias("dst_key"),
-    ).dropDuplicates()
+    )
 
 
 def reference_battery() -> list[PathSpec]:

@@ -51,13 +51,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~77k pairs at radius 8 vs ~7.5k at radius 2). Bit-band blocked
     (3 disjoint ~11-bit bands; pigeonhole gives full recall at
     radius 2), so the candidate shuffle is on (band, val) keys --
-    never the all-pairs theta join the oracle spells out."""
+    never the all-pairs theta join the oracle spells out.
+
+    Plan shape (r12 optimization): the bands self-join references the
+    simhash aggregation subtree on BOTH sides, and Catalyst executes
+    each reference independently -- an eager per-run localCheckpoint
+    of the |docs|-row (id, simhash) relation computes it once (the
+    subgraph-extract precedent; nothing survives the run). The sorted
+    result takes a 1-partition sort instead of a range-sampled global
+    sort (the khop r8 precedent; sampling re-submits a job per run).
+    What remains is driver serialization of the DECLARED ~777k-row
+    result at sf0.1 -- the same result-pull bound as
+    q_tuple_generation, paid symmetrically by the oracle."""
     d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    hashes = dd.simhash(d, "doc_id", "text", bits=32).localCheckpoint(eager=True)
     return (
         dd.simhash_pairs(hashes, max_hamming=2)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("id_a", "id_b")
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 
@@ -292,9 +304,14 @@ def q_first_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a both-bands pair surviving twice) or a wrong band attribution
     moves a count or checksum. At most 2 rows cross the driver; the
     checksum's per-term mod keeps the long sum exact to ~9e9 pairs.
+
+    Plan shape (r12 optimization): same shared-subtree fix as
+    q_simhash_pairs -- the band self-join would execute the simhash
+    aggregation twice; the eager per-run localCheckpoint computes it
+    once.
     """
     d = read_table(spark, sf_dir, "documents")
-    hashes = dd.simhash(d, "doc_id", "text", bits=32)
+    hashes = dd.simhash(d, "doc_id", "text", bits=32).localCheckpoint(eager=True)
     bands = dd.simhash_bands(hashes, bands=2, bits=32)
     a = bands.select(
         F.col("id").alias("id_x"), F.col("simhash").alias("sh_x"), "band", "val"

@@ -3631,19 +3631,26 @@ def q_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("threshold_permille", "id_a", "id_b")
     )
-    per_pairs = hits.groupBy("threshold_permille").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
-    per_docs = (
+    # Single-aggregation shape (r12, guide §1.2 "don't compute things
+    # you throw away"): the old per_pairs/per_docs split referenced the
+    # jaccard_pairs subtree twice, and Catalyst plans (and executes)
+    # each branch independently -- the whole inverted-index join ran
+    # twice per run. Each hit explodes to exactly two (threshold, id)
+    # rows, so n_pairs = count(*)/2 (exact: the count is even by
+    # construction) and n_docs = count_distinct(id) come out of ONE
+    # aggregation over one execution of the pair machinery.
+    agg = (
         hits.select(
             "threshold_permille", F.explode(F.array("id_a", "id_b")).alias("id")
         )
         .groupBy("threshold_permille")
-        .agg(F.count_distinct("id").alias("n_docs"))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("id").alias("n_docs"),
+        )
     )
     return (
-        th.join(per_pairs, "threshold_permille", "left")
-        .join(per_docs, "threshold_permille", "left")
+        th.join(agg, "threshold_permille", "left")
         .select(
             "threshold_permille",
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),

@@ -683,6 +683,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     min_est: float = 0.25,
+    delta_index: DataFrame | None = None,
 ) -> DataFrame:
     """All qualifying (delta_id, base_id, est_jaccard) collision pairs
     of a delta batch against the persisted base index -- the pair-level
@@ -693,14 +694,32 @@ def incremental_minhash_pairs(
     set restricted to (later-batch doc, earlier-batch doc) -- LSH
     collisions depend only on per-document band buckets, so batch
     composition is exact, not approximate.
+
+    ``delta_index``: the delta's own ``minhash_bucket_index`` rows
+    (same num_perm/bands/shingle_n), when the caller already has them
+    -- a probe-then-upsert cycle computes that frame ANYWAY for the
+    index append, so passing it here makes the delta's signature
+    pipeline run once per landing instead of twice (r12; the probe
+    subtree built inline below is the same lsh_band_buckets(
+    minhash_signatures_wide(...)) composition by construction).
     """
-    d_sigs = minhash_signatures_wide(delta, id_col, text_col, num_perm, shingle_n)
-    d_buckets = lsh_band_buckets(d_sigs, num_perm, bands, carry=("sig",)).select(
-        F.col("id").alias("delta_id"),
-        "band",
-        "bucket",
-        F.col("sig").alias("delta_sig"),
-    )
+    if delta_index is not None:
+        d_buckets = delta_index.select(
+            F.col("id").alias("delta_id"),
+            "band",
+            "bucket",
+            F.col("sig").alias("delta_sig"),
+        )
+    else:
+        d_sigs = minhash_signatures_wide(
+            delta, id_col, text_col, num_perm, shingle_n
+        )
+        d_buckets = lsh_band_buckets(d_sigs, num_perm, bands, carry=("sig",)).select(
+            F.col("id").alias("delta_id"),
+            "band",
+            "bucket",
+            F.col("sig").alias("delta_sig"),
+        )
     b = base_index.select(
         F.col("id").alias("base_id"),
         "band",

@@ -502,10 +502,21 @@ def q_incremental_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fingerprint-keyed memo WITH eviction (ADVICE r10): a plan-closure
     # persist had no unpersist path when the corpus regenerated.
     idx0 = _incr_cycle_base_index(spark, sf_dir, base)
-    p1 = dd.incremental_minhash_pairs(idx0, delta1, "doc_id", "text").withColumn(
-        "kind", F.lit("delta1")
+    # delta1's (id, band, bucket, sig) rows feed BOTH the p1 probe and
+    # the idx1 upsert; computed once per run (|delta| rows) via an
+    # eager per-run localCheckpoint -- Catalyst plans each reference
+    # independently, so without it the delta's whole signature
+    # pipeline executed twice per evaluation (r12, guide "materialise
+    # shared subtrees"; A/B rebuild median 2.22 -> 1.62 s at sf0.1,
+    # rows identical). This is also the honest lake shape: the landing
+    # batch's index rows are materialized once and appended.
+    d1_idx = dd.minhash_bucket_index(delta1, "doc_id", "text").localCheckpoint(
+        eager=True
     )
-    idx1 = dd.upsert_minhash_index(idx0, delta1, "doc_id", "text")
+    p1 = dd.incremental_minhash_pairs(
+        idx0, delta1, "doc_id", "text", delta_index=d1_idx
+    ).withColumn("kind", F.lit("delta1"))
+    idx1 = idx0.unionByName(d1_idx)
     p2 = dd.incremental_minhash_pairs(idx1, delta2, "doc_id", "text").withColumn(
         "kind", F.lit("delta2")
     )
@@ -2412,7 +2423,21 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    regs = sk.hll_registers(toks, "tok", "source")
+    # Plan shape (r12): registers are a function of the DISTINCT
+    # (source, tok) set (duplicate keys produce identical (bucket, rho)
+    # rows under the max), so the exact-audit distinct is computed ONCE
+    # (persisted per run) and feeds both the sketch and the audit
+    # self-join; the |sources| x 512 register table is eagerly
+    # checkpointed because three downstream subtrees (pair seed, union
+    # registers, per-source estimates) reference it and Catalyst plans
+    # each reference independently -- before, the full token explode
+    # executed five times per run. A/B rebuild median 1.40 -> 1.14 s
+    # at sf0.1, rows identical (the printed plan stays 40 -> 38
+    # Exchange because the persisted distinct's subtree still prints
+    # under its InMemoryRelation; the register subtrees become
+    # checkpoint scans).
+    dt = toks.distinct().persist()
+    regs = sk.hll_registers(dt, "tok", "source").localCheckpoint(eager=True)
     srcs = regs.select("source").distinct()
     prs = (
         srcs.select(F.col("source").alias("src_a"))
@@ -2431,7 +2456,6 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_distinct", "est_union"
     )
     sest = sk.hll_estimate(regs, "source")
-    dt = toks.distinct()
     ov = (
         dt.select(F.col("source").alias("src_a"), "tok")
         .join(dt.select(F.col("source").alias("src_b"), "tok"), "tok")

@@ -1065,6 +1065,33 @@ def test_incremental_dedup_two_batch_cycle_composes_exactly(spark, sf_dir):
     assert any(e % 10 == 0 for (_l, e, _j) in composed)
 
 
+def test_incremental_pairs_delta_index_path_identical(spark, sf_dir):
+    """The r12 probe-then-upsert sharing: passing the delta's own
+    minhash_bucket_index as ``delta_index`` must yield exactly the
+    inline-signature probe's pairs (same columns, same rows) -- the
+    precondition the q_incremental_cycle restructure rests on."""
+    import pyspark.sql.functions as F
+
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    idx0 = dd.minhash_bucket_index(base, "doc_id", "text")
+    inline = dd.incremental_minhash_pairs(idx0, delta, "doc_id", "text")
+    via_index = dd.incremental_minhash_pairs(
+        idx0,
+        delta,
+        "doc_id",
+        "text",
+        delta_index=dd.minhash_bucket_index(delta, "doc_id", "text"),
+    )
+    assert inline.columns == via_index.columns
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, via_index.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_first_band_collision_dedups_exactly_once(spark):
     # r9: the map-side first-colliding-band filter replaces the
     # candidate distinct(). Identical hashes collide on EVERY band --

@@ -161,8 +161,13 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.selection import group_minhash_overlap
 
     d = read_table(spark, sf_dir, "documents")
-    return group_minhash_overlap(d, "source", "text", num_perm=32).orderBy(
-        "src_a", "src_b"
+    # |sources|^2-row result: 1-partition sort instead of a
+    # range-sampled global sort (the khop r8 precedent -- sampling
+    # re-submits the child per run, and this child is corpus-sized).
+    return (
+        group_minhash_overlap(d, "source", "text", num_perm=32)
+        .repartition(1)
+        .sortWithinPartitions("src_a", "src_b")
     )
 
 

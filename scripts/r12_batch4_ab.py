@@ -1,0 +1,135 @@
+"""Interleaved same-session rebuild A/B for the fourth r12 batch
+(session 5). OLD = the current registry builder, NEW = the candidate
+inline; timed alternately A,B,A,B,... under the bench's rebuild regime
+(warm table cache, plans rebuilt per run), rows AND dtypes compared for
+identity first.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/r12_batch4_ab.py \
+      [pairs] [--only name1,name2]
+Prints one JSON line {name: {"old": med, "new": med, "rows_equal": bool}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+os.environ["SPARK_GRAFT_CACHE_TABLES"] = "all"
+os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_results_spark.plans import REGISTRY
+from cell_kn_mvp_etl_results_spark.session import get_spark
+from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+
+# --- q_source_overlap: one signature pass, zip_with compare ----------------
+
+
+def _group_minhash_overlap_new(df, group_col, text_col, num_perm=32, shingle_n=3):
+    """The group-signature table is |groups| rows -- eagerly
+    checkpointed so the corpus-wide signature pass executes ONCE per
+    run (the old explode + self-equi-join referenced it on both sides,
+    and the builder's global orderBy re-sampled the whole subtree: four
+    corpus passes per run). The pairwise compare is a zip_with fold
+    over the two 32-long arrays on a broadcast theta join of the
+    checkpointed rows -- |groups|^2 bounded, never corpus-sized."""
+    from cell_kn_mvp_etl_results_spark.operators.dedup import (
+        minhash_signatures_wide,
+    )
+
+    sigs = minhash_signatures_wide(df, group_col, text_col, num_perm, shingle_n)
+    mins = ", ".join(f"min(element_at(sig, {i + 1}))" for i in range(num_perm))
+    gsig = (
+        sigs.groupBy("id")
+        .agg(F.expr(f"array({mins})").alias("gsig"))
+        .localCheckpoint(eager=True)
+    )
+    a = gsig.select(F.col("id").alias("src_a"), F.col("gsig").alias("_sa"))
+    b = gsig.select(F.col("id").alias("src_b"), F.col("gsig").alias("_sb"))
+    n_match = F.expr(
+        "aggregate(zip_with(_sa, _sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", n_match.alias("n_match"))
+        .withColumn("est_jaccard", F.col("n_match") / float(num_perm))
+    )
+
+
+def new_q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    d = read_table(spark, sf, "documents")
+    return (
+        _group_minhash_overlap_new(d, "source", "text", num_perm=32)
+        .repartition(1)
+        .sortWithinPartitions("src_a", "src_b")
+    )
+
+
+CASES = {
+    "q_source_overlap": new_q_source_overlap,
+}
+
+
+def main() -> None:
+    pairs = 5
+    only = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only"):
+            only = set(arg.split("=", 1)[1].split(","))
+        else:
+            pairs = int(arg)
+    spark = get_spark(
+        "r12-batch4-ab",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.constraintPropagation.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out = {}
+    for name, new_builder in CASES.items():
+        if only and name not in only:
+            continue
+        old_builder = REGISTRY[name].builder
+        df_old = old_builder(spark, sf_dir)
+        df_new = new_builder(spark, sf_dir)
+        rows_old = sorted(map(tuple, df_old.collect()))
+        rows_new = sorted(map(tuple, df_new.collect()))
+        eq = rows_old == rows_new and df_old.dtypes == df_new.dtypes
+        olds, news = [], []
+        for _ in range(pairs):
+            spark.sparkContext.setJobDescription(f"{name} OLD")
+            t0 = time.perf_counter()
+            old_builder(spark, sf_dir).collect()
+            olds.append(time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(f"{name} NEW")
+            t0 = time.perf_counter()
+            new_builder(spark, sf_dir).collect()
+            news.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        out[name] = {
+            "old": round(sorted(olds)[len(olds) // 2], 3),
+            "new": round(sorted(news)[len(news) // 2], 3),
+            "olds": [round(x, 3) for x in olds],
+            "news": [round(x, 3) for x in news],
+            "rows_equal": eq,
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

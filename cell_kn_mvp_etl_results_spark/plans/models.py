@@ -249,3 +249,37 @@ def cosine_prepared_queries(
         (max_id, quantize, exclude_label_col),
         prep,
     )
+
+
+def lineitem_hot1_skew(spark: SparkSession, sf_dir: str) -> int:
+    """The ``skew_x1000`` ANALYZE statistic for the chooser gate's
+    synthetic hot-key fact (every even-orderkey lineitem collapses onto
+    supplier key 1 -- the projection in
+    plans/relational.q_skew_chooser_join, kept in sync by
+    tests/test_scale_ops.py's routing assertion). skew_aware_join's own
+    docstring says the stat "normally comes from persisted ANALYZE
+    output"; this registry entry IS that output, measured once per
+    lineitem fingerprint instead of one full diagnostic scan per build
+    (the scan was ~70% of the query's rebuild wall). A wrong-by-drift
+    stat can only change the ROUTE, never the rows -- every remedy is
+    row-identical by construction."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scale import key_skew_profile
+
+    def measure() -> int:
+        li = read_table(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .cast("long")
+            .alias("sk")
+        )
+        return int(
+            key_skew_profile(fact, ("sk",)).collect()[0]["skew_x1000"]
+        )
+
+    return _model(
+        spark, sf_dir, "skew_profile", ("lineitem", "sk_hot1"), measure,
+        table="lineitem",
+    )

@@ -1774,6 +1774,7 @@ def q_skew_chooser_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.money import cents
     from ..operators.scale import skew_aware_join
+    from .models import lineitem_hot1_skew
 
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier")
@@ -1787,7 +1788,13 @@ def q_skew_chooser_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = supp.select(
         F.col("s_suppkey").cast("long").alias("sk"), "s_nationkey"
     )
-    joined, _remedy = skew_aware_join(fact, dim, "sk")
+    # The diagnostic stat is served from the fingerprint-keyed ANALYZE
+    # registry (plans/models.lineitem_hot1_skew) instead of a full
+    # profile scan per build -- the r12 optimization; the route cannot
+    # change rows (every remedy is row-identical, test_scale_ops.py).
+    joined, _remedy = skew_aware_join(
+        fact, dim, "sk", skew_x1000=lineitem_hot1_skew(spark, sf_dir)
+    )
     return (
         joined.groupBy(F.col("s_nationkey").alias("nation"))
         .agg(

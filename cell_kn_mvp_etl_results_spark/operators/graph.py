@@ -110,12 +110,21 @@ def graph_from_tuples(
     edge_triples = triples.filter(is_uri)
     attr_triples = triples.filter(~is_uri)
 
-    vertices = (
-        edge_triples.select(F.col("s").alias("term"))
-        .union(edge_triples.select(F.col("o").alias("term")))
-        .union(attr_triples.select(F.col("s").alias("term")))
-        .distinct()
+    # One Generate pass instead of three (r12 optimization): edge and
+    # attr triples partition `triples` on is_uri, so
+    #   s if is_uri IS NOT NULL  (edge s  +  attr s)
+    #   o if is_uri              (edge o)
+    # explodes to exactly the union of the three old branches --
+    # including the degenerate cases (null s rides through when its
+    # branch fires; a null is_uri row contributes nothing, exactly as
+    # both old filters rejected it). The old shape re-ran the upstream
+    # tuple Generate once per union branch.
+    _empty = F.array().cast("array<string>")
+    _terms = F.concat(
+        F.when(is_uri.isNotNull(), F.array(F.col("s"))).otherwise(_empty),
+        F.when(is_uri, F.array(F.col("o"))).otherwise(_empty),
     )
+    vertices = triples.select(F.explode(_terms).alias("term")).distinct()
 
     edges = edge_triples.select(
         F.substring_index("s", "_", 1).alias("src_coll"),

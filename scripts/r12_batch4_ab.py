@@ -114,9 +114,46 @@ def new_q_skew_chooser_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q_graph_vertices: one Generate pass instead of three ------------------
+
+
+def new_q_graph_vertices(spark: SparkSession, sf: str) -> DataFrame:
+    """vertices = triples.s UNION edge_triples.o; edge ∪ attr partition
+    the triples on is_uri, so ONE explode of [s, if(is_uri, o, s)]
+    yields the identical term set (attr rows contribute s twice --
+    collapsed by the distinct) from one pass over the tuple stream
+    instead of three Generate+filter passes."""
+    from cell_kn_mvp_etl_results_spark.plans.graph_queries import order_tuples
+
+    tuples = order_tuples(spark, sf)
+    is_uri = F.col("o").contains("http") | F.col("o").rlike(r"^[A-Za-z]+_")
+    triples = tuples.filter(F.col("lit").isNull())
+    vertices = (
+        triples.select(
+            F.explode(
+                F.array(
+                    F.col("s"),
+                    F.when(is_uri, F.col("o")).otherwise(F.col("s")),
+                )
+            ).alias("term")
+        )
+        .distinct()
+        .select(
+            F.substring_index("term", "_", 1).alias("coll"),
+            F.regexp_replace("term", r"^[^_]*_", "").alias("key"),
+        )
+    )
+    return (
+        vertices.groupBy("coll", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("coll", "key")
+    )
+
+
 CASES = {
     "q_source_overlap": new_q_source_overlap,
     "q_skew_chooser_join": new_q_skew_chooser_join,
+    "q_graph_vertices": new_q_graph_vertices,
 }
 
 

@@ -371,29 +371,63 @@ def fk_integrity(
     pre-flight check before trusting joins to be lossless, and the
     post-flight check after an incremental load (snapshots.*).
 
-    Scale shape per edge: the child projects to its key column; the
-    parent's DISTINCT key set joins in (broadcast when the parent is a
-    dim — Spark sizes that automatically); one count/sum aggregate.
-    Edges evaluate independently and union into one |edges|-row frame.
+    Scale shape (r12 optimization): edges sharing a child DataFrame are
+    audited in ONE pass over that child -- the fact table is the 100 TB
+    side, and auditing its k outgoing FKs used to scan it k times. The
+    child projects to its key columns once; each parent's DISTINCT key
+    set left-joins in (broadcast when the parent is a dim -- Spark
+    sizes that automatically; the joins are independent, and joining a
+    DISTINCT key set can never multiply rows, so n_child stays the
+    plain count); one aggregate yields the shared child count plus one
+    orphan sum per edge, exploded to the per-edge rows. Children are
+    grouped by DataFrame identity, so callers passing distinct frames
+    keep the old one-pass-per-edge behaviour.
     """
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    outs = []
+    groups: dict = {}
     for name, child, ckey, parent, pkey in edges:
-        pk = parent.select(
-            F.col(pkey).alias("_k"), F.lit(1).alias("_hit")
-        ).distinct()
-        outs.append(
-            child.select(F.col(ckey).alias("_k"))
-            .join(pk, "_k", "left")
-            .agg(
-                F.lit(name).alias("fk_name"),
-                F.count(F.lit(1)).cast("long").alias("n_child"),
-                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        groups.setdefault(id(child), (child, []))[1].append(
+            (name, ckey, parent, pkey)
+        )
+    outs = []
+    for child, specs in groups.values():
+        joined = child.select(
+            *[
+                F.col(ck).alias(f"_k{i}")
+                for i, (_n, ck, _p, _pk) in enumerate(specs)
+            ]
+        )
+        for i, (_name, _ck, parent, pkey) in enumerate(specs):
+            pkd = parent.select(
+                F.col(pkey).alias(f"_k{i}"), F.lit(1).alias(f"_hit{i}")
+            ).distinct()
+            joined = joined.join(pkd, f"_k{i}", "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("_n_child"),
+            *[
+                F.sum(F.when(F.col(f"_hit{i}").isNull(), 1).otherwise(0))
                 .cast("long")
-                .alias("n_orphans"),
-            )
+                .alias(f"_o{i}")
+                for i in range(len(specs))
+            ],
+        )
+        outs.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("fk_name"),
+                                F.col("_n_child").alias("n_child"),
+                                F.col(f"_o{i}").alias("n_orphans"),
+                            )
+                            for i, (name, _ck, _p, _pk) in enumerate(specs)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.*")
         )
     return reduce(lambda a, b: a.unionAll(b), outs).orderBy("fk_name")

@@ -150,10 +150,179 @@ def new_q_graph_vertices(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q_bnode_reification: extras collected in the pivot, not re-joined -----
+
+
+def _resolve_bnodes_new(triples):
+    is_bnode = lambda c: F.col(c).startswith("_:")  # noqa: E731
+    bsubj = triples.filter(is_bnode("s"))
+    pred = F.substring_index(
+        F.substring_index(F.substring_index("p", "#", -1), "/", -1), ":", -1
+    )
+    defining = F.col("pred").isin(
+        "annotatedSource", "annotatedProperty", "annotatedTarget"
+    )
+    pivoted = (
+        bsubj.select(
+            F.col("s").alias("bnode"), pred.alias("pred"), "o", "is_literal"
+        )
+        .groupBy("bnode")
+        .agg(
+            F.min(F.when(F.col("pred") == "annotatedSource", F.col("o"))).alias(
+                "a_src"
+            ),
+            F.min(F.when(F.col("pred") == "annotatedProperty", F.col("o"))).alias(
+                "a_prop"
+            ),
+            F.min(F.when(F.col("pred") == "annotatedTarget", F.col("o"))).alias(
+                "a_tgt"
+            ),
+            F.sum(F.when(defining, 1).otherwise(0)).alias("n_defining"),
+            F.collect_list(
+                F.when(
+                    F.col("is_literal") & ~defining,
+                    F.struct(F.col("pred"), F.col("o")),
+                )
+            ).alias("extras"),
+        )
+    )
+    ann = pivoted.filter(
+        F.col("a_src").isNotNull()
+        & F.col("a_prop").isNotNull()
+        & F.col("a_tgt").isNotNull()
+        & (F.col("n_defining") == 3)
+    )
+    return ann.select(
+        F.col("a_src").alias("s"),
+        F.col("a_tgt").alias("obj"),
+        F.explode("extras").alias("x"),
+    ).select(
+        "s",
+        F.col("x.pred").alias("p"),
+        F.col("obj").alias("o"),
+        F.col("x.o").alias("lit"),
+    )
+
+
+def new_q_bnode_reification(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    bnode = F.concat(F.lit("_:a"), F.col("o_orderkey"))
+    cust = F.concat(F.lit("C_"), F.col("o_custkey"))
+    okey = F.concat(F.lit("O_"), F.col("o_orderkey"))
+    price = F.round(F.col("o_totalprice") * 100).cast("long").cast("string")
+    mk = lambda p, obj, lit: F.struct(  # noqa: E731
+        bnode.alias("s"),
+        F.lit(p).alias("p"),
+        obj.alias("o"),
+        F.lit(lit).alias("is_literal"),
+    )
+    triples = o.select(
+        F.explode(
+            F.array(
+                mk("owl:annotatedSource", cust, False),
+                mk("owl:annotatedProperty", F.lit("PLACED"), False),
+                mk("owl:annotatedTarget", okey, False),
+                mk("price_cents", price, True),
+            )
+        ).alias("t")
+    ).select("t.s", "t.p", "t.o", "t.is_literal")
+    out = _resolve_bnodes_new(triples)
+    return out.select(
+        "s",
+        F.lit("PLACED").alias("p"),
+        "o",
+        F.col("lit").cast("long").alias("price_cents"),
+    ).orderBy("s", "o")
+
+
+# --- q_fk_integrity: one pass per child table -------------------------------
+
+
+def _fk_integrity_new(edges):
+    from functools import reduce
+
+    groups: dict = {}
+    for name, child, ckey, parent, pkey in edges:
+        groups.setdefault(id(child), (child, []))[1].append(
+            (name, ckey, parent, pkey)
+        )
+    outs = []
+    for child, specs in groups.values():
+        joined = child.select(
+            *[F.col(ck).alias(f"_k{i}") for i, (_n, ck, _p, _pk) in enumerate(specs)]
+        )
+        for i, (_name, _ck, parent, pk) in enumerate(specs):
+            pkd = parent.select(
+                F.col(pk).alias(f"_k{i}"), F.lit(1).alias(f"_hit{i}")
+            ).distinct()
+            joined = joined.join(pkd, f"_k{i}", "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("_n_child"),
+            *[
+                F.sum(F.when(F.col(f"_hit{i}").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_o{i}")
+                for i in range(len(specs))
+            ],
+        )
+        outs.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("fk_name"),
+                                F.col("_n_child").alias("n_child"),
+                                F.col(f"_o{i}").alias("n_orphans"),
+                            )
+                            for i, (name, _ck, _p, _pk) in enumerate(specs)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.*")
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs).orderBy("fk_name")
+
+
+def new_q_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    return _fk_integrity_new(
+        [
+            (
+                "customer.c_nationkey->nation",
+                c,
+                "c_nationkey",
+                read_table(spark, sf, "nation"),
+                "n_nationkey",
+            ),
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+            (
+                "lineitem.l_partkey->part",
+                li,
+                "l_partkey",
+                read_table(spark, sf, "part"),
+                "p_partkey",
+            ),
+            (
+                "lineitem.l_suppkey->supplier",
+                li,
+                "l_suppkey",
+                read_table(spark, sf, "supplier"),
+                "s_suppkey",
+            ),
+            ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ]
+    )
+
+
 CASES = {
     "q_source_overlap": new_q_source_overlap,
     "q_skew_chooser_join": new_q_skew_chooser_join,
     "q_graph_vertices": new_q_graph_vertices,
+    "q_bnode_reification": new_q_bnode_reification,
+    "q_fk_integrity": new_q_fk_integrity,
 }
 
 

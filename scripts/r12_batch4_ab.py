@@ -317,12 +317,98 @@ def new_q_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q_kmv_overlap: one shingle distinct, checkpointed sketch --------------
+
+
+def new_q_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cell_kn_mvp_etl_results_spark.operators import sketches as sk
+    from cell_kn_mvp_etl_results_spark.plans.llmdata import _kmv_source_shingles
+
+    sh = _kmv_source_shingles(spark, sf)
+    dt = sh.distinct().persist()
+    sketch = (
+        sk.kmv_sketch(dt, "key", "source")
+        .select("source", "key", "h")
+        .localCheckpoint(eager=True)
+    )
+    srcs = sketch.select("source").distinct()
+    prs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    pe = (
+        prs.join(
+            sketch,
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "key", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("src_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("src_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h", "key")
+    m = pe.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= sk.KMV_K
+    )
+    est = m.groupBy("src_a", "src_b").agg(
+        F.expr("CAST(1000 * sum(in_a * in_b) div count(*) AS BIGINT)").alias(
+            "est_jaccard_permille"
+        )
+    )
+    sz = dt.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dt.alias("x")
+        .join(
+            dt.alias("y"),
+            (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        est.join(
+            sz.select(F.col("source").alias("src_a"), F.col("n").alias("_na")),
+            "src_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("src_b"), F.col("n").alias("_nb")),
+            "src_b",
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard_permille",
+            F.expr(
+                "CAST(1000 * COALESCE(n_inter, 0) div "
+                "(_na + _nb - COALESCE(n_inter, 0)) AS BIGINT)"
+            ).alias("exact_jaccard_permille"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 CASES = {
     "q_source_overlap": new_q_source_overlap,
     "q_skew_chooser_join": new_q_skew_chooser_join,
     "q_graph_vertices": new_q_graph_vertices,
     "q_bnode_reification": new_q_bnode_reification,
     "q_fk_integrity": new_q_fk_integrity,
+    "q_kmv_overlap": new_q_kmv_overlap,
 }
 
 

@@ -402,6 +402,51 @@ def new_q_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q_cross_neardup: split the pinned signature view, not the corpus ------
+
+
+def new_q_cross_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from cell_kn_mvp_etl_results_spark.operators import dedup as dd
+    from cell_kn_mvp_etl_results_spark.plans.llmdata import _minhash_views
+
+    sig_name, _b, _c = _minhash_views(spark, sf)
+    sig_df = spark.table(sig_name)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("xdedup-"), F.col("id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    b_sigs = sig_df.filter(bucket < 20)
+    c_sigs = sig_df.filter(~(bucket < 20))
+    b_payload = dd.lsh_band_buckets(b_sigs, 32, 8, carry=("sig",)).select(
+        F.col("id").alias("bench_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("bench_sig"),
+    )
+    c_buckets = dd.lsh_band_buckets(c_sigs, 32, 8, carry=("sig",))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("bench_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    collided = c_buckets.join(F.broadcast(b_payload), ["band", "bucket"]).select(
+        "id", "bench_id", (matches / F.lit(32.0)).alias("est_jaccard")
+    )
+    return (
+        collided.groupBy("id", "bench_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .orderBy("id", "bench_id")
+    )
+
+
 CASES = {
     "q_source_overlap": new_q_source_overlap,
     "q_skew_chooser_join": new_q_skew_chooser_join,
@@ -409,6 +454,7 @@ CASES = {
     "q_bnode_reification": new_q_bnode_reification,
     "q_fk_integrity": new_q_fk_integrity,
     "q_kmv_overlap": new_q_kmv_overlap,
+    "q_cross_neardup": new_q_cross_neardup,
 }
 
 

@@ -702,9 +702,94 @@ _R12_GATED = (
 assert len(_R12_GATED) == GATE_BUDGET, len(_R12_GATED)
 assert len(set(_R12_GATED)) == GATE_BUDGET
 
+# ROTATION (round 13): executes the r12 plan above exactly.
+# Composition (6 + 6 + 18 + 20 = 50):
+#   * the 6 bench headliners (graded for perf every round);
+#   * the 6 queries born in the r12 build window that have never had a
+#     driver row (q_decode_video, q_skew_chooser_join, q_kmv_sample,
+#     q_kmv_distinct, q_kmv_incremental, q_kmv_overlap -- pytest-parity
+#     green since r12);
+#   * the 18 r9-row veterans named as the EXPLICIT r13 overflow in the
+#     r12 rotation comment;
+#   * the 20 stalest r10-row veterans, newest-first by seq.
+# Demoted to TAIL: the 44 non-headliner r12 gates (all holding fresh
+# green r12 rows). After r13 no query's latest green row is older than
+# r10 -- the staleness invariant tightens by one round, as it has every
+# round since r10.
+#
+# r14 rotation plan: the 24 remaining r10-row veterans
+# (q_embedding_normalize .. q_compound_predicate, newest-first by seq:
+# q_embedding_normalize, q_zorder_key, q_tfidf_keywords,
+# q_curation_funnel, q_adaptive_quality, q_token_stats_by_source,
+# q_lang_id, q_incremental_cycle, q_khop_paths_bucketed, q_attr_pivot,
+# q_tuple_generation, q_fuzzy_name_pairs, q_cohort_retention,
+# q_event_funnel, q_decayed_rollup, q_collect_sorted_set,
+# q_acctbal_stats, q_ngram_index, q_distinct_tokens, q_stable_uuid,
+# q_hyphenate, q_except, q_except_all, q_compound_predicate), then the
+# stalest r11-row veterans newest-first until the budget fills; keep
+# the 6 headliners.
+_R13_GATED = (
+    # --- 6 bench headliners ---
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_khop_paths",
+    "q_dedup_minhash_lsh",
+    "q_cosine_topk",
+    # --- the 6 never-gated queries born in the r12 build window ---
+    "q_decode_video",
+    "q_skew_chooser_join",
+    "q_kmv_sample",
+    "q_kmv_distinct",
+    "q_kmv_incremental",
+    "q_kmv_overlap",
+    # --- 18 r9-row veterans (the named r13 overflow from r12) ---
+    "q_balanced_shards",
+    "q_dup_spans",
+    "q_repetition",
+    "q_winnow_fingerprint",
+    "q_multimodal_meta",
+    "q_pack_sequences",
+    "q_boilerplate",
+    "q_corpus_logfreq",
+    "q_text_quality",
+    "q_dedup_simhash",
+    "q_dedup_incremental",
+    "q_dedup_containment",
+    "q_dedup_jaccard",
+    "q_dedup_exact",
+    "q_path_revenue",
+    "q_hierarchy_longest",
+    "q_graph_vertices",
+    "q_product_profit",
+    # --- 20 stalest r10-row veterans, newest-first by seq ---
+    "q_modularity",
+    "q_pivot",
+    "q_percentiles",
+    "q_asof_join",
+    "q_bpe_natural_vocab",
+    "q_bpe_segment",
+    "q_bpe_merges",
+    "q_communities",
+    "q_cluster_exemplars",
+    "q_semantic_clusters",
+    "q_first_band_pairs",
+    "q_graph_edges",
+    "q_search_prefix",
+    "q_search_grams",
+    "q_decontaminate",
+    "q_mixture_sample",
+    "q_chunk_stats",
+    "q_scrub",
+    "q_sketch_profile",
+    "q_collocations",
+)
+assert len(_R13_GATED) == GATE_BUDGET, len(_R13_GATED)
+assert len(set(_R13_GATED)) == GATE_BUDGET
+
 
 def _effective_priority(s: "QuerySpec") -> int:
-    return 10 if s.name in _R12_GATED else TAIL
+    return 10 if s.name in _R13_GATED else TAIL
 
 
 # ---------------------------------------------------------------------------

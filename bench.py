@@ -7,7 +7,10 @@ factor and prints ONE JSON line:
 `value` is the prepared-plan serving number (r7 regime);
 `value_rebuild` is the from-scratch-per-run number every pre-r7 round
 reported and the one to quote against BASELINE.md; `value_cold` also
-drops the table cache.
+drops the table cache; `value_true_cold` (r13, VERDICT r12 #1) is the
+zero-reuse number -- a fresh subprocess/JVM per bench run with
+SPARK_GRAFT_MATERIALIZE=0, empty module registries, no table or plan
+cache and a throwaway warehouse, each query timed on its first call.
 
 Methodology: per-query warmup run (whole-stage-codegen JIT + first-use
 initialization), then the MEDIAN of three measured steady-state runs --
@@ -29,10 +32,83 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
+import sys
+import tempfile
 import time
 
 from cell_kn_mvp_etl_results_spark.plans import REGISTRY
 from cell_kn_mvp_etl_results_spark.session import get_spark
+
+
+def _true_cold_child() -> None:
+    """Child-process body for the TRUE-COLD regime (VERDICT r12 #1):
+    a fresh JVM + fresh SparkSession, SPARK_GRAFT_MATERIALIZE=0 (no
+    materialized/pinned serving state is built OR read), empty module
+    registries (new process), table cache off, prepared-plan cache
+    off, and a throwaway warehouse dir so nothing a previous process
+    materialized on disk can be recovered. Each headline query is
+    timed on its FIRST call -- build + full execution from the parquet
+    input, zero reuse of any kind. (A per-query warmup would warm the
+    module-level registries, which is exactly what this regime
+    exists to exclude; the generic JVM warmup below keeps first-query
+    JIT/codegen baseline out of the first query's number.)
+    Prints one JSON dict {query: sec} on stdout."""
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    wh = tempfile.mkdtemp(prefix="bench-truecold-wh-")
+    try:
+        spark = get_spark(
+            "cell-kn-spark-bench-truecold",
+            extra_conf={
+                "spark.sql.adaptive.enabled": os.environ.get(
+                    "SPARK_GRAFT_AQE", "false"
+                ),
+                "spark.sql.constraintPropagation.enabled": "false",
+                "spark.sql.warehouse.dir": wh,
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+        out: dict[str, float] = {}
+        for name, spec in sorted(
+            (n, s) for n, s in REGISTRY.items() if s.headline
+        ):
+            t0 = time.perf_counter()
+            rows = spec.builder(spark, sf_dir).collect()
+            out[name] = round(time.perf_counter() - t0, 3)
+            assert rows is not None
+        print(json.dumps(out))
+        spark.stop()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _run_true_cold(sf_dir: str, shuffle: int) -> "dict[str, float] | None":
+    """Run the true-cold regime in a subprocess so module-level
+    registries, the Spark catalog and the JVM are provably fresh."""
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_MATERIALIZE": "0",
+            "SPARK_GRAFT_CACHE_TABLES": "",
+            "SPARK_GRAFT_PLAN_CACHE": "0",
+            "SPARK_GRAFT_SHUFFLE": str(shuffle),
+        }
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--true-cold-child"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            timeout=1800,
+        )
+        line = proc.stdout.decode().strip().splitlines()[-1]
+        return {k: float(v) for k, v in json.loads(line).items()}
+    except Exception:
+        return None
 
 
 def _dir_bytes(path: str) -> int:
@@ -85,6 +161,12 @@ def main() -> None:
     # buffer pool / OS page cache. SPARK_GRAFT_CACHE_TABLES= (empty)
     # disables for a cold-scan measurement.
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "all")
+    # TRUE-COLD first, in a SUBPROCESS, before this process's session
+    # exists (no core contention, and provably no shared state): the
+    # one regime with zero reuse of any kind -- fresh JVM, fresh
+    # registries, no table/plan cache, SPARK_GRAFT_MATERIALIZE=0, temp
+    # warehouse. First-call timing per query (see _true_cold_child).
+    true_cold = _run_true_cold(sf_dir, shuffle)
     spark = get_spark(
         "cell-kn-spark-bench",
         shuffle_partitions=shuffle,
@@ -132,24 +214,27 @@ def main() -> None:
     rebuild = measure(steady_mode, "0")
     prepared = measure(steady_mode, "1")
     total = round(sum(prepared.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_steady_state",
-                "value": total,
-                "unit": "sec",
-                "queries": prepared,
-                "value_rebuild": round(sum(rebuild.values()), 3),
-                "queries_rebuild": rebuild,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "shuffle_partitions": shuffle,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall_steady_state",
+        "value": total,
+        "unit": "sec",
+        "queries": prepared,
+        "value_rebuild": round(sum(rebuild.values()), 3),
+        "queries_rebuild": rebuild,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "shuffle_partitions": shuffle,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if true_cold is not None:
+        payload["value_true_cold"] = round(sum(true_cold.values()), 3)
+        payload["queries_true_cold"] = true_cold
+    print(json.dumps(payload))
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--true-cold-child" in sys.argv:
+        _true_cold_child()
+    else:
+        main()

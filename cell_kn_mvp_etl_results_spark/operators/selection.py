@@ -158,12 +158,36 @@ def dsir_importance(
     )
 
 
+def group_minhash_signatures(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The |groups|-row (id, gsig) group-level MinHash signature
+    aggregate of ``group_minhash_overlap`` -- split out (ADVICE r12) so
+    a serving caller can checkpoint it ONCE per corpus fingerprint in a
+    registry (with displaced-entry eviction) instead of this module
+    eagerly checkpointing an untracked block per call."""
+    from .dedup import minhash_signatures_wide
+
+    sigs = minhash_signatures_wide(df, group_col, text_col, num_perm, shingle_n)
+    # minhash_signatures_wide aliases its id column to "id" -- here the
+    # "id" is the group key, one signature row per document. One SQL
+    # text parse instead of num_perm Column objects (the vector-index
+    # py4j precedent).
+    mins = ", ".join(f"min(element_at(sig, {i + 1}))" for i in range(num_perm))
+    return sigs.groupBy("id").agg(F.expr(f"array({mins})").alias("gsig"))
+
+
 def group_minhash_overlap(
     df: DataFrame,
     group_col: str,
     text_col: str,
     num_perm: int = 32,
     shingle_n: int = 3,
+    gsig: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise content overlap between GROUPS (sources, crawls,
     snapshots) estimated from group-level MinHash signatures: for each
@@ -188,20 +212,17 @@ def group_minhash_overlap(
     corpus-sized, never a CartesianProduct (tiny side broadcasts).
 
     Returns (src_a, src_b, n_match, est_jaccard) for src_a < src_b.
-    """
-    from .dedup import minhash_signatures_wide
 
-    sigs = minhash_signatures_wide(df, group_col, text_col, num_perm, shingle_n)
-    # minhash_signatures_wide aliases its id column to "id" -- here the
-    # "id" is the group key, one signature row per document. One SQL
-    # text parse instead of num_perm Column objects (the vector-index
-    # py4j precedent).
-    mins = ", ".join(f"min(element_at(sig, {i + 1}))" for i in range(num_perm))
-    gsig = (
-        sigs.groupBy("id")
-        .agg(F.expr(f"array({mins})").alias("gsig"))
-        .localCheckpoint(eager=True)
-    )
+    ``gsig``: a prepared ``group_minhash_signatures`` frame (typically
+    checkpointed once per corpus fingerprint by the caller's registry,
+    ADVICE r12). When omitted, a PER-RUN eager localCheckpoint keeps
+    the corpus pass single (both join sides reference it); the block is
+    freed by the ContextCleaner when the returned plan is dropped.
+    """
+    if gsig is None:
+        gsig = group_minhash_signatures(
+            df, group_col, text_col, num_perm, shingle_n
+        ).localCheckpoint(eager=True)
     a = gsig.select(F.col("id").alias("src_a"), F.col("gsig").alias("_sa"))
     b = gsig.select(F.col("id").alias("src_b"), F.col("gsig").alias("_sb"))
     # 1L literals keep the fold LongType -- the dtype the old

@@ -102,6 +102,7 @@ def prepare_cosine_queries(
     vec_col: str = "embedding",
     quantize: int | None = 4,
     exclude_label_col: str | None = None,
+    max_rows: int | None = None,
 ) -> tuple:
     """Collect + quantize the (small, broadcastable) query side ONCE:
     (q_ids, q_mat, q_labels, q_norm) as numpy arrays. The query matrix
@@ -109,14 +110,33 @@ def prepare_cosine_queries(
     and scores every corpus batch against it; re-collecting it per call
     was one full Spark job of every ``q_cosine_topk`` rebuild-regime
     run (VERDICT r8 #2). Pass the result to ``cosine_topk_arrow``'s
-    ``prepared=``."""
+    ``prepared=``.
+
+    ``max_rows`` (VERDICT r12 #6): hard cap on the collected side.
+    Enforced via ``limit(max_rows + 1)`` so the driver never holds more
+    than the cap + 1 rows even when the input is 100 TB; exceeding it
+    raises instead of silently OOM-ing the driver -- callers above the
+    cap must route through a candidate generator (LSH / sign-bucket,
+    e.g. q_ann_bucket's path) rather than an all-pairs matrix."""
     import numpy as np
 
     scale = float(10**quantize) if quantize is not None else None
     q_cols = [id_col, vec_col] + (
         [exclude_label_col] if exclude_label_col else []
     )
-    q_rows = queries.select(*q_cols).collect()
+    sel = queries.select(*q_cols)
+    if max_rows is not None:
+        q_rows = sel.limit(max_rows + 1).collect()
+        if len(q_rows) > max_rows:
+            raise ValueError(
+                f"prepare_cosine_queries: query side exceeds max_rows="
+                f"{max_rows}; an all-pairs driver matrix at this size "
+                f"would OOM the driver -- route through a candidate "
+                f"generator (hyperplane/sign-bucket LSH, see "
+                f"q_ann_bucket / lsh_bucket_topk) instead"
+            )
+    else:
+        q_rows = sel.collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_labels = (

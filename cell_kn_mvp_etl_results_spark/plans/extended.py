@@ -18,6 +18,12 @@ from ..sources.readers import read_table
 from .graph_queries import _TUPLES_ORACLE_BODY, order_tuples
 from .registry import TAIL, query
 
+# Largest corpus the all-pairs cosine path may collect into a driver
+# matrix (~100 MB at 64 float64 dims). Above this, q_dedup_embedding
+# refuses with a pointer to the candidate-generator path (VERDICT r12
+# #6) instead of attempting a driver-side matrix that cannot scale.
+ALL_PAIRS_DRIVER_CAP = 200_000
+
 # ---------------------------------------------------------------------------
 # T6 query side: gram-match search scoring.
 # ---------------------------------------------------------------------------
@@ -156,8 +162,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .models import cosine_prepared_queries
 
     e = read_table(spark, sf_dir, "embeddings")
+    # Hard driver-side cap (VERDICT r12 #6): the all-pairs matrix is
+    # the whole corpus collected to the driver; past ~200k vectors
+    # (about 100 MB at 64 float64 dims) that is a driver OOM, and the
+    # right plan is the candidate-generator path (q_ann_bucket), not a
+    # bigger matrix. prepare_cosine_queries enforces the cap with a
+    # limit() so the driver never holds more than cap + 1 rows;
+    # tests/test_clustering.py pins the refusal.
     prepared = cosine_prepared_queries(
-        spark, sf_dir, max_id=1 << 62, quantize=4
+        spark, sf_dir, max_id=1 << 62, quantize=4,
+        max_rows=ALL_PAIRS_DRIVER_CAP,
     )
     return cosine_threshold_pairs_arrow(
         e, "vec_id", "embedding", threshold=0.35, quantize=4,

@@ -164,6 +164,14 @@ ORDER BY id_a, id_b
 """
 
 
+# Shared LSH parameters of the pinned signature view (ADVICE r12): the
+# view stores 32-perm signatures banded 8x4, and every consumer of
+# _minhash_views (q_dedup_minhash_lsh's estimate denominator and
+# banding, q_cross_neardup's split-filtered banding) must agree with
+# it -- hoisted so a parameter change cannot silently skew a consumer.
+MINHASH_NUM_PERM = 32
+MINHASH_BANDS = 8
+
 # Fingerprint-keyed registry of the persisted wide-signature temp view
 # (id, sig array<long>[32]) -- the minhash analogue of graph_queries.
 # _HOP_FRAMES: the signature computation (scan + Arrow matrix fold) is
@@ -190,11 +198,35 @@ def _minhash_views(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     dedup service keeps, not per-query logic (the lake posture
     literally persists them: materialized.minhash_index_frame /
     simhash_pairs_frame)."""
-    import hashlib
-
     from ..sources.readers import _fingerprint
+    from .materialized import materialize_enabled
 
     fp = _fingerprint(f"{sf_dir}/documents.parquet")
+    from ..sources.readers import evict_where
+
+    def _drop(v):
+        v[0].unpersist()
+        v[4].unpersist()
+        for old_name in v[1:4]:
+            spark.catalog.dropTempView(old_name)
+
+    if not materialize_enabled():
+        # Escape hatch (VERDICT r12 #1): SPARK_GRAFT_MATERIALIZE=0 must
+        # cover the headliner too -- evict any pinned entry for this
+        # scope and register the SAME three views freshly, WITHOUT
+        # memoizing, so every call recomputes signatures, banding and
+        # candidate pairs from the parquet input. The persists inside
+        # _register_minhash_views are then PER-RUN state (the same
+        # posture as operators/dedup.minhash_lsh_pairs' in-call sigs
+        # persist -- without them one statement would re-execute the
+        # signature pipeline once per view reference, ~5x); nothing is
+        # reused across calls, and the displaced frames are freed by
+        # the ContextCleaner when the replaced views drop the last
+        # reference. Identical SQL text -> identical rows.
+        evict_where(
+            _MINHASH_SIG_VIEWS, lambda k: k[:2] == (spark, sf_dir), _drop
+        )
+        return _register_minhash_views(spark, sf_dir, fp)[1:4]
     # session object, not applicationId: view names are session-scoped
     key = (spark, sf_dir, fp)
     hit = _MINHASH_SIG_VIEWS.get(key)
@@ -202,33 +234,43 @@ def _minhash_views(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         # Unpersist the displaced fingerprint's signatures and drop its
         # views before pinning fresh ones (VERDICT r9 #3): the old entry
         # held a persisted frame alive for the application's lifetime.
-        from ..sources.readers import evict_where
-
-        def _drop(v):
-            v[0].unpersist()
-            v[4].unpersist()
-            for old_name in v[1:4]:
-                spark.catalog.dropTempView(old_name)
-
         evict_where(
             _MINHASH_SIG_VIEWS, lambda k: k[:2] == (spark, sf_dir), _drop
         )
-        d = read_table(spark, sf_dir, "documents")
-        sigs = dd.minhash_signatures_wide(
-            d, "doc_id", "text", num_perm=32
-        ).persist()
-        tag = hashlib.md5(repr((sf_dir, fp)).encode()).hexdigest()[:8]
-        name = f"minhash_sigs_{tag}"
-        sigs.createOrReplaceTempView(name)
-        structs = dd.band_structs_sql(num_perm=32, bands=8)
-        bname = f"minhash_buckets_{tag}"
-        spark.sql(f"""
+        entry = _register_minhash_views(spark, sf_dir, fp)
+        _MINHASH_SIG_VIEWS[key] = entry
+        return entry[1:4]
+    return hit[1], hit[2], hit[3]
+
+
+def _register_minhash_views(
+    spark: SparkSession, sf_dir: str, fp: tuple
+) -> tuple:
+    """Build + register the three minhash views (signatures, banded
+    buckets, candidate pairs). The signature and candidate-pair frames
+    are persisted -- steady-state serving state when the caller
+    memoizes the returned entry, plain per-run shared subtrees when it
+    does not (the materialize=0 path)."""
+    import hashlib
+
+    d = read_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures_wide(
+        d, "doc_id", "text", num_perm=MINHASH_NUM_PERM
+    ).persist()
+    tag = hashlib.md5(repr((sf_dir, fp)).encode()).hexdigest()[:8]
+    name = f"minhash_sigs_{tag}"
+    sigs.createOrReplaceTempView(name)
+    structs = dd.band_structs_sql(
+        num_perm=MINHASH_NUM_PERM, bands=MINHASH_BANDS
+    )
+    bname = f"minhash_buckets_{tag}"
+    spark.sql(f"""
 SELECT id, t.band, t.bucket
 FROM {name}
 LATERAL VIEW inline(array({structs})) t AS band, bucket
 """).createOrReplaceTempView(bname)
-        cname = f"minhash_cand_{tag}"
-        cand = spark.sql(f"""
+    cname = f"minhash_cand_{tag}"
+    cand = spark.sql(f"""
 SELECT DISTINCT p.id_a, p.id_b FROM (
   SELECT /*+ BROADCAST(big) */ array_sort(collect_set(b.id)) AS ids
   FROM {bname} b LEFT ANTI JOIN (
@@ -244,21 +286,19 @@ LATERAL VIEW explode(flatten(transform(
                  j -> struct(element_at(ids, i) AS id_a,
                              element_at(ids, j) AS id_b))))) t AS p
 """)
-        # Persist the candidate PAIRS, not just their analyzed subtree
-        # (r12, the minhash rebuild wall): banding + bucket-grouping +
-        # pair explosion re-EXECUTED per rebuild run -- 0.55 s of the
-        # headliner's 0.64 s at sf0.1 for a |pairs|-bounded result
-        # (341 rows) that is a pure function of the persisted
-        # signatures. A dedup service keeps exactly this as its LSH
-        # index (the lake posture persists it on disk:
-        # materialized.minhash_index_frame); pinning it leaves each
-        # call only the two signature joins + estimate. Measured
-        # 0.635 -> 0.225 s rebuild-regime median.
-        cand.persist()
-        cand.createOrReplaceTempView(cname)
-        _MINHASH_SIG_VIEWS[key] = (sigs, name, bname, cname, cand)
-        return name, bname, cname
-    return hit[1], hit[2], hit[3]
+    # Persist the candidate PAIRS, not just their analyzed subtree
+    # (r12, the minhash rebuild wall): banding + bucket-grouping +
+    # pair explosion re-EXECUTED per rebuild run -- 0.55 s of the
+    # headliner's 0.64 s at sf0.1 for a |pairs|-bounded result
+    # (341 rows) that is a pure function of the persisted
+    # signatures. A dedup service keeps exactly this as its LSH
+    # index (the lake posture persists it on disk:
+    # materialized.minhash_index_frame); pinning it leaves each
+    # call only the two signature joins + estimate. Measured
+    # 0.635 -> 0.225 s rebuild-regime median.
+    cand.persist()
+    cand.createOrReplaceTempView(cname)
+    return (sigs, name, bname, cname, cand)
 
 
 @query("q_dedup_minhash_lsh", tags=("dedup",), headline=True, oracle=_minhash_oracle())
@@ -288,7 +328,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT /*+ REPARTITION(1) */ cand.id_a, cand.id_b,
        aggregate(zip_with(sa.sig, sb.sig,
                           (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-                 0, (acc, x) -> acc + x) / 32.0D AS est_jaccard
+                 0, (acc, x) -> acc + x) / {float(MINHASH_NUM_PERM)}D AS est_jaccard
 FROM {cand} cand
 JOIN {sigs} sa ON sa.id = cand.id_a
 JOIN {sigs} sb ON sb.id = cand.id_b
@@ -3310,7 +3350,8 @@ def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_df = spark.table(sig_name)
     is_bench = _holdout_bucket(F.col("id"), salt="xdedup-") < 20
     b_payload = dd.lsh_band_buckets(
-        sig_df.filter(is_bench), 32, 8, carry=("sig",)
+        sig_df.filter(is_bench), MINHASH_NUM_PERM, MINHASH_BANDS,
+        carry=("sig",),
     ).select(
         F.col("id").alias("bench_id"),
         "band",
@@ -3318,7 +3359,8 @@ def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sig").alias("bench_sig"),
     )
     c_buckets = dd.lsh_band_buckets(
-        sig_df.filter(~is_bench), 32, 8, carry=("sig",)
+        sig_df.filter(~is_bench), MINHASH_NUM_PERM, MINHASH_BANDS,
+        carry=("sig",),
     )
     matches = F.aggregate(
         F.zip_with(
@@ -3331,7 +3373,11 @@ def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     collided = c_buckets.join(
         F.broadcast(b_payload), ["band", "bucket"]
-    ).select("id", "bench_id", (matches / F.lit(32.0)).alias("est_jaccard"))
+    ).select(
+        "id",
+        "bench_id",
+        (matches / F.lit(float(MINHASH_NUM_PERM))).alias("est_jaccard"),
+    )
     return (
         collided.groupBy("id", "bench_id")
         .agg(F.max("est_jaccard").alias("est_jaccard"))

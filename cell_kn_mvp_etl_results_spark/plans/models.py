@@ -222,12 +222,16 @@ def cosine_prepared_queries(
     max_id: int,
     quantize: int = 4,
     exclude_label_col: str | None = None,
+    max_rows: int | None = None,
 ) -> tuple:
     """A ``similarity.prepare_cosine_queries`` result for the standard
     ``vec_id < max_id`` query set, prepared once per corpus fingerprint
     — the ``_COSINE_PREP`` doctrine shared across every
     ``cosine_topk_arrow`` consumer (recall audit, mutual-kNN, hard
-    negatives, drift) instead of one collect job per call each."""
+    negatives, drift) instead of one collect job per call each.
+    ``max_rows`` bounds the collected side (VERDICT r12 #6) -- see
+    ``prepare_cosine_queries``; exceeding it raises before the driver
+    holds more than the cap."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import prepare_cosine_queries
@@ -240,13 +244,14 @@ def cosine_prepared_queries(
             "embedding",
             quantize=quantize,
             exclude_label_col=exclude_label_col,
+            max_rows=max_rows,
         )
 
     return _model(
         spark,
         sf_dir,
         "cosine_q",
-        (max_id, quantize, exclude_label_col),
+        (max_id, quantize, exclude_label_col, max_rows),
         prep,
     )
 

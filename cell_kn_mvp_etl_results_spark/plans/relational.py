@@ -605,6 +605,19 @@ def _supplier_bucketed_names(
     return (li_t, "l_orderkey"), (omap_t, "o_orderkey")
 
 
+# Positive-probe memo for supplier_bucketed_layout_exists, keyed on
+# (session, warehouse dir, physical table names) -- the names already
+# carry the corpus fingerprint + bucket spec via _auto_name, so a
+# regenerated corpus or changed spec lands on a different key. Only
+# True is memoized (VERDICT r12 #2: the per-call Hadoop-FS probe --
+# catalog.tableExists + FileSystem.exists over py4j -- was re-paid on
+# EVERY builder call, the single largest per-call driver cost the r12
+# round added): a True answer is durable for the session short of an
+# explicit DROP of the paid-for layout, while a False answer must stay
+# re-probeable so a layout built mid-session is picked up.
+_SUPB_LAYOUT_OK: set = set()
+
+
 def supplier_bucketed_layout_exists(
     spark: SparkSession, sf_dir: str, num_buckets: int = 32
 ) -> bool:
@@ -621,15 +634,22 @@ def supplier_bucketed_layout_exists(
     fire exactly where the layout matters most."""
     from .materialized import _warehouse_dir, physical_table_name
 
+    names = tuple(
+        physical_table_name(logical, col, num_buckets)
+        for logical, col in _supplier_bucketed_names(spark, sf_dir, num_buckets)
+    )
+    memo_key = (spark, spark.conf.get("spark.sql.warehouse.dir"), names)
+    if memo_key in _SUPB_LAYOUT_OK:
+        return True
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for logical, col in _supplier_bucketed_names(spark, sf_dir, num_buckets):
-        t = physical_table_name(logical, col, num_buckets)
+    for t in names:
         if spark.catalog.tableExists(t):
             continue
         p = jvm.org.apache.hadoop.fs.Path(f"{_warehouse_dir(spark, t)}/_SUCCESS")
         if not p.getFileSystem(hconf).exists(p):
             return False
+    _SUPB_LAYOUT_OK.add(memo_key)
     return True
 
 

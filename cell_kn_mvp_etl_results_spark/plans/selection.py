@@ -15,6 +15,11 @@ from .registry import TAIL, query
 
 _DSIR_BUCKETS = 1024
 
+# (session, sf_dir, documents fingerprint) -> checkpointed |sources|-row
+# group-signature frame for q_source_overlap (ADVICE r12; see the
+# builder for the lifecycle contract).
+_GROUP_SIG_FRAMES: dict[tuple, DataFrame] = {}
+
 
 @query(
     "q_weighted_sample",
@@ -158,14 +163,42 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     other" as a |sources|^2-bounded aggregate, the corpus is never
     self-joined. Same 32-permutation constants as q_dedup_minhash_lsh.
     """
-    from ..operators.selection import group_minhash_overlap
+    from ..operators.selection import (
+        group_minhash_overlap,
+        group_minhash_signatures,
+    )
+    from .materialized import materialize_enabled
 
     d = read_table(spark, sf_dir, "documents")
+    # Fingerprint-keyed registry for the checkpointed |sources|-row
+    # group-signature frame (ADVICE r12): the operator's own per-call
+    # eager checkpoint was never tracked, so every rebuild leaked a
+    # block for the application lifetime and even explain-only plan
+    # builds ran the corpus scan. One checkpoint per corpus
+    # fingerprint, displaced entries evicted (the _UPSERT_DELTA_BANDS
+    # precedent); SPARK_GRAFT_MATERIALIZE=0 falls back to the per-run
+    # checkpoint inside the operator.
+    gsig = None
+    if materialize_enabled():
+        from ..sources.readers import _fingerprint, evict_where
+
+        key = (spark, sf_dir, _fingerprint(f"{sf_dir}/documents.parquet"))
+        gsig = _GROUP_SIG_FRAMES.get(key)
+        if gsig is None:
+            evict_where(
+                _GROUP_SIG_FRAMES,
+                lambda k: k[:2] == key[:2],
+                lambda v: v.unpersist(),
+            )
+            gsig = group_minhash_signatures(
+                d, "source", "text", num_perm=32
+            ).localCheckpoint(eager=True)
+            _GROUP_SIG_FRAMES[key] = gsig
     # |sources|^2-row result: 1-partition sort instead of a
     # range-sampled global sort (the khop r8 precedent -- sampling
     # re-submits the child per run, and this child is corpus-sized).
     return (
-        group_minhash_overlap(d, "source", "text", num_perm=32)
+        group_minhash_overlap(d, "source", "text", num_perm=32, gsig=gsig)
         .repartition(1)
         .sortWithinPartitions("src_a", "src_b")
     )

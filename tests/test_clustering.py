@@ -269,3 +269,41 @@ def test_kcenter_m_one_and_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         kcenter_coreset(empty, m=2)
+
+
+# ---------------------------------------------------------------------------
+# All-pairs driver-matrix cap (VERDICT r12 #6): the cosine prep must
+# refuse past max_rows (bounded collect via limit, never a full pull),
+# return the identical matrix below it, and q_dedup_embedding must
+# surface the refusal rather than attempt a 100 TB driver matrix.
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_cosine_queries_max_rows_cap(spark, sf_dir):
+    import numpy as np
+    import pytest
+
+    from cell_kn_mvp_etl_results_spark.operators.similarity import (
+        prepare_cosine_queries,
+    )
+    from cell_kn_mvp_etl_results_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_rows"):
+        prepare_cosine_queries(emb, "vec_id", "embedding", max_rows=5)
+    a = prepare_cosine_queries(emb, "vec_id", "embedding")
+    b = prepare_cosine_queries(emb, "vec_id", "embedding", max_rows=10**7)
+    oa, ob = np.argsort(a[0]), np.argsort(b[0])
+    assert (a[0][oa] == b[0][ob]).all()
+    assert (a[1][oa] == b[1][ob]).all()
+    assert (a[3][oa] == b[3][ob]).all()
+
+
+def test_dedup_embedding_refuses_past_cap(spark, sf_dir, monkeypatch):
+    import pytest
+
+    from cell_kn_mvp_etl_results_spark.plans import REGISTRY, extended
+
+    monkeypatch.setattr(extended, "ALL_PAIRS_DRIVER_CAP", 3)
+    with pytest.raises(ValueError, match="candidate generator"):
+        REGISTRY["q_dedup_embedding"].builder(spark, sf_dir).collect()
